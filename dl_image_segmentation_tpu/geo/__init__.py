@@ -1,0 +1,17 @@
+"""Geo core: tile grid math, CRS transforms, geometry, vector IO.
+
+TPU-native replacement for the reference's geo stack (Descartes Labs
+DLTile service + GDAL/OGR + GEOS/PROJ via geopandas)."""
+
+from .tilegrid import Tile, tile_from_key, tiles_from_shape, tiles_from_bounds_utm
+from .geometry import Geometry, points_in_polygon, polygon_intersects_rect
+from .vector import (VectorDataset, VectorLayer, Feature, open_vector,
+                     write_geojson)
+from . import crs
+
+__all__ = [
+    "Tile", "tile_from_key", "tiles_from_shape", "tiles_from_bounds_utm",
+    "Geometry", "points_in_polygon", "polygon_intersects_rect",
+    "VectorDataset", "VectorLayer", "Feature", "open_vector",
+    "write_geojson", "crs",
+]

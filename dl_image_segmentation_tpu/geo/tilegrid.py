@@ -1,0 +1,229 @@
+"""Deterministic global tile grid, key-compatible with Descartes Labs DLTiles.
+
+The reference obtains tiles from the remote Descartes Labs service
+(`dl.scenes.DLTile.from_shape` / `.from_key`,
+/root/reference/dl_segmentation_utils/_descartes_img_chips.py:389-425).
+There is no DL server here, so the grid math is implemented locally and
+deterministically.
+
+Key format (observed in reference notebook keys such as
+'252:2:1.0:43:-902:8394', create_training_samples.ipynb cell 56):
+
+    "{tilesize}:{pad}:{resolution}:{zone}:{ti}:{tj}"
+
+where tilesize is the UNPADDED pixel count, pad the per-side padding in
+pixels, resolution the metres/pixel, zone the UTM zone, and (ti, tj) the
+integer grid indices. Grid anchoring:
+
+    easting_min  (unpadded) = 500000 + ti * tilesize * resolution
+    northing_min (unpadded) = tj * tilesize * resolution
+
+Northing is referenced to the equator and may be negative in the
+southern hemisphere; the CRS reported for a tile is EPSG:326{zone}
+regardless of hemisphere, with negative northings south of the equator.
+This keeps keys hemisphere-agnostic and the grid globally continuous.
+
+Tiles expose the geocontext attributes the reference consumes:
+``tilesize``, ``pad``, ``resolution``, ``wkt``, ``geotrans``, ``key``,
+``bounds``, ``crs`` (see _descartes_img_chips.py:668-671, 840-848).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from . import crs as _crs
+from .geometry import Geometry, bounds_of_coords, polygon_intersects_rect
+
+
+def _fmt_res(resolution: float) -> str:
+    """Format resolution the way DL keys do: 1.0, 10.0, 0.5 ..."""
+    r = float(resolution)
+    if r == int(r):
+        return f"{r:.1f}"
+    return repr(r)
+
+
+@dataclass(frozen=True)
+class Tile:
+    """One tile of the global grid (DLTile equivalent).
+
+    ``tilesize`` is the unpadded pixel count per side; the raster written
+    for the tile is ``tilesize + 2*pad`` pixels square at ``resolution``
+    metres/pixel.
+    """
+
+    tilesize: int
+    pad: int
+    resolution: float
+    zone: int
+    ti: int
+    tj: int
+
+    # -- key <-> tile ------------------------------------------------
+    @property
+    def key(self) -> str:
+        return (f"{self.tilesize}:{self.pad}:{_fmt_res(self.resolution)}:"
+                f"{self.zone}:{self.ti}:{self.tj}")
+
+    @classmethod
+    def from_key(cls, key: str) -> "Tile":
+        parts = key.split(":")
+        if len(parts) != 6:
+            raise ValueError(f"not a tile key: {key!r}")
+        ts, pad, res, zone, ti, tj = parts
+        return cls(int(ts), int(pad), float(res), int(zone), int(ti), int(tj))
+
+    # -- geometry ----------------------------------------------------
+    @property
+    def span_m(self) -> float:
+        """Unpadded extent of the tile in metres."""
+        return self.tilesize * self.resolution
+
+    @property
+    def bounds_unpadded(self) -> Tuple[float, float, float, float]:
+        """(xmin, ymin, xmax, ymax) in the tile's UTM CRS, without padding."""
+        s = self.span_m
+        x0 = _crs.UTM_FALSE_EASTING + self.ti * s
+        y0 = self.tj * s
+        return (x0, y0, x0 + s, y0 + s)
+
+    @property
+    def bounds(self) -> Tuple[float, float, float, float]:
+        """(xmin, ymin, xmax, ymax) in UTM including padding."""
+        x0, y0, x1, y1 = self.bounds_unpadded
+        p = self.pad * self.resolution
+        return (x0 - p, y0 - p, x1 + p, y1 + p)
+
+    @property
+    def raster_size(self) -> int:
+        """Pixels per side of the padded raster."""
+        return self.tilesize + 2 * self.pad
+
+    @property
+    def geotrans(self) -> Tuple[float, float, float, float, float, float]:
+        """GDAL-style geotransform of the PADDED raster:
+        (origin_x, px_w, 0, origin_y, 0, -px_h). Origin is the top-left
+        corner; row 0 is the northernmost row."""
+        x0, _, _, y1 = self.bounds
+        r = self.resolution
+        return (x0, r, 0.0, y1, 0.0, -r)
+
+    @property
+    def wkt(self) -> str:
+        return _crs.utm_wkt(self.zone, north=True)
+
+    @property
+    def crs(self) -> str:
+        return f"EPSG:{32600 + self.zone}"
+
+    @property
+    def lonlat_bounds(self) -> Tuple[float, float, float, float]:
+        """Approximate WGS84 bounds of the padded tile (via its corners)."""
+        x0, y0, x1, y1 = self.bounds
+        xs = np.array([x0, x1, x0, x1])
+        ys = np.array([y0, y0, y1, y1])
+        lon, lat = _crs.utm_to_lonlat(xs, ys, self.zone)
+        return (float(lon.min()), float(lat.min()),
+                float(lon.max()), float(lat.max()))
+
+    @property
+    def center_lonlat(self) -> Tuple[float, float]:
+        x0, y0, x1, y1 = self.bounds_unpadded
+        lon, lat = _crs.utm_to_lonlat((x0 + x1) / 2, (y0 + y1) / 2, self.zone)
+        return float(lon), float(lat)
+
+    # -- filename contract (README.md:14-15, _descartes_img_chips.py:749)
+    @property
+    def filename(self) -> str:
+        return self.key.replace(":", "#")
+
+    @classmethod
+    def from_filename(cls, name: str) -> "Tile":
+        # basename, strip extension(s), then '#' -> ':' (reference
+        # convention: _img_to_tf_mp.py:60-62)
+        base = name.rsplit("/", 1)[-1]
+        # strip only the LAST extension, like the reference's
+        # '.'.join(basename.split(os.extsep)[:-1]) -- the key itself
+        # contains '.' in the resolution field (e.g. '1.0')
+        stem = base.rsplit(".", 1)[0] if "." in base else base
+        try:
+            return cls.from_key(stem.replace("#", ":"))
+        except ValueError:
+            # extension-less filename whose only '.' is the resolution's
+            return cls.from_key(base.replace("#", ":"))
+
+
+def tile_from_key(key: str) -> Tile:
+    return Tile.from_key(key)
+
+
+def tiles_from_bounds_utm(
+    bounds: Tuple[float, float, float, float],
+    zone: int,
+    resolution: float,
+    tilesize: int,
+    pad: int,
+) -> Iterator[Tile]:
+    """All tiles whose UNPADDED extent intersects the UTM bounds."""
+    xmin, ymin, xmax, ymax = bounds
+    s = tilesize * resolution
+    ti0 = math.floor((xmin - _crs.UTM_FALSE_EASTING) / s)
+    ti1 = math.floor((xmax - _crs.UTM_FALSE_EASTING) / s)
+    tj0 = math.floor(ymin / s)
+    tj1 = math.floor(ymax / s)
+    for ti in range(ti0, ti1 + 1):
+        for tj in range(tj0, tj1 + 1):
+            yield Tile(tilesize, pad, float(resolution), zone, ti, tj)
+
+
+def tiles_from_shape(
+    shape,
+    resolution: float,
+    tilesize: int,
+    pad: int,
+) -> List[Tile]:
+    """Covering tiles for a WGS84 geometry (DLTile.from_shape equivalent,
+    _descartes_img_chips.py:421-425).
+
+    ``shape`` may be a Geometry, a GeoJSON-like mapping, or anything with
+    ``__geo_interface__``. The UTM zone is chosen from the geometry's
+    bbox centre (documented deviation from DL: DL may split a shape
+    across zones; geometries spanning a whole zone should be split by
+    the caller first).
+
+    Returns tiles whose unpadded extent intersects the geometry (exact
+    polygon-rectangle test, not just bbox).
+    """
+    geom = Geometry.coerce(shape)
+    lon_min, lat_min, lon_max, lat_max = geom.bounds
+    zone = _crs.utm_zone_from_lonlat((lon_min + lon_max) / 2.0,
+                                     (lat_min + lat_max) / 2.0)
+
+    out: List[Tile] = []
+    for ring_set in geom.polygons():  # list of (exterior, holes) rings in lonlat
+        exterior = ring_set[0]
+        ex, ey = _crs.lonlat_to_utm(exterior[:, 0], exterior[:, 1], zone)
+        poly_utm = np.stack([ex, ey], axis=1)
+        holes_utm = []
+        for hole in ring_set[1:]:
+            hx, hy = _crs.lonlat_to_utm(hole[:, 0], hole[:, 1], zone)
+            holes_utm.append(np.stack([hx, hy], axis=1))
+        bb = bounds_of_coords(poly_utm)
+        for tile in tiles_from_bounds_utm(bb, zone, resolution, tilesize, pad):
+            x0, y0, x1, y1 = tile.bounds_unpadded
+            if polygon_intersects_rect(poly_utm, holes_utm, x0, y0, x1, y1):
+                out.append(tile)
+    # dedup preserving order (same client-side key-set pattern as
+    # _descartes_img_chips.py:448-457)
+    seen = set()
+    uniq = []
+    for t in out:
+        if t.key not in seen:
+            seen.add(t.key)
+            uniq.append(t)
+    return uniq

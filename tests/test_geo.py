@@ -1,0 +1,274 @@
+"""Geo core tests: CRS math, tile grid key compatibility, geometry
+predicates, vector IO."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from dl_image_segmentation_tpu.geo import crs, Tile, tiles_from_shape
+from dl_image_segmentation_tpu.geo.geometry import (
+    Geometry, points_in_polygon, polygon_intersects_rect)
+from dl_image_segmentation_tpu.geo.vector import (
+    open_vector, write_geojson, VectorLayer, Feature)
+
+
+class TestCRS:
+    def test_known_point_two_formulations_agree(self):
+        # Cross-validated against an independently-coded classic Snyder
+        # series (agreement < 1mm). WGS84, zone 18, phi=40.5N lam=73.5W.
+        e, n = crs.lonlat_to_utm(-73.5, 40.5, 18)
+        assert abs(e - 627103.087) < 0.01
+        assert abs(n - 4484335.402) < 0.01
+
+    def test_roundtrip_grid(self):
+        lons = np.linspace(-5.9, 5.9, 13)  # within ±6 deg of the CM
+        lats = np.linspace(-80, 84, 23)
+        LO, LA = np.meshgrid(lons, lats)
+        zone = 31  # CM at 3E
+        e, n = crs.lonlat_to_utm(LO.ravel() + 3.0, LA.ravel(), zone)
+        lon2, lat2 = crs.utm_to_lonlat(e, n, zone)
+        np.testing.assert_allclose(lon2, LO.ravel() + 3.0, atol=1e-9)
+        np.testing.assert_allclose(lat2, LA.ravel(), atol=1e-9)
+
+    def test_southern_hemisphere_negative_northing(self):
+        e, n = crs.lonlat_to_utm(173.0, -41.0, 59)
+        assert n < 0
+
+    def test_zone_selection(self):
+        assert crs.utm_zone_from_lonlat(72.87, 19.07) == 43  # Mumbai
+        assert crs.utm_zone_from_lonlat(-73.5, 40.5) == 18
+        assert crs.utm_zone_from_lonlat(5.3, 60.4) == 32  # Bergen (Norway exc.)
+        assert crs.utm_zone_from_lonlat(15.6, 78.2) == 33  # Svalbard exc.
+
+    def test_wkt_contains_epsg(self):
+        w = crs.utm_wkt(43)
+        assert '"32643"' in w and "Transverse_Mercator" in w
+
+
+class TestTileGrid:
+    def test_key_roundtrip(self):
+        # real keys from the reference notebook (create nb cell 56)
+        for key in ("252:2:1.0:43:-902:8394",
+                    "252:2:1.0:43:-909:8373",
+                    "60:2:10.0:43:-380:3491"):
+            t = Tile.from_key(key)
+            assert t.key == key
+
+    def test_known_tile_location(self):
+        # 252:2:1.0:43:-902:8394 should cover Mumbai (~72.85E, 19.1N)
+        t = Tile.from_key("252:2:1.0:43:-902:8394")
+        lon, lat = t.center_lonlat
+        assert 72.5 < lon < 73.2
+        assert 18.9 < lat < 19.3
+
+    def test_geotransform_and_size(self):
+        t = Tile.from_key("252:2:1.0:43:-902:8394")
+        assert t.raster_size == 256
+        gt = t.geotrans
+        assert gt[1] == 1.0 and gt[5] == -1.0
+        x0, y0, x1, y1 = t.bounds
+        assert abs((x1 - x0) - 256.0) < 1e-9
+        assert gt[0] == x0 and gt[3] == y1
+
+    def test_filename_contract(self):
+        t = Tile.from_key("252:2:1.0:43:-902:8394")
+        assert t.filename == "252#2#1.0#43#-902#8394"
+        assert Tile.from_filename("252#2#1.0#43#-902#8394.tif").key == t.key
+
+    def test_tiles_from_shape_cover_and_dedup(self):
+        # small polygon near Mumbai; 64px@10m tiles (640 m each)
+        poly = {
+            "type": "Polygon",
+            "coordinates": [[
+                [72.85, 19.05], [72.88, 19.05],
+                [72.88, 19.08], [72.85, 19.08], [72.85, 19.05],
+            ]],
+        }
+        tiles = tiles_from_shape(poly, resolution=10.0, tilesize=60, pad=2)
+        assert len(tiles) > 0
+        keys = [t.key for t in tiles]
+        assert len(keys) == len(set(keys))
+        for t in tiles:
+            assert t.zone == 43
+            assert t.key.startswith("60:2:10.0:43:")
+        # polygon is ~3.1km x 3.3km; 600m tiles -> expect a 6x7-ish block
+        assert 20 <= len(tiles) <= 56
+
+    def test_tiles_contain_polygon_points(self):
+        poly = {
+            "type": "Polygon",
+            "coordinates": [[
+                [72.85, 19.05], [72.88, 19.05],
+                [72.88, 19.08], [72.85, 19.08], [72.85, 19.05],
+            ]],
+        }
+        tiles = tiles_from_shape(poly, resolution=10.0, tilesize=60, pad=2)
+        # every polygon corner must fall inside some tile
+        for lon, lat in poly["coordinates"][0]:
+            e, n = crs.lonlat_to_utm(lon, lat, 43)
+            hit = any(
+                t.bounds_unpadded[0] <= e <= t.bounds_unpadded[2]
+                and t.bounds_unpadded[1] <= n <= t.bounds_unpadded[3]
+                for t in tiles)
+            assert hit
+
+
+class TestGeometry:
+    def test_point_in_polygon(self):
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+        inside = points_in_polygon([5, 15, -1], [5, 5, 5], sq)
+        assert list(inside) == [True, False, False]
+
+    def test_point_in_polygon_with_hole(self):
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+        hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], dtype=float)
+        inside = points_in_polygon([5, 2], [5, 2], sq, [hole])
+        assert list(inside) == [False, True]
+
+    def test_polygon_rect_intersection(self):
+        tri = np.array([[0, 0], [10, 0], [5, 10]], dtype=float)
+        assert polygon_intersects_rect(tri, [], 4, 4, 6, 6)       # inside
+        assert polygon_intersects_rect(tri, [], -5, -5, 1, 1)     # corner
+        assert not polygon_intersects_rect(tri, [], 11, 11, 12, 12)
+        assert not polygon_intersects_rect(tri, [], -2, 5, -0.5, 6)
+        # rect fully containing the polygon
+        assert polygon_intersects_rect(tri, [], -1, -1, 11, 11)
+        # rect inside a hole -> no intersection
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+        hole = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], dtype=float)
+        assert not polygon_intersects_rect(sq, [hole], 4, 4, 6, 6)
+        assert polygon_intersects_rect(sq, [hole], 0.5, 0.5, 1.5, 1.5)
+
+    def test_multipolygon_explode(self):
+        mp = Geometry.coerce({
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [1, 0], [1, 1], [0, 1]]],
+                [[[5, 5], [6, 5], [6, 6], [5, 6]]],
+            ],
+        })
+        parts = mp.explode()
+        assert len(parts) == 2
+        assert parts[1].bounds == (5.0, 5.0, 6.0, 6.0)
+
+
+class TestVectorIO:
+    def test_geojson_roundtrip(self, tmp_path):
+        sq = [[72.85, 19.05], [72.88, 19.05], [72.88, 19.08],
+              [72.85, 19.08], [72.85, 19.05]]
+        obj = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Polygon", "coordinates": [sq]},
+                 "properties": {"class_id": 2, "name": "slum"}},
+            ],
+        }
+        p = tmp_path / "labels.geojson"
+        p.write_text(json.dumps(obj))
+        ds = open_vector(str(p))
+        assert ds.layer_names() == ["labels"]
+        assert ds.get_layer_index("labels") == 0
+        assert ds.get_layer_index("nope") == -1
+        lyr = ds.get_layer(0)
+        assert len(lyr.features) == 1
+        assert lyr.features[0].properties["class_id"] == 2
+
+    def test_write_then_read_geojson(self, tmp_path):
+        g = Geometry.coerce({"type": "Polygon",
+                             "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1]]]})
+        lyr = VectorLayer("t", [Feature(g, {"v": 1})], 4326)
+        p = tmp_path / "out.geojson"
+        write_geojson(str(p), lyr)
+        ds = open_vector(str(p))
+        assert len(ds.get_layer(0).features) == 1
+
+    def test_utm_geojson_reprojection(self, tmp_path):
+        # a square in EPSG:32643 around Mumbai
+        e, n = crs.lonlat_to_utm(72.86, 19.06, 43)
+        ring = [[e, n], [e + 1000, n], [e + 1000, n + 1000],
+                [e, n + 1000], [e, n]]
+        obj = {
+            "type": "FeatureCollection",
+            "crs": {"type": "name",
+                    "properties": {"name": "urn:ogc:def:crs:EPSG::32643"}},
+            "features": [{"type": "Feature",
+                          "geometry": {"type": "Polygon",
+                                       "coordinates": [ring]},
+                          "properties": {}}],
+        }
+        p = tmp_path / "utm.geojson"
+        p.write_text(json.dumps(obj))
+        lyr = open_vector(str(p)).get_layer(0)
+        assert lyr.crs_epsg == 32643
+        w = lyr.to_wgs84()
+        b = w.features[0].geometry.bounds
+        assert 72.8 < b[0] < 72.9 and 19.0 < b[1] < 19.1
+
+
+class TestShapefile:
+    def _write_minimal_shapefile(self, path, rings_list, props, epsg=4326):
+        """Hand-roll a tiny polygon shapefile for reader tests."""
+        import struct
+
+        def shp_record(recno, rings):
+            pts = np.concatenate(rings, axis=0)
+            nparts = len(rings)
+            npoints = len(pts)
+            content = struct.pack("<i", 5)
+            content += struct.pack("<4d", pts[:, 0].min(), pts[:, 1].min(),
+                                   pts[:, 0].max(), pts[:, 1].max())
+            content += struct.pack("<ii", nparts, npoints)
+            idx = 0
+            for r in rings:
+                content += struct.pack("<i", idx)
+                idx += len(r)
+            content += pts.astype("<f8").tobytes()
+            hdr = struct.pack(">ii", recno, len(content) // 2)
+            return hdr + content
+
+        records = b""
+        for i, rings in enumerate(rings_list):
+            records += shp_record(i + 1, rings)
+        total_len = (100 + len(records)) // 2
+        allpts = np.concatenate([np.concatenate(r, axis=0)
+                                 for r in rings_list], axis=0)
+        hdr = struct.pack(">i", 9994) + b"\x00" * 20
+        hdr += struct.pack(">i", total_len)
+        hdr += struct.pack("<ii", 1000, 5)
+        hdr += struct.pack("<4d", allpts[:, 0].min(), allpts[:, 1].min(),
+                           allpts[:, 0].max(), allpts[:, 1].max())
+        hdr += struct.pack("<4d", 0, 0, 0, 0)
+        with open(path, "wb") as f:
+            f.write(hdr + records)
+
+        # minimal DBF with one numeric field "CLS"
+        dbf = os.path.splitext(path)[0] + ".dbf"
+        nrec = len(props)
+        field = b"CLS".ljust(11, b"\x00") + b"N" + b"\x00" * 4 + bytes([10, 0]) + b"\x00" * 14
+        hdr_size = 32 + 32 + 1
+        rec_size = 1 + 10
+        head = struct.pack("<BBBBIHH", 3, 24, 1, 1, nrec, hdr_size, rec_size)
+        head += b"\x00" * 20
+        body = field + b"\x0d"
+        recs = b""
+        for p in props:
+            recs += b" " + str(p["CLS"]).rjust(10).encode()
+        with open(dbf, "wb") as f:
+            f.write(head + body + recs + b"\x1a")
+
+    def test_read_shapefile(self, tmp_path):
+        # clockwise ring (shapefile exterior convention, y-up)
+        ring = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]],
+                        dtype=float)
+        p = str(tmp_path / "test.shp")
+        self._write_minimal_shapefile(p, [[ring]], [{"CLS": 3}])
+        ds = open_vector(p)
+        lyr = ds.get_layer(0)
+        assert len(lyr.features) == 1
+        f = lyr.features[0]
+        assert f.properties["CLS"] == 3
+        assert f.geometry.bounds == (0.0, 0.0, 10.0, 10.0)
