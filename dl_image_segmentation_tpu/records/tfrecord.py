@@ -1,0 +1,91 @@
+"""TFRecord container framing: length-prefixed, masked-CRC32C records.
+
+Bit-identical to TF's C++ RecordWriter/RecordReader (reference reaches
+it via tf.io.TFRecordWriter / tf.data.TFRecordDataset,
+/root/reference/dl_segmentation_utils/_img_to_tf_mp.py:119,141 and
+parse_tfrecords.ipynb cell 4). Frame layout per record:
+
+    uint64  length         (little-endian)
+    uint32  masked_crc32c(length bytes)
+    bytes   data[length]
+    uint32  masked_crc32c(data)
+
+The native C++ writer/reader (records.native) is used automatically
+when available; this module is the pure-Python implementation and the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator, List, Optional, Sequence, Union
+
+from .crc32c import masked_crc32c
+
+
+class TFRecordWriter:
+    """Streaming TFRecord writer (pure Python)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, record: Union[bytes, memoryview]) -> None:
+        record = bytes(record)
+        header = struct.pack("<Q", len(record))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", masked_crc32c(header)))
+        self._f.write(record)
+        self._f.write(struct.pack("<I", masked_crc32c(record)))
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
+    """Iterate raw record payloads from one TFRecord file."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                return
+            if len(header) < 8:
+                raise IOError(f"truncated record header in {path}")
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            if verify_crc and masked_crc32c(header) != hcrc:
+                raise IOError(f"corrupt record header CRC in {path}")
+            data = f.read(length)
+            if len(data) < length:
+                raise IOError(f"truncated record in {path}")
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            if verify_crc and masked_crc32c(data) != dcrc:
+                raise IOError(f"corrupt record data CRC in {path}")
+            yield data
+
+
+def shard_filename(name: str, shard: int, num_shards: int) -> str:
+    """Shard naming contract: '%s-%.5d-of-%.5d'
+    (reference: _img_to_tf_threaded.py:177, _img_to_tf_mp.py:115)."""
+    return "%s-%.5d-of-%.5d" % (name, shard, num_shards)
+
+
+def shard_glob(name: str, num_shards: Optional[int] = None) -> str:
+    if num_shards is None:
+        return f"{name}-?????-of-?????"
+    return f"{name}-?????-of-%.5d" % num_shards
+
+
+def list_shards(directory: str, name: str) -> List[str]:
+    import glob
+    return sorted(glob.glob(os.path.join(directory, shard_glob(name))))
