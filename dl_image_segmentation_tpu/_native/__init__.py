@@ -1,0 +1,137 @@
+"""Native extension loader: builds fastcodec.cc on first import (g++,
+-O3 -march=native) and exposes it through ctypes.
+
+All entry points degrade gracefully: if the toolchain is unavailable
+the pure-Python fallbacks in records/crc32c.py and raster/lzw.py are
+used instead (same outputs, validated against each other in
+tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastcodec.cc")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"fastcodec-{digest}.so")
+
+
+def _build(so: str) -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", so + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        so = _so_path()
+        if not os.path.exists(so) and not _build(so):
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.fc_crc32c.restype = ctypes.c_uint32
+        lib.fc_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                  ctypes.c_uint32]
+        lib.fc_masked_crc32c.restype = ctypes.c_uint32
+        lib.fc_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.fc_tfrecord_frame.restype = ctypes.c_uint64
+        lib.fc_tfrecord_frame.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                          ctypes.c_char_p]
+        lib.fc_lzw_encode.restype = ctypes.c_uint64
+        lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_char_p, ctypes.c_uint64]
+        lib.fc_lzw_decode.restype = ctypes.c_uint64
+        lib.fc_lzw_decode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_char_p, ctypes.c_uint64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# -- typed wrappers ----------------------------------------------------------
+
+def crc32c(data: bytes, initial: int = 0) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return lib.fc_crc32c(data, len(data), initial)
+
+
+def masked_crc32c(data: bytes) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return lib.fc_masked_crc32c(data, len(data))
+
+
+def tfrecord_frame(payload: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(len(payload) + 16)
+    n = lib.fc_tfrecord_frame(payload, len(payload), out)
+    return out.raw[:n]
+
+
+def lzw_encode(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + (len(data) >> 1) + 1024
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.fc_lzw_encode(data, len(data), out, cap)
+        if n:
+            return out.raw[:n]
+        cap *= 2  # pathological expansion; retry with more room
+
+
+def lzw_decode(data: bytes, max_size: Optional[int] = None) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max_size if max_size is not None else max(len(data) * 8, 1 << 16)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.fc_lzw_decode(data, len(data), out, cap)
+        if n == (1 << 64) - 1:
+            raise ValueError("corrupt LZW stream")
+        if n == (1 << 64) - 2:
+            cap *= 4
+            continue
+        n = int(n)
+        if max_size is not None:
+            n = min(n, max_size)
+        return out.raw[:n]

@@ -1,0 +1,472 @@
+"""GeoTIFF codec: read/decode-from-bytes and write, pure Python + numpy
+(LZW inner loops accelerated by the C++ extension when built).
+
+Replaces the GDAL GeoTIFF driver usage in the reference
+(/root/reference/dl_segmentation_utils/_descartes_img_chips.py:782-798:
+``COMPRESS=LZW, TILED=TRUE, NUM_THREADS=4`` chips with projection,
+geotransform and label nodata; and rasterio ``MemoryFile`` decode,
+_img_to_tf_mp.py:45-53). The on-disk chip contract is preserved:
+LZW-compressed tiled GeoTIFF, multi-band any-dtype images, single-band
+uint8 labels with a nodata value in the metadata.
+
+Reader support: classic TIFF, II/MM byte order, strip or tile layout,
+compression none/LZW/Deflate(8/32946)/PackBits, predictor 1/2, planar
+configuration 1 (chunky) and 2 (separate), uint8..64/int8..32/float32/64,
+GDAL_NODATA, ModelPixelScale + ModelTiepoint, GeoKeyDirectory EPSG.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .lzw import lzw_decode, lzw_encode
+
+# TIFF tag ids
+_T_IMAGE_WIDTH = 256
+_T_IMAGE_LENGTH = 257
+_T_BITS_PER_SAMPLE = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES_PER_PIXEL = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_BYTE_COUNTS = 279
+_T_PLANAR_CONFIG = 284
+_T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+_T_GEO_KEY_DIRECTORY = 34735
+_T_GEO_DOUBLE_PARAMS = 34736
+_T_GEO_ASCII_PARAMS = 34737
+_T_GDAL_METADATA = 42112
+_T_GDAL_NODATA = 42113
+
+# TIFF field types: id -> (struct char, size)
+_FIELD_TYPES = {
+    1: ("B", 1), 2: ("s", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+    6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+    11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8),
+}
+
+_SAMPLEFORMAT_UINT = 1
+_SAMPLEFORMAT_INT = 2
+_SAMPLEFORMAT_FLOAT = 3
+
+
+def _np_dtype(bits: int, fmt: int, byteorder: str) -> np.dtype:
+    kind = {_SAMPLEFORMAT_UINT: "u", _SAMPLEFORMAT_INT: "i",
+            _SAMPLEFORMAT_FLOAT: "f"}.get(fmt, "u")
+    return np.dtype(f"{byteorder}{kind}{bits // 8}")
+
+
+@dataclass
+class RasterInfo:
+    """Decoded georeferencing + metadata of a GeoTIFF."""
+    width: int = 0
+    height: int = 0
+    count: int = 1
+    dtype: str = "uint8"
+    geotransform: Optional[Tuple[float, ...]] = None
+    epsg: Optional[int] = None
+    wkt: Optional[str] = None
+    nodata: Optional[float] = None
+
+    @property
+    def crs(self) -> Optional[str]:
+        return f"EPSG:{self.epsg}" if self.epsg else None
+
+
+class GeoTIFF:
+    """A decoded GeoTIFF: ``array`` is (height, width, bands) for
+    multi-band or (height, width) is NOT used -- always bands-last 3D,
+    matching rasterio's reshape_as_image convention the reference uses
+    (_img_to_tf_mp.py:69)."""
+
+    def __init__(self, array: np.ndarray, info: RasterInfo):
+        self.array = array
+        self.info = info
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def _read_ifd_values(buf, fmt, ttype, count, val_bytes):
+    ch, size = _FIELD_TYPES.get(ttype, ("B", 1))
+    total = size * count
+    if total <= 4:
+        raw = val_bytes[:total]
+    else:
+        (off,) = struct.unpack(fmt + "I", val_bytes)
+        raw = buf[off:off + total]
+    if ttype == 2:  # ASCII
+        return raw.split(b"\x00")[0].decode("latin-1")
+    if ttype in (5, 10):  # rational
+        vals = struct.unpack(fmt + ("Ii"[ttype == 10] * 2 * count), raw)
+        return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(count)]
+    vals = struct.unpack(fmt + ch * count, raw)
+    return list(vals)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += data[i:i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def decode_geotiff(data: bytes) -> GeoTIFF:
+    """Decode a GeoTIFF (or plain TIFF) from bytes. Zero-copy where the
+    layout allows (single uncompressed strip)."""
+    if data[:4] == b"II*\x00":
+        fmt = "<"
+    elif data[:4] == b"MM\x00*":
+        fmt = ">"
+    else:
+        raise ValueError("not a classic TIFF")
+    (ifd_off,) = struct.unpack(fmt + "I", data[4:8])
+    (ntags,) = struct.unpack(fmt + "H", data[ifd_off:ifd_off + 2])
+    tags: Dict[int, list] = {}
+    for i in range(ntags):
+        p = ifd_off + 2 + i * 12
+        tid, ttype, cnt = struct.unpack(fmt + "HHI", data[p:p + 8])
+        tags[tid] = _read_ifd_values(data, fmt, ttype, cnt, data[p + 8:p + 12])
+
+    width = int(tags[_T_IMAGE_WIDTH][0])
+    height = int(tags[_T_IMAGE_LENGTH][0])
+    spp = int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0])
+    bps_list = tags.get(_T_BITS_PER_SAMPLE, [8])
+    if isinstance(bps_list, str):
+        bps_list = [8]
+    bps = int(bps_list[0])
+    comp = int(tags.get(_T_COMPRESSION, [1])[0])
+    planar = int(tags.get(_T_PLANAR_CONFIG, [1])[0])
+    predictor = int(tags.get(_T_PREDICTOR, [1])[0])
+    sfmt = int(tags.get(_T_SAMPLE_FORMAT, [_SAMPLEFORMAT_UINT])[0])
+    dtype = _np_dtype(bps, sfmt, fmt)
+
+    def decompress(chunk: bytes, expect: int) -> bytes:
+        if comp == 1:
+            return chunk
+        if comp == 5:
+            return _lzw_decode_fast(chunk, max_size=expect)
+        if comp in (8, 32946):
+            return zlib.decompress(chunk)
+        if comp == 32773:
+            return _packbits_decode(chunk)
+        raise ValueError(f"unsupported TIFF compression {comp}")
+
+    tiled = _T_TILE_OFFSETS in tags
+    nplanes = spp if planar == 2 else 1
+    samples_per_px = 1 if planar == 2 else spp
+
+    if tiled:
+        tw = int(tags[_T_TILE_WIDTH][0])
+        th = int(tags[_T_TILE_LENGTH][0])
+        offs = [int(v) for v in tags[_T_TILE_OFFSETS]]
+        cnts = [int(v) for v in tags[_T_TILE_BYTE_COUNTS]]
+        tiles_across = -(-width // tw)
+        tiles_down = -(-height // th)
+        out = np.zeros((spp, height, width), dtype=dtype) if planar == 2 \
+            else np.zeros((height, width, spp), dtype=dtype)
+        idx = 0
+        for plane in range(nplanes):
+            for tj in range(tiles_down):
+                for ti in range(tiles_across):
+                    raw = decompress(data[offs[idx]:offs[idx] + cnts[idx]],
+                                     tw * th * samples_per_px * dtype.itemsize)
+                    idx += 1
+                    arr = np.frombuffer(
+                        raw, dtype=dtype,
+                        count=tw * th * samples_per_px).reshape(
+                            th, tw, samples_per_px)
+                    if predictor == 2:
+                        arr = _undo_hpredictor(arr)
+                    y0, x0 = tj * th, ti * tw
+                    y1 = min(y0 + th, height)
+                    x1 = min(x0 + tw, width)
+                    if planar == 2:
+                        out[plane, y0:y1, x0:x1] = arr[:y1 - y0, :x1 - x0, 0]
+                    else:
+                        out[y0:y1, x0:x1, :] = arr[:y1 - y0, :x1 - x0, :]
+        if planar == 2:
+            out = np.moveaxis(out, 0, -1)
+    else:
+        rps = int(tags.get(_T_ROWS_PER_STRIP, [height])[0])
+        rps = min(rps, height)
+        offs = [int(v) for v in tags[_T_STRIP_OFFSETS]]
+        cnts = [int(v) for v in tags[_T_STRIP_BYTE_COUNTS]]
+        strips_per_plane = -(-height // rps)
+        out = np.zeros((spp, height, width), dtype=dtype) if planar == 2 \
+            else np.zeros((height, width, spp), dtype=dtype)
+        idx = 0
+        for plane in range(nplanes):
+            row = 0
+            for s in range(strips_per_plane):
+                nrows = min(rps, height - row)
+                raw = decompress(data[offs[idx]:offs[idx] + cnts[idx]],
+                                 nrows * width * samples_per_px
+                                 * dtype.itemsize)
+                idx += 1
+                arr = np.frombuffer(
+                    raw, dtype=dtype,
+                    count=nrows * width * samples_per_px).reshape(
+                        nrows, width, samples_per_px)
+                if predictor == 2:
+                    arr = _undo_hpredictor(arr)
+                if planar == 2:
+                    out[plane, row:row + nrows] = arr[..., 0]
+                else:
+                    out[row:row + nrows] = arr
+                row += nrows
+        if planar == 2:
+            out = np.moveaxis(out, 0, -1)
+
+    info = RasterInfo(width=width, height=height, count=spp,
+                      dtype=np.dtype(dtype).name)
+    # georeferencing
+    scale = tags.get(_T_MODEL_PIXEL_SCALE)
+    tie = tags.get(_T_MODEL_TIEPOINT)
+    if scale and tie and len(tie) >= 6:
+        sx, sy = float(scale[0]), float(scale[1])
+        i, j, _k, x, y, _z = (float(v) for v in tie[:6])
+        origin_x = x - i * sx
+        origin_y = y + j * sy
+        info.geotransform = (origin_x, sx, 0.0, origin_y, 0.0, -sy)
+    gkd = tags.get(_T_GEO_KEY_DIRECTORY)
+    if gkd and len(gkd) >= 4:
+        nkeys = int(gkd[3])
+        for k in range(nkeys):
+            base = 4 + k * 4
+            key_id, loc, cnt, val = (int(v) for v in gkd[base:base + 4])
+            if key_id == 3072 and loc == 0:  # ProjectedCSTypeGeoKey
+                info.epsg = val
+            elif key_id == 2048 and loc == 0 and info.epsg is None:
+                info.epsg = val  # GeographicTypeGeoKey
+    nod = tags.get(_T_GDAL_NODATA)
+    if nod is not None:
+        try:
+            info.nodata = float(str(nod).strip())
+        except ValueError:
+            pass
+    if info.epsg and 32601 <= info.epsg <= 32660:
+        from ..geo import crs as _crs
+        info.wkt = _crs.utm_wkt(info.epsg - 32600, north=True)
+    elif info.epsg and 32701 <= info.epsg <= 32760:
+        from ..geo import crs as _crs
+        info.wkt = _crs.utm_wkt(info.epsg - 32700, north=False)
+    out = np.ascontiguousarray(out)
+    if fmt == ">":
+        out = out.astype(out.dtype.newbyteorder("="))
+    return GeoTIFF(out, info)
+
+
+def _undo_hpredictor(arr: np.ndarray) -> np.ndarray:
+    # horizontal differencing predictor: cumulative sum along rows
+    return np.cumsum(arr, axis=1, dtype=np.int64).astype(arr.dtype)
+
+
+def read_geotiff(path: str) -> GeoTIFF:
+    with open(path, "rb") as f:
+        return decode_geotiff(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+def _sample_format_of(dtype: np.dtype) -> int:
+    if dtype.kind == "u":
+        return _SAMPLEFORMAT_UINT
+    if dtype.kind == "i":
+        return _SAMPLEFORMAT_INT
+    if dtype.kind == "f":
+        return _SAMPLEFORMAT_FLOAT
+    raise ValueError(f"unsupported dtype {dtype}")
+
+
+def encode_geotiff(
+    array: np.ndarray,
+    geotransform: Optional[Sequence[float]] = None,
+    epsg: Optional[int] = None,
+    nodata: Optional[float] = None,
+    compress: str = "lzw",
+    tiled: bool = True,
+    tile_size: int = 256,
+) -> bytes:
+    """Encode (H, W) or (H, W, B) array to GeoTIFF bytes.
+
+    Default layout matches the reference chip contract: LZW, tiled
+    (COMPRESS=LZW TILED=TRUE, _descartes_img_chips.py:784), chunky
+    planar config, little-endian classic TIFF.
+    """
+    arr = np.asarray(array)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("array must be (H,W) or (H,W,B)")
+    h, w, b = arr.shape
+    dtype = arr.dtype.newbyteorder("<")
+    arr = np.ascontiguousarray(arr, dtype=dtype)
+
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8, "zip": 8}[compress.lower()]
+
+    def compress_chunk(chunk: np.ndarray) -> bytes:
+        raw = chunk.tobytes()
+        if comp_id == 1:
+            return raw
+        if comp_id == 5:
+            return _lzw_encode_fast(raw)
+        return zlib.compress(raw, 6)
+
+    chunks: List[bytes] = []
+    if tiled:
+        ts = tile_size if max(h, w) >= tile_size else 16 * max(
+            1, (max(h, w) + 15) // 16)
+        tiles_across = -(-w // ts)
+        tiles_down = -(-h // ts)
+        for tj in range(tiles_down):
+            for ti in range(tiles_across):
+                tile = np.zeros((ts, ts, b), dtype=dtype)
+                y0, x0 = tj * ts, ti * ts
+                y1, x1 = min(y0 + ts, h), min(x0 + ts, w)
+                tile[: y1 - y0, : x1 - x0] = arr[y0:y1, x0:x1]
+                chunks.append(compress_chunk(tile))
+    else:
+        chunks.append(compress_chunk(arr))
+
+    # assemble tags; photometric RGB for 3-band uint8 (like GDAL), else
+    # MinIsBlack with ExtraSamples covering the additional bands
+    photometric = 2 if (b == 3 and dtype == np.uint8) else 1
+    implied = 3 if photometric == 2 else 1
+    tags: List[Tuple[int, int, int, object]] = [
+        (_T_IMAGE_WIDTH, 3, 1, w),
+        (_T_IMAGE_LENGTH, 3, 1, h),
+        (_T_BITS_PER_SAMPLE, 3, b, [dtype.itemsize * 8] * b),
+        (_T_COMPRESSION, 3, 1, comp_id),
+        (_T_PHOTOMETRIC, 3, 1, photometric),
+        (_T_SAMPLES_PER_PIXEL, 3, 1, b),
+        (_T_PLANAR_CONFIG, 3, 1, 1),
+        (_T_SAMPLE_FORMAT, 3, b, [_sample_format_of(dtype)] * b),
+    ]
+    if b > implied:
+        tags.append((338, 3, b - implied, [0] * (b - implied)))
+    if tiled:
+        tags += [
+            (_T_TILE_WIDTH, 3, 1, ts),
+            (_T_TILE_LENGTH, 3, 1, ts),
+            (_T_TILE_OFFSETS, 4, len(chunks), "OFFSETS"),
+            (_T_TILE_BYTE_COUNTS, 4, len(chunks), [len(c) for c in chunks]),
+        ]
+    else:
+        tags += [
+            (_T_ROWS_PER_STRIP, 3, 1, h),
+            (_T_STRIP_OFFSETS, 4, 1, "OFFSETS"),
+            (_T_STRIP_BYTE_COUNTS, 4, 1, [len(chunks[0])]),
+        ]
+    if geotransform is not None:
+        gt = [float(v) for v in geotransform]
+        tags.append((_T_MODEL_PIXEL_SCALE, 12, 3, [gt[1], -gt[5], 0.0]))
+        tags.append((_T_MODEL_TIEPOINT, 12, 6,
+                     [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]))
+    if epsg is not None:
+        gk = [1, 1, 0, 3,
+              1024, 0, 1, 1,      # GTModelType = projected
+              1025, 0, 1, 1,      # GTRasterType = PixelIsArea
+              3072, 0, 1, epsg]   # ProjectedCSType
+        tags.append((_T_GEO_KEY_DIRECTORY, 3, len(gk), gk))
+    if nodata is not None:
+        nd = (f"{int(nodata)}" if float(nodata) == int(nodata)
+              else repr(float(nodata))) + "\x00"
+        tags.append((_T_GDAL_NODATA, 2, len(nd), nd))
+
+    tags.sort(key=lambda t: t[0])
+
+    # layout: header(8) + IFD + overflow values + chunk data
+    n = len(tags)
+    ifd_size = 2 + n * 12 + 4
+    overflow = bytearray()
+    entries = bytearray()
+    data_start_guess = 8 + ifd_size
+    # first pass to size overflow
+    sized = []
+    for tid, ttype, cnt, val in tags:
+        ch, unit = _FIELD_TYPES[ttype]
+        total = unit * cnt
+        sized.append(total)
+    overflow_total = sum(t for t in sized if t > 4)
+    chunk_start = 8 + ifd_size + overflow_total
+    # word-align chunk data
+    if chunk_start % 2:
+        chunk_start += 1
+    chunk_offsets = []
+    pos = chunk_start
+    for c in chunks:
+        chunk_offsets.append(pos)
+        pos += len(c)
+
+    over_pos = 8 + ifd_size
+    for (tid, ttype, cnt, val), total in zip(tags, sized):
+        ch, unit = _FIELD_TYPES[ttype]
+        if val == "OFFSETS":
+            val = chunk_offsets
+        if ttype == 2:
+            raw = val.encode("latin-1") if isinstance(val, str) else bytes(val)
+        elif isinstance(val, (list, tuple)):
+            raw = struct.pack("<" + ch * cnt, *val)
+        else:
+            raw = struct.pack("<" + ch, val)
+        entries += struct.pack("<HHI", tid, ttype, cnt)
+        if total <= 4:
+            entries += raw.ljust(4, b"\x00")
+        else:
+            entries += struct.pack("<I", over_pos)
+            overflow += raw
+            over_pos += total
+
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", 8)
+    out += struct.pack("<H", n) + entries + struct.pack("<I", 0)
+    out += overflow
+    out += b"\x00" * (chunk_start - len(out))
+    for c in chunks:
+        out += c
+    return bytes(out)
+
+
+def write_geotiff(path: str, array: np.ndarray, **kwargs) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_geotiff(array, **kwargs))
+
+
+def _lzw_encode_fast(raw: bytes) -> bytes:
+    """LZW via the native extension when available, Python otherwise."""
+    from .. import _native
+    out = _native.lzw_encode(raw)
+    return out if out is not None else lzw_encode(raw)
+
+
+def _lzw_decode_fast(raw: bytes, max_size: Optional[int] = None) -> bytes:
+    from .. import _native
+    if _native.available():
+        return _native.lzw_decode(raw, max_size)
+    return lzw_decode(raw, max_size)

@@ -1,0 +1,110 @@
+"""PNG/JPG codec + universal decode-from-bytes dispatch.
+
+Replaces the reference's two decode stacks: TF's libpng/libjpeg ops
+(/root/reference/dl_segmentation_utils/_img_to_tf_threaded.py:36-62)
+and rasterio/GDAL MemoryFile (_img_to_tf_mp.py:45-53). PNG/JPG decode
+goes through PIL (libpng/libjpeg, releases the GIL); GeoTIFF through
+our own codec (raster/geotiff.py). ``decode_image_bytes`` sniffs the
+container from magic bytes, so any supported format can be mixed.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .geotiff import GeoTIFF, RasterInfo, decode_geotiff, encode_geotiff
+
+
+def _is_png(data: bytes) -> bool:
+    return data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def _is_jpeg(data: bytes) -> bool:
+    return data[:3] == b"\xff\xd8\xff"
+
+
+def _is_tiff(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _is_bmp(data: bytes) -> bool:
+    return data[:2] == b"BM"
+
+
+def _is_gif(data: bytes) -> bool:
+    return data[:4] == b"GIF8"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, B) array. Mirrors ImageCoder.decode_png
+    asserts: 3-D result, <=3 bands (_img_to_tf_threaded.py:56-62)."""
+    arr = _pil_decode(data)
+    assert arr.ndim == 3
+    assert arr.shape[2] <= 3
+    return arr
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    arr = _pil_decode(data)
+    assert arr.ndim == 3
+    assert arr.shape[2] <= 3
+    return arr
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(io.BytesIO(data))
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def encode_png(array: np.ndarray) -> bytes:
+    from PIL import Image
+    arr = np.asarray(array)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def encode_jpeg(array: np.ndarray, quality: int = 100) -> bytes:
+    from PIL import Image
+    arr = np.asarray(array)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def png_to_jpeg(data: bytes, quality: int = 100) -> bytes:
+    """PNG -> JPEG transcode (ImageCoder.png_to_jpeg,
+    _img_to_tf_threaded.py:36-46)."""
+    return encode_jpeg(decode_png(data), quality=quality)
+
+
+def decode_image_bytes(data: bytes) -> GeoTIFF:
+    """Decode any supported raster from bytes, with georeferencing when
+    the container carries it. The GDAL-universal decode equivalent
+    (rasterio MemoryFile, _img_to_tf_mp.py:45-53). Returns bands-last."""
+    if _is_tiff(data):
+        return decode_geotiff(data)
+    if _is_png(data) or _is_jpeg(data) or _is_bmp(data) or _is_gif(data):
+        arr = _pil_decode(data)
+        info = RasterInfo(width=arr.shape[1], height=arr.shape[0],
+                          count=arr.shape[2], dtype=arr.dtype.name)
+        return GeoTIFF(arr, info)
+    raise ValueError("unrecognised image container")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """tf.io.decode_image equivalent: bytes -> (H, W, B) uint8/uint16
+    array for PNG/JPG/BMP/GIF (first frame), any supported raster
+    otherwise (_tfrecord_image_translation.py:283)."""
+    return decode_image_bytes(data).array

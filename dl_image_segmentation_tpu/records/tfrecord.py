@@ -21,22 +21,41 @@ import os
 import struct
 from typing import Iterator, List, Optional, Sequence, Union
 
-from .crc32c import masked_crc32c
+from .crc32c import masked_crc32c as _py_masked_crc32c
+
+
+def _get_masked_crc():
+    """Native masked CRC32C when the extension is built, Python otherwise."""
+    from .. import _native
+    if _native.available():
+        return _native.masked_crc32c
+    return _py_masked_crc32c
+
+
+def masked_crc32c(data) -> int:
+    return _get_masked_crc()(bytes(data))
 
 
 class TFRecordWriter:
-    """Streaming TFRecord writer (pure Python)."""
+    """Streaming TFRecord writer. Frame assembly runs in the native
+    extension when available (single memcpy + hardware CRC32C)."""
 
     def __init__(self, path: str):
         self._f = open(path, "wb")
+        from .. import _native
+        self._native_frame = _native.tfrecord_frame if _native.available() \
+            else None
 
     def write(self, record: Union[bytes, memoryview]) -> None:
         record = bytes(record)
+        if self._native_frame is not None:
+            self._f.write(self._native_frame(record))
+            return
         header = struct.pack("<Q", len(record))
         self._f.write(header)
-        self._f.write(struct.pack("<I", masked_crc32c(header)))
+        self._f.write(struct.pack("<I", _py_masked_crc32c(header)))
         self._f.write(record)
-        self._f.write(struct.pack("<I", masked_crc32c(record)))
+        self._f.write(struct.pack("<I", _py_masked_crc32c(record)))
 
     def flush(self) -> None:
         self._f.flush()

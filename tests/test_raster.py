@@ -1,0 +1,161 @@
+"""Raster codec tests: LZW vs libtiff both directions, GeoTIFF
+round-trips across dtypes/band-counts, geo tags, nodata, third-party
+interop (PIL + cv2 read our files; we read theirs)."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from dl_image_segmentation_tpu.raster.lzw import lzw_decode, lzw_encode
+from dl_image_segmentation_tpu.raster.geotiff import (
+    decode_geotiff, encode_geotiff, read_geotiff, write_geotiff)
+from dl_image_segmentation_tpu.raster.image import (
+    decode_image_bytes, decode_png, encode_png, encode_jpeg, png_to_jpeg)
+
+
+class TestLZW:
+    def test_roundtrip_cases(self):
+        rng = np.random.RandomState(0)
+        cases = [
+            b"", b"a", b"ab" * 5, b"aaaaaaaaaaaa",
+            bytes(range(256)) * 20,
+            rng.randint(0, 256, 100000, np.uint8).tobytes(),  # table resets
+            rng.randint(0, 4, 150000, np.uint8).tobytes(),
+            b"TOBEORNOTTOBEORTOBEORNOT" * 3000,
+        ]
+        for i, c in enumerate(cases):
+            assert lzw_decode(lzw_encode(c)) == c, f"case {i}"
+
+    def test_libtiff_decodes_ours(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.RandomState(1)
+        arr = rng.randint(0, 256, (300, 200), np.uint8)
+        data = encode_geotiff(arr, compress="lzw", tiled=False)
+        got = cv2.imdecode(np.frombuffer(data, np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        assert got is not None
+        np.testing.assert_array_equal(got, arr)
+
+    def test_we_decode_libtiff(self):
+        from PIL import Image
+        rng = np.random.RandomState(2)
+        arr = rng.randint(0, 256, (128, 128), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="TIFF",
+                                  compression="tiff_lzw")
+        got = decode_geotiff(buf.getvalue())
+        np.testing.assert_array_equal(got.array[:, :, 0], arr)
+
+
+class TestGeoTIFF:
+    @pytest.mark.parametrize("dtype,bands", [
+        ("uint8", 3), ("uint8", 1), ("uint16", 4), ("uint16", 13),
+        ("int16", 2), ("float32", 5), ("uint32", 1), ("float64", 1),
+    ])
+    def test_roundtrip_dtypes(self, dtype, bands):
+        rng = np.random.RandomState(3)
+        if np.dtype(dtype).kind == "f":
+            arr = rng.rand(37, 51, bands).astype(dtype)
+        else:
+            hi = min(np.iinfo(dtype).max, 10000)
+            arr = rng.randint(0, hi, (37, 51, bands)).astype(dtype)
+        data = encode_geotiff(arr)
+        out = decode_geotiff(data)
+        np.testing.assert_array_equal(out.array, arr)
+        assert out.info.dtype == dtype
+        assert out.info.count == bands
+
+    @pytest.mark.parametrize("compress", ["none", "lzw", "deflate"])
+    def test_compressions(self, compress):
+        rng = np.random.RandomState(4)
+        arr = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        out = decode_geotiff(encode_geotiff(arr, compress=compress))
+        np.testing.assert_array_equal(out.array, arr)
+
+    def test_tiled_vs_striped(self):
+        rng = np.random.RandomState(5)
+        arr = rng.randint(0, 255, (300, 271, 4), np.uint16)
+        a = decode_geotiff(encode_geotiff(arr, tiled=True))
+        b = decode_geotiff(encode_geotiff(arr, tiled=False))
+        np.testing.assert_array_equal(a.array, arr)
+        np.testing.assert_array_equal(b.array, arr)
+
+    def test_geo_tags_roundtrip(self):
+        arr = np.zeros((16, 16), np.uint8)
+        gt = (272696.0, 1.0, 0.0, 2115548.0, 0.0, -1.0)
+        data = encode_geotiff(arr, geotransform=gt, epsg=32643, nodata=255)
+        out = decode_geotiff(data)
+        assert out.info.geotransform == gt
+        assert out.info.epsg == 32643
+        assert out.info.nodata == 255
+        assert out.info.crs == "EPSG:32643"
+        assert "32643" in out.info.wkt
+
+    def test_file_roundtrip(self, tmp_path):
+        arr = np.arange(16 * 16 * 2, dtype=np.uint16).reshape(16, 16, 2)
+        p = str(tmp_path / "x.tif")
+        write_geotiff(p, arr, epsg=32601)
+        out = read_geotiff(p)
+        np.testing.assert_array_equal(out.array, arr)
+
+    def test_pil_reads_our_geotiff(self, tmp_path):
+        from PIL import Image
+        rng = np.random.RandomState(6)
+        arr = rng.randint(0, 255, (100, 80, 3), np.uint8)
+        p = str(tmp_path / "rgb.tif")
+        write_geotiff(p, arr, geotransform=(0, 1, 0, 100, 0, -1),
+                      epsg=32643)
+        got = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(got, arr)
+
+    def test_we_read_pil_multiband(self):
+        from PIL import Image
+        rng = np.random.RandomState(7)
+        arr = rng.randint(0, 255, (40, 60, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="TIFF",
+                                  compression="tiff_adobe_deflate")
+        out = decode_geotiff(buf.getvalue())
+        np.testing.assert_array_equal(out.array, arr)
+
+    def test_we_read_cv2_uint16(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.RandomState(8)
+        arr = rng.randint(0, 60000, (50, 70), np.uint16)
+        ok, data = cv2.imencode(".tif", arr)
+        assert ok
+        out = decode_geotiff(data.tobytes())
+        np.testing.assert_array_equal(out.array[:, :, 0], arr)
+
+
+class TestImageCodec:
+    def test_png_roundtrip(self):
+        rng = np.random.RandomState(9)
+        arr = rng.randint(0, 255, (32, 32, 3), np.uint8)
+        out = decode_png(encode_png(arr))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_png_gray_roundtrip(self):
+        arr = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32, 1) % 255
+        out = decode_png(encode_png(arr))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_jpeg_decodes(self):
+        arr = np.full((32, 32, 3), 128, np.uint8)
+        data = encode_jpeg(arr)
+        out = decode_image_bytes(data)
+        assert out.array.shape == (32, 32, 3)
+
+    def test_png_to_jpeg(self):
+        arr = np.full((16, 16, 3), 200, np.uint8)
+        jpg = png_to_jpeg(encode_png(arr))
+        assert jpg[:3] == b"\xff\xd8\xff"
+
+    def test_sniffing(self):
+        arr = np.zeros((8, 8, 3), np.uint8)
+        assert decode_image_bytes(encode_png(arr)).array.shape == (8, 8, 3)
+        assert decode_image_bytes(encode_geotiff(arr)).array.shape == (8, 8, 3)
+        with pytest.raises(ValueError):
+            decode_image_bytes(b"garbage-bytes")
