@@ -1,0 +1,268 @@
+"""Sharded chips -> TFRecords writers.
+
+Re-implements the reference's two translation engines with identical
+on-disk output and call signatures:
+
+* ``process_dataset_multithreaded`` (aliased ``images_to_tfrecords_mt``)
+  -- 8-bit PNG/JPG pairs, thread-parallel
+  (/root/reference/dl_segmentation_utils/_img_to_tf_threaded.py:321-349)
+* ``process_dataset_mp`` (aliased ``images_to_tfrecords_mp``)
+  -- any supported raster format, originally process-parallel because
+  GDAL holds the GIL (_img_to_tf_mp.py:1-4). This framework's decode
+  path (own GeoTIFF codec via the C++ extension + PIL) releases the
+  GIL, so both engines run on a shared thread-pool core; the
+  ``num_proc`` argument simply sets worker count.
+
+Contracts preserved:
+* shard files named '%s-%.5d-of-%.5d' (_img_to_tf_threaded.py:177)
+* deterministic shuffle with random.seed(12345)
+  (_img_to_tf_threaded.py:310, _img_to_tf_mp.py:222)
+* num_shards % num_workers == 0 (_img_to_tf_threaded.py:164,346)
+* identifier = filename '#'->':' (DLTile key) or
+  '{filename}|{geotransform}|{crs}' (_img_to_tf_mp.py:60-67)
+* per-image try/except skip with message (_img_to_tf_mp.py:127-136)
+
+Deliberate fix over the reference (SURVEY.md "quirks"): images and
+labels are paired by FILENAME, not by positional index after two
+independent globs, so mismatched folders fail loudly instead of
+silently mispairing. The shuffle (seed 12345) is applied to the paired
+list, preserving the reference's record order when folders match.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import random
+import sys
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..raster.image import (decode_image_bytes, decode_jpeg, decode_png,
+                            png_to_jpeg)
+from .example import encode_example_features
+from .tfrecord import TFRecordWriter, shard_filename
+
+
+def _tile_key_from_filename(path: str) -> str:
+    base = os.path.basename(path)
+    stem = ".".join(base.split(os.extsep)[:-1])
+    return stem.replace("#", ":")
+
+
+def _find_image_files(data_dir: str,
+                      file_ext: Optional[Sequence[str]] = None,
+                      ) -> Tuple[List[str], List[str]]:
+    """Pair image/label files by name, deterministic shuffled order.
+
+    file_ext: list of extensions to glob; default PNG+JPG (MT engine,
+    _img_to_tf_threaded.py:297-304) -- the MP engine passes ['tif'].
+    """
+    exts = list(file_ext) if file_ext else ["png", "jpg"]
+    img_files: List[str] = []
+    for ext in exts:
+        img_files.extend(_glob.glob(os.path.join(data_dir, "images", f"*.{ext}")))
+    img_files.sort()
+
+    lbl_dir = os.path.join(data_dir, "labels")
+    filenames = []
+    labels = []
+    missing = []
+    for img in img_files:
+        lbl = os.path.join(lbl_dir, os.path.basename(img))
+        if os.path.exists(lbl):
+            filenames.append(img)
+            labels.append(lbl)
+        else:
+            missing.append(img)
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} images have no matching label file, e.g. "
+            f"{missing[0]!r} (images and labels must be identically named, "
+            "README.md:16-17)")
+
+    shuffled = list(range(len(filenames)))
+    random.seed(12345)
+    random.shuffle(shuffled)
+    filenames = [filenames[i] for i in shuffled]
+    labels = [labels[i] for i in shuffled]
+    print(f"Found {len(filenames)} image files and {len(labels)} label "
+          f"files inside {data_dir}.")
+    return filenames, labels
+
+
+def _load_mt(path: str, dltile_from_filename: bool, png_to_jpg: bool,
+             decode: bool):
+    """MT-engine loader: PNG/JPG only, 8-bit, <=3 bands
+    (_img_to_tf_threaded.py:75-121). Always decodes to validate."""
+    with open(path, "rb") as f:
+        data = f.read()
+    is_png = ".png" in path  # substring test, reference quirk (:65-72)
+    if is_png:
+        if png_to_jpg:
+            data = png_to_jpeg(data)
+            image = decode_jpeg(data)
+        else:
+            image = decode_png(data)
+    else:
+        image = decode_jpeg(data)
+    assert image.ndim == 3
+    h, w, bands = image.shape
+    assert bands <= 3
+    if dltile_from_filename:
+        key = _tile_key_from_filename(path)
+    else:
+        key = os.path.basename(path)
+    if decode:
+        return image, h, w, bands, key
+    return data, h, w, bands, key
+
+
+def _load_any(path: str, dltile_from_filename: bool, decode: bool):
+    """MP-engine loader: any raster format via our codecs
+    (_img_to_tf_mp.py:22-75 equivalent)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    g = decode_image_bytes(data)
+    h, w, bands = g.info.height, g.info.width, g.info.count
+    if dltile_from_filename:
+        key = _tile_key_from_filename(path)
+    else:
+        gt = g.info.geotransform
+        crs = g.info.crs
+        if gt is not None and crs is not None:
+            key = "|".join((os.path.basename(path), str(list(gt)), crs))
+        else:
+            key = os.path.basename(path)
+    if decode:
+        arr = g.array
+        assert (h, w, bands) == arr.shape
+        return arr, h, w, bands, key
+    return data, h, w, bands, key
+
+
+def _worker(worker_index: int, ranges, name: str,
+            img_files: Sequence[str], lbl_files: Sequence[str],
+            out_dir: str, num_shards: int, loader, loader_args: tuple,
+            store_as_array: bool, progress_every: int) -> int:
+    """Writes this worker's contiguous range of shards. Returns the
+    number of examples written."""
+    num_workers = len(ranges)
+    assert not num_shards % num_workers
+    shards_per_worker = num_shards // num_workers
+    shard_ranges = np.linspace(ranges[worker_index][0],
+                               ranges[worker_index][1],
+                               shards_per_worker + 1).astype(int)
+    files_in_worker = ranges[worker_index][1] - ranges[worker_index][0]
+    counter = 0
+    for s in range(shards_per_worker):
+        shard = worker_index * shards_per_worker + s
+        output_file = os.path.join(
+            out_dir, shard_filename(name, shard, num_shards))
+        writer = TFRecordWriter(output_file)
+        shard_counter = 0
+        for i in range(shard_ranges[s], shard_ranges[s + 1]):
+            filename = img_files[i]
+            label = lbl_files[i]
+            try:
+                img_buf, ih, iw, ib, ikey = loader(
+                    filename, *loader_args, store_as_array)
+                lbl_buf, lh, lw, lb, lkey = loader(
+                    label, *loader_args, store_as_array)
+                assert ikey == lkey
+            except Exception as e:  # noqa: BLE001 -- skip-and-continue contract
+                print(e)
+                print(f"SKIPPED: Unexpected error while decoding {filename}.")
+                continue
+            # labels are single-band rasters; drop the band axis so the
+            # target stores (h, w) like the reference's 2-D label arrays
+            if store_as_array and isinstance(lbl_buf, np.ndarray) \
+                    and lbl_buf.ndim == 3 and lbl_buf.shape[2] == 1:
+                lbl_buf = lbl_buf[:, :, 0]
+            rec = encode_example_features(img_buf, lbl_buf, ih, iw, ib,
+                                          lh, lw, ikey)
+            writer.write(rec)
+            shard_counter += 1
+            counter += 1
+            if progress_every and not counter % progress_every:
+                print(f"{datetime.now()} [worker {worker_index}]: Processed "
+                      f"{counter} of {files_in_worker} images in batch.")
+                sys.stdout.flush()
+        writer.close()
+        print(f"{datetime.now()} [worker {worker_index}]: Wrote "
+              f"{shard_counter} images to {output_file}")
+        sys.stdout.flush()
+    return counter
+
+
+def _process_dataset(name: str, directory: str, out_directory: str,
+                     num_shards: int, num_workers: int,
+                     loader, loader_args: tuple,
+                     store_as_array: bool,
+                     file_ext: Optional[Sequence[str]],
+                     progress_every: int) -> int:
+    assert not num_shards % num_workers, (
+        "Num shards must be a multiple of num workers (incl 1*)")
+    img_files, lbl_files = _find_image_files(directory, file_ext)
+    os.makedirs(out_directory, exist_ok=True)
+    spacing = np.linspace(0, len(img_files), num_workers + 1).astype(int)
+    ranges = [[spacing[i], spacing[i + 1]] for i in range(num_workers)]
+    print(f"Launching {num_workers} workers for spacings: {ranges}")
+    sys.stdout.flush()
+    if num_workers == 1:
+        total = _worker(0, ranges, name, img_files, lbl_files,
+                        out_directory, num_shards, loader, loader_args,
+                        store_as_array, progress_every)
+    else:
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            futs = [
+                ex.submit(_worker, w, ranges, name, img_files, lbl_files,
+                          out_directory, num_shards, loader, loader_args,
+                          store_as_array, progress_every)
+                for w in range(num_workers)
+            ]
+            total = sum(f.result() for f in futs)
+    print(f"{datetime.now()}: Finished writing all {len(img_files)} images "
+          "in data set.")
+    sys.stdout.flush()
+    return total
+
+
+def process_dataset_multithreaded(name: str, directory: str,
+                                  out_directory: str, num_shards: int,
+                                  num_threads: Optional[int] = None,
+                                  dltile_from_filename: bool = True,
+                                  convert_png_to_jpg: bool = False,
+                                  store_as_array: bool = False) -> int:
+    """PNG/JPG chips -> sharded TFRecords (reference:
+    _img_to_tf_threaded.py:321-349). Returns examples written."""
+    if not num_threads:
+        num_threads = num_shards
+    return _process_dataset(
+        name, directory, out_directory, num_shards, num_threads,
+        _load_mt, (dltile_from_filename, convert_png_to_jpg),
+        store_as_array, None, progress_every=1000)
+
+
+def process_dataset_mp(name: str, directory: str, out_directory: str,
+                       num_shards: int, num_proc: Optional[int] = None,
+                       dltile_from_filename: bool = True,
+                       file_ext: str = "tif",
+                       store_as_array: bool = True) -> int:
+    """Any-format chips -> sharded TFRecords (reference:
+    _img_to_tf_mp.py:233-275). Returns examples written."""
+    if not num_proc:
+        num_proc = num_shards
+    return _process_dataset(
+        name, directory, out_directory, num_shards, num_proc,
+        _load_any, (dltile_from_filename,),
+        store_as_array, [file_ext], progress_every=100)
+
+
+# facade aliases matching dl_segmentation_utils/__init__.py:9-10
+images_to_tfrecords_mt = process_dataset_multithreaded
+images_to_tfrecords_mp = process_dataset_mp

@@ -1,0 +1,202 @@
+"""End-to-end chips -> TFRecords -> parse tests covering all five
+storage modes, with TF interop checks (tf.data reads our shards, our
+parsers match tf.io parsing)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dl_image_segmentation_tpu.records.writers import (
+    images_to_tfrecords_mp, images_to_tfrecords_mt)
+from dl_image_segmentation_tpu.records.tfrecord import read_records
+from dl_image_segmentation_tpu.records import parsers
+from dl_image_segmentation_tpu.raster.image import encode_png
+from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+
+
+def make_png_dataset(root, n=12, size=32, seed=0):
+    """Synthetic uint8 RGB chip folder with DLTile-key filenames."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    truth = {}
+    for i in range(n):
+        key = f"{size}:2:10.0:43:{-900 + i}:8394"
+        fn = key.replace(":", "#") + ".png"
+        img = rng.randint(0, 255, (size, size, 3), np.uint8)
+        lbl = rng.randint(0, 2, (size, size), np.uint8)
+        with open(os.path.join(root, "images", fn), "wb") as f:
+            f.write(encode_png(img))
+        with open(os.path.join(root, "labels", fn), "wb") as f:
+            f.write(encode_png(lbl[:, :, None]))
+        truth[key] = (img, lbl)
+    return truth
+
+
+def make_tif_dataset(root, n=8, size=24, bands=4, dtype=np.uint16, seed=1):
+    """Synthetic multi-band GeoTIFF chip folder (Sentinel-2 style)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    truth = {}
+    for i in range(n):
+        key = f"{size}:2:10.0:43:{-800 + i}:8400"
+        fn = key.replace(":", "#") + ".tif"
+        img = rng.randint(0, 4000, (size, size, bands)).astype(dtype)
+        lbl = rng.randint(0, 3, (size, size)).astype(np.uint8)
+        gt = (272696.0 + i * 240, 10.0, 0.0, 2115548.0, 0.0, -10.0)
+        write_geotiff(os.path.join(root, "images", fn), img,
+                      geotransform=gt, epsg=32643)
+        write_geotiff(os.path.join(root, "labels", fn), lbl,
+                      geotransform=gt, epsg=32643, nodata=255)
+        truth[key] = (img, lbl)
+    return truth
+
+
+class TestMTWriter:
+    def test_rgbraw_roundtrip(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_png_dataset(root)
+        n = images_to_tfrecords_mt("train", root, out, num_shards=4,
+                                   num_threads=2, store_as_array=False)
+        assert n == len(truth)
+        shards = sorted(glob.glob(os.path.join(out, "train-*")))
+        assert len(shards) == 4
+        assert shards[0].endswith("train-00000-of-00004")
+        seen = set()
+        for s in shards:
+            for rec in read_records(s):
+                img, lbl, ident = parsers.parse_encoded_rgb_img_proto(rec)
+                key = ident.decode()
+                exp_img, exp_lbl = truth[key]
+                np.testing.assert_array_equal(img, exp_img)
+                np.testing.assert_array_equal(lbl[:, :, 0], exp_lbl)
+                seen.add(key)
+        assert seen == set(truth)
+
+    def test_rgbarr_roundtrip(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_png_dataset(root)
+        images_to_tfrecords_mt("train", root, out, num_shards=2,
+                               num_threads=1, store_as_array=True)
+        for s in glob.glob(os.path.join(out, "train-*")):
+            for rec in read_records(s):
+                img, lbl, ident = parsers.parse_8bit_array_proto(rec)
+                exp_img, exp_lbl = truth[ident.decode()]
+                np.testing.assert_array_equal(img, exp_img)
+                np.testing.assert_array_equal(lbl, exp_lbl)
+
+    def test_shard_divisibility_enforced(self, tmp_path):
+        root = str(tmp_path / "chips")
+        make_png_dataset(root, n=4)
+        with pytest.raises(AssertionError):
+            images_to_tfrecords_mt("t", root, str(tmp_path / "o"),
+                                   num_shards=3, num_threads=2)
+
+    def test_mispaired_folders_fail_loudly(self, tmp_path):
+        root = str(tmp_path / "chips")
+        make_png_dataset(root, n=4)
+        # remove one label
+        lbl = sorted(os.listdir(os.path.join(root, "labels")))[0]
+        os.remove(os.path.join(root, "labels", lbl))
+        with pytest.raises(FileNotFoundError):
+            images_to_tfrecords_mt("t", root, str(tmp_path / "o"),
+                                   num_shards=1, num_threads=1)
+
+
+class TestMPWriter:
+    def test_tifarr_roundtrip(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_tif_dataset(root)
+        n = images_to_tfrecords_mp("s2", root, out, num_shards=4,
+                                   num_proc=4, store_as_array=True)
+        assert n == len(truth)
+        for s in glob.glob(os.path.join(out, "s2-*")):
+            for rec in read_records(s):
+                img, lbl, ident = parsers.parse_higher_dtype_array_proto(rec)
+                exp_img, exp_lbl = truth[ident.decode()]
+                np.testing.assert_array_equal(img, exp_img.astype(np.float32))
+                np.testing.assert_array_equal(lbl, exp_lbl.astype(np.float32))
+
+    def test_tifraw_roundtrip_both_parsers(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_tif_dataset(root)
+        images_to_tfrecords_mp("s2", root, out, num_shards=2,
+                               num_proc=1, store_as_array=False)
+        for s in glob.glob(os.path.join(out, "s2-*")):
+            for rec in read_records(s):
+                img, lbl, ident = parsers.parse_encoded_gdal_proto_eager(rec)
+                exp_img, exp_lbl = truth[ident.decode()]
+                assert img.dtype == np.uint16  # source dtype preserved
+                np.testing.assert_array_equal(img, exp_img)
+                np.testing.assert_array_equal(lbl[:, :, 0], exp_lbl)
+                imgf, lblf, _ = parsers.parse_encoded_gdal_proto_wrapped(rec)
+                assert imgf.dtype == np.float32  # wrapped: fixed f32
+                np.testing.assert_array_equal(
+                    imgf, exp_img.astype(np.float32))
+
+    def test_identifier_gt_crs_variant(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_tif_dataset(root, n=2)
+        images_to_tfrecords_mp("s2", root, out, num_shards=1, num_proc=1,
+                               dltile_from_filename=False,
+                               store_as_array=False)
+        recs = []
+        for s in glob.glob(os.path.join(out, "s2-*")):
+            recs.extend(read_records(s))
+        for rec in recs:
+            _, _, ident = parsers.parse_encoded_gdal_proto_eager(rec)
+            parts = ident.decode().split("|")
+            assert len(parts) == 3
+            assert parts[0].endswith(".tif")
+            assert parts[2] == "EPSG:32643"
+            gt = eval(parts[1])  # noqa: S307 - test-only
+            assert gt[1] == 10.0 and gt[5] == -10.0
+
+
+class TestTFInterop:
+    def test_tfdata_reads_our_shards(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_png_dataset(root, n=6)
+        images_to_tfrecords_mt("train", root, out, num_shards=2,
+                               num_threads=1, store_as_array=False)
+        shards = sorted(glob.glob(os.path.join(out, "train-*")))
+        ds = tf.data.TFRecordDataset(shards)
+        count = 0
+        for raw in ds:
+            feats = tf.io.parse_single_example(
+                raw.numpy(), parsers.featuretemplate_bytestring_imagechip)
+            img = tf.io.decode_image(feats["image/image_data"],
+                                     expand_animations=False).numpy()
+            key = feats["identifier"].numpy().decode()
+            np.testing.assert_array_equal(img, truth[key][0])
+            count += 1
+        assert count == len(truth)
+
+    def test_tf_template_parses_array_mode(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_tif_dataset(root, n=2)
+        images_to_tfrecords_mp("s2", root, out, num_shards=1, num_proc=1,
+                               store_as_array=True)
+        shards = glob.glob(os.path.join(out, "s2-*"))
+        for raw in tf.data.TFRecordDataset(shards):
+            feats = tf.io.parse_single_example(
+                raw.numpy(), parsers.featuretemplate_ndarray_imagechip)
+            h = int(feats["image/height"].numpy())
+            w = int(feats["image/width"].numpy())
+            c = int(feats["image/channels"].numpy())
+            img = feats["image/image_data"].numpy().reshape(h, w, c)
+            key = feats["identifier"].numpy().decode()
+            np.testing.assert_array_equal(
+                img, truth[key][0].astype(np.float32))
