@@ -1,0 +1,159 @@
+"""LocalCatalog: GeoTIFF scenes on disk behind a JSON manifest.
+
+Layout:
+    root/
+      index.json
+      scenes/<files>.tif
+
+index.json schema:
+    {"products": {
+        "<product_id>": {
+          "bands": ["red", "green", "blue", ...],
+          "scenes": [
+            {"id": "...", "date": "2020-01-05",
+             "cloud_fraction": 0.12,          # optional
+             "path": "scenes/a.tif",          # relative to root
+             "nodata": 0                      # optional
+            }, ...]
+        }}}
+
+Scene rasters carry their own geotransform + EPSG (our GeoTIFF tags)
+and must share the tile's UTM zone (cross-zone reprojection is handled
+at chip level by choosing tiles in the data's zone)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..raster.geotiff import read_geotiff
+from .base import Catalog, SceneMeta, resample_to_tile
+
+
+class LocalCatalog(Catalog):
+    def __init__(self, root: str, cache_scenes: int = 16):
+        self.root = root
+        with open(os.path.join(root, "index.json"), "r",
+                  encoding="utf-8") as f:
+            self._index = json.load(f)
+        self._lock = threading.Lock()
+        self._cache: Dict[str, object] = {}
+        self._cache_order: List[str] = []
+        self._cache_max = cache_scenes
+
+    # -- write-side helper for building catalogs ------------------------
+    @classmethod
+    def create(cls, root: str) -> "LocalCatalog":
+        os.makedirs(os.path.join(root, "scenes"), exist_ok=True)
+        idx = os.path.join(root, "index.json")
+        if not os.path.exists(idx):
+            with open(idx, "w", encoding="utf-8") as f:
+                json.dump({"products": {}}, f)
+        return cls(root)
+
+    def add_scene(self, product: str, bands: Sequence[str],
+                  scene_id: str, date: _dt.date, array: np.ndarray,
+                  geotransform, epsg: int,
+                  cloud_fraction: Optional[float] = None,
+                  nodata: Optional[float] = None) -> None:
+        from ..raster.geotiff import write_geotiff
+        rel = os.path.join("scenes", f"{scene_id}.tif")
+        write_geotiff(os.path.join(self.root, rel), array,
+                      geotransform=tuple(geotransform), epsg=epsg,
+                      nodata=nodata)
+        prods = self._index.setdefault("products", {})
+        p = prods.setdefault(product, {"bands": list(bands), "scenes": []})
+        entry = {"id": scene_id, "date": date.isoformat(), "path": rel}
+        if cloud_fraction is not None:
+            entry["cloud_fraction"] = cloud_fraction
+        if nodata is not None:
+            entry["nodata"] = nodata
+        p["scenes"].append(entry)
+        with open(os.path.join(self.root, "index.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(self._index, f)
+
+    # -- Catalog interface ----------------------------------------------
+    def products(self) -> List[str]:
+        return list(self._index.get("products", {}))
+
+    def bands(self, product: str) -> List[str]:
+        return list(self._index["products"][product]["bands"])
+
+    def search(self, tile, product: str,
+               start: Optional[_dt.date] = None,
+               end: Optional[_dt.date] = None,
+               max_cloud_fraction: Optional[float] = None
+               ) -> List[SceneMeta]:
+        prod = self._index.get("products", {}).get(product)
+        if prod is None:
+            return []
+        tx0, ty0, tx1, ty1 = tile.bounds
+        out = []
+        for s in prod["scenes"]:
+            date = _dt.date.fromisoformat(s["date"])
+            if start is not None and date < start:
+                continue
+            if end is not None and date > end:
+                continue
+            cf = s.get("cloud_fraction")
+            if max_cloud_fraction is not None and cf is not None \
+                    and not (cf < max_cloud_fraction):
+                continue
+            # intersect scene bounds with the tile
+            g = self._load_scene(s["path"])
+            gt = g.info.geotransform
+            sx0 = gt[0]
+            sy1 = gt[3]
+            sx1 = sx0 + g.info.width * gt[1]
+            sy0 = sy1 + g.info.height * gt[5]
+            if sx1 < tx0 or sx0 > tx1 or sy1 < ty0 or sy0 > ty1:
+                continue
+            out.append(SceneMeta(s["id"], product, date, cf, s["path"],
+                                 extra={"nodata": s.get("nodata")}))
+        out.sort(key=lambda m: m.date)
+        return out
+
+    def load(self, scenes: Sequence[SceneMeta], tile,
+             bands: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        band_names = None
+        stacks = []
+        valids = []
+        for m in scenes:
+            g = self._load_scene(m.path)
+            if band_names is None:
+                band_names = self.bands(m.product)
+            sel = [band_names.index(b) for b in bands]
+            arr = g.array[:, :, sel]
+            nodata = m.extra.get("nodata")
+            if nodata is None:
+                nodata = g.info.nodata
+            out, valid = resample_to_tile(arr, g.info.geotransform, tile,
+                                          nodata=nodata)
+            stacks.append(out)
+            valids.append(valid)
+        if not stacks:
+            n = tile.raster_size
+            return (np.zeros((0, n, n, len(bands)), np.float32),
+                    np.zeros((0, n, n), bool))
+        return np.stack(stacks), np.stack(valids)
+
+    # -- scene cache ------------------------------------------------------
+    def _load_scene(self, rel_path: str):
+        with self._lock:
+            if rel_path in self._cache:
+                return self._cache[rel_path]
+        g = read_geotiff(os.path.join(self.root, rel_path))
+        with self._lock:
+            if rel_path not in self._cache:
+                self._cache[rel_path] = g
+                self._cache_order.append(rel_path)
+                if len(self._cache_order) > self._cache_max:
+                    old = self._cache_order.pop(0)
+                    self._cache.pop(old, None)
+        return g

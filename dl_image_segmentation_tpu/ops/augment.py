@@ -1,0 +1,72 @@
+"""On-device batch augmentation for segmentation pairs.
+
+The reference sketches augmentation with Keras preprocessing layers
+(RandomFlip / RandomRotation / custom RandomInvert,
+/root/reference/parse_tfrecords.ipynb cells 47-56) applied on the host.
+Here augmentation is a pure jittable function over device batches, so
+it fuses into the input pipeline's device step and costs no host time.
+
+Geometric ops are restricted to the dihedral group (flips + 90-degree
+rotations): exact, label-safe (no interpolation through class ids),
+and XLA-friendly (static shapes, no gather-heavy warps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("hflip", "vflip", "rot90",
+                                             "invert_prob"))
+def augment_pairs(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
+                  hflip: bool = True, vflip: bool = True, rot90: bool = True,
+                  invert_prob: float = 0.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random dihedral augmentation applied identically to image and
+    label. images: (N, H, W, C) float; labels: (N, H, W) any dtype.
+    ``invert_prob``: probability of value inversion (RandomInvert
+    equivalent, images only), assumes images scaled to [0, 1].
+    """
+    n = images.shape[0]
+    k_h, k_v, k_r, k_i = jax.random.split(key, 4)
+
+    def sel(mask, a, b):
+        return jnp.where(mask[:, None, None, None], a, b)
+
+    if hflip:
+        m = jax.random.bernoulli(k_h, 0.5, (n,))
+        images = sel(m, images[:, :, ::-1, :], images)
+        labels = jnp.where(m[:, None, None], labels[:, :, ::-1], labels)
+    if vflip:
+        m = jax.random.bernoulli(k_v, 0.5, (n,))
+        images = sel(m, images[:, ::-1, :, :], images)
+        labels = jnp.where(m[:, None, None], labels[:, ::-1, :], labels)
+    if rot90:
+        k = jax.random.randint(k_r, (n,), 0, 4)
+        rots_i = jnp.stack([images,
+                            jnp.rot90(images, 1, axes=(1, 2)),
+                            jnp.rot90(images, 2, axes=(1, 2)),
+                            jnp.rot90(images, 3, axes=(1, 2))])
+        rots_l = jnp.stack([labels,
+                            jnp.rot90(labels, 1, axes=(1, 2)),
+                            jnp.rot90(labels, 2, axes=(1, 2)),
+                            jnp.rot90(labels, 3, axes=(1, 2))])
+        images = jnp.take_along_axis(
+            rots_i, k[None, :, None, None, None], axis=0)[0]
+        labels = jnp.take_along_axis(
+            rots_l, k[None, :, None, None], axis=0)[0]
+    if invert_prob > 0:
+        m = jax.random.bernoulli(k_i, invert_prob, (n,))
+        images = sel(m, 1.0 - images, images)
+    return images, labels
+
+
+@jax.jit
+def normalize(images: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray
+              ) -> jnp.ndarray:
+    """(x - mean) / std per channel, in bfloat16-friendly float32."""
+    return (images - mean) / std

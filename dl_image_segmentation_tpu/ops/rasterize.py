@@ -1,0 +1,270 @@
+"""Vector -> raster label burning on TPU (ALL_TOUCHED semantics).
+
+TPU-native replacement for gdal.RasterizeLayer
+(/root/reference/dl_segmentation_utils/_descartes_img_chips.py:682-685:
+``ALL_TOUCHED=TRUE`` with per-feature ``ATTRIBUTE=`` values or a
+constant burn of 1, over a background-prefilled uint8 canvas).
+
+Instead of GDAL's branch-heavy scanline/active-edge-table algorithm,
+the burn is formulated as dense per-pixel predicates -- ideal VPU work:
+
+* interior: even-odd parity of ray crossings of every polygon edge,
+  evaluated for all pixel centres at once;
+* ALL_TOUCHED boundary: a pixel is touched iff some edge segment
+  intersects its unit square, tested as (segment-bbox overlaps pixel
+  square) AND (pixel square straddles the segment's supporting line) --
+  both closed-form and vectorised over the full raster;
+* last-writer-wins across features in emit order (matching the
+  documented GDAL boundary-tie behaviour, reference :676-681),
+  implemented as a lax.scan over features.
+
+Two backends with identical numerics: a jnp implementation (XLA fuses
+the per-feature predicates) and a Pallas kernel that keeps the raster
+block and the whole edge table in VMEM for the entire feature scan,
+avoiding F round-trips to HBM.
+
+Edge layout: features are padded to a common edge count. Padding edges
+are placed at _FAR (outside any raster) so they generate no crossings
+and no touches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_FAR = -1.0e9
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation
+# ---------------------------------------------------------------------------
+
+def pack_features(
+    features_px: Sequence[Tuple[Sequence[np.ndarray], float]],
+    max_edges: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack [(rings, value), ...] (rings in PIXEL coordinates, (N,2)
+    x=col, y=row, unclosed or closed) into dense arrays:
+
+    returns (edges[F, E, 4] float32, values[F] float32)
+    """
+    feats = []
+    for rings, value in features_px:
+        segs = []
+        for ring in rings:
+            r = np.asarray(ring, dtype=np.float32)
+            if len(r) < 2:
+                continue
+            if not np.allclose(r[0], r[-1]):
+                r = np.concatenate([r, r[:1]], axis=0)
+            a = r[:-1]
+            b = r[1:]
+            segs.append(np.concatenate([a, b], axis=1))  # (n,4) x0 y0 x1 y1
+        if segs:
+            feats.append((np.concatenate(segs, axis=0), float(value)))
+    if not feats:
+        return (np.full((1, 1, 4), _FAR, np.float32),
+                np.zeros((1,), np.float32))
+    e_max = max_edges or max(len(e) for e, _ in feats)
+    F = len(feats)
+    edges = np.full((F, e_max, 4), _FAR, dtype=np.float32)
+    values = np.zeros((F,), dtype=np.float32)
+    for i, (e, v) in enumerate(feats):
+        edges[i, : len(e)] = e[:e_max]
+        values[i] = v
+    return edges, values
+
+
+# ---------------------------------------------------------------------------
+# predicate math (shared by both backends)
+# ---------------------------------------------------------------------------
+
+def _feature_masks(edges: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                   all_touched: bool) -> jnp.ndarray:
+    """Burn mask for ONE feature. edges: (E,4); cx/cy: (H,W) pixel
+    centres. Returns bool (H,W)."""
+    x0 = edges[:, 0][:, None, None]
+    y0 = edges[:, 1][:, None, None]
+    x1 = edges[:, 2][:, None, None]
+    y1 = edges[:, 3][:, None, None]
+    cxe = cx[None, :, :]
+    cye = cy[None, :, :]
+
+    # even-odd parity: edge straddles the horizontal ray through cy and
+    # the intersection is right of cx
+    straddle = (y0 > cye) != (y1 > cye)
+    dy = y1 - y0
+    t = jnp.where(straddle, (cye - y0) / jnp.where(dy == 0, 1.0, dy), 0.0)
+    xint = x0 + t * (x1 - x0)
+    crossing = straddle & (cxe < xint)
+    inside = (jnp.sum(crossing.astype(jnp.int32), axis=0) % 2) == 1
+    if not all_touched:
+        return inside
+
+    # ALL_TOUCHED: segment intersects the closed unit pixel square
+    # centred at (cx, cy). Half-extent 0.5 per axis.
+    ex0 = jnp.minimum(x0, x1)
+    ex1 = jnp.maximum(x0, x1)
+    ey0 = jnp.minimum(y0, y1)
+    ey1 = jnp.maximum(y0, y1)
+    bbox = ((cxe + 0.5 >= ex0) & (cxe - 0.5 <= ex1)
+            & (cye + 0.5 >= ey0) & (cye - 0.5 <= ey1))
+    # line straddle: |n.(p - a)| <= (|nx| + |ny|)/2 with n = (dy, -dx)
+    nx = y1 - y0
+    ny = x0 - x1
+    dist = jnp.abs(nx * (cxe - x0) + ny * (cye - y0))
+    reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
+    touch = jnp.any(bbox & (dist <= reach), axis=0)
+    return inside | touch
+
+
+# ---------------------------------------------------------------------------
+# jnp backend
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "all_touched"))
+def _rasterize_jnp(edges: jnp.ndarray, values: jnp.ndarray,
+                   background: jnp.ndarray, height: int, width: int,
+                   all_touched: bool) -> jnp.ndarray:
+    cy, cx = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij")
+    init = jnp.full((height, width), background, dtype=jnp.float32)
+
+    def body(canvas, feat):
+        e, v = feat
+        mask = _feature_masks(e, cx, cy, all_touched)
+        return jnp.where(mask, v, canvas), None
+
+    out, _ = jax.lax.scan(body, init, (edges, values))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend
+# ---------------------------------------------------------------------------
+
+def _rasterize_pallas(edges, values, background, height, width, all_touched,
+                      block=256, interpret=False):
+    """Pallas burn kernel.
+
+    Grid = (row blocks, col blocks, features) with the FEATURE axis
+    innermost: consecutive grid steps revisit the same output block, so
+    Pallas keeps the canvas resident in VMEM across the whole feature
+    scan (one HBM write per block total). Edge coordinates are streamed
+    per-feature into SMEM and consumed as scalars by a fori_loop that
+    accumulates the interior-parity and ALL_TOUCHED predicates over the
+    block -- pure VPU work on (bh, bw) registers, no gathers, no
+    dynamic VMEM indexing (which Mosaic rejects)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    F, E, _ = edges.shape
+    bh = min(block, height)
+    bw = min(block, width)
+    grid = (-(-height // bh), -(-width // bw), F)
+
+    def kernel(edges_ref, values_ref, bg_ref, out_ref):
+        f = pl.program_id(2)
+
+        @pl.when(f == 0)
+        def _():
+            out_ref[:, :] = jnp.full((bh, bw), bg_ref[0, 0], jnp.float32)
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        cy = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+              .astype(jnp.float32) + (i * bh).astype(jnp.float32) + 0.5)
+        cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+              .astype(jnp.float32) + (j * bw).astype(jnp.float32) + 0.5)
+
+        def edge_body(e, carry):
+            parity, touch = carry
+            x0 = edges_ref[0, e, 0]
+            y0 = edges_ref[0, e, 1]
+            x1 = edges_ref[0, e, 2]
+            y1 = edges_ref[0, e, 3]
+            straddle = (y0 > cy) != (y1 > cy)
+            dy = y1 - y0
+            safe_dy = jnp.where(dy == 0, 1.0, dy)
+            xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
+            parity = parity ^ (straddle & (cx < xint))
+            if all_touched:
+                bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
+                        & (cx - 0.5 <= jnp.maximum(x0, x1))
+                        & (cy + 0.5 >= jnp.minimum(y0, y1))
+                        & (cy - 0.5 <= jnp.maximum(y0, y1)))
+                nx = y1 - y0
+                ny = x0 - x1
+                dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
+                reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
+                touch = touch | (bbox & (dist <= reach))
+            return parity, touch
+
+        parity0 = jnp.zeros((bh, bw), jnp.bool_)
+        touch0 = jnp.zeros((bh, bw), jnp.bool_)
+        parity, touch = jax.lax.fori_loop(0, E, edge_body,
+                                          (parity0, touch0))
+        mask = parity | touch if all_touched else parity
+        out_ref[:, :] = jnp.where(mask, values_ref[0, 0], out_ref[:, :])
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * bh, grid[1] * bw), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, E, 4), lambda i, j, f: (f, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, f: (f, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, f: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bh, bw), lambda i, j, f: (i, j)),
+        interpret=interpret,
+    )(edges, values.reshape(-1, 1), background.reshape(1, 1))
+    return out[:height, :width]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def rasterize(
+    features_px: Sequence[Tuple[Sequence[np.ndarray], float]],
+    shape: Tuple[int, int],
+    background: float = 255,
+    all_touched: bool = True,
+    dtype=np.uint8,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Burn polygon features onto a raster.
+
+    features_px: [(rings, value), ...] in pixel coordinates (x=col,
+    y=row, origin at the top-left corner of pixel (0,0)); later
+    features overwrite earlier ones where they overlap (GDAL emit-order
+    semantics). Returns (H, W) array of ``dtype``.
+    """
+    height, width = shape
+    edges_np, values_np = pack_features(features_px)
+    background_arr = jnp.float32(background)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        out = _rasterize_pallas(
+            jnp.asarray(edges_np), jnp.asarray(values_np), background_arr,
+            height, width, all_touched,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        out = _rasterize_jnp(jnp.asarray(edges_np), jnp.asarray(values_np),
+                             background_arr, height, width, all_touched)
+    return np.asarray(out).astype(dtype)

@@ -1,0 +1,231 @@
+"""Device kernel tests: rasterization semantics (interior, ALL_TOUCHED,
+last-writer-wins, holes), masked median vs np.ma.median, nearest-date
+mosaic vs a sequential last-wins reference, augmentation invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_image_segmentation_tpu.ops.rasterize import rasterize
+from dl_image_segmentation_tpu.ops.compositing import (
+    masked_median, masked_median_pallas, nearest_valid_mosaic, pad_stack)
+from dl_image_segmentation_tpu.ops.augment import augment_pairs
+
+
+def brute_force_burn(features, shape, background, all_touched):
+    """Slow geometric oracle: even-odd interior + exact
+    segment-vs-pixel-square intersection, feature emit order."""
+    from dl_image_segmentation_tpu.geo.geometry import points_in_ring
+    h, w = shape
+    out = np.full(shape, background, np.float64)
+    ys, xs = np.mgrid[0:h, 0:w]
+    cx = xs.ravel() + 0.5
+    cy = ys.ravel() + 0.5
+    for rings, value in features:
+        inside = np.zeros(h * w, bool)
+        for _ in ():
+            pass
+        # even-odd over all rings of the feature
+        cross = np.zeros(h * w, np.int64)
+        for ring in rings:
+            r = np.asarray(ring, float)
+            if not np.allclose(r[0], r[-1]):
+                r = np.concatenate([r, r[:1]])
+            x0, y0 = r[:-1, 0], r[:-1, 1]
+            x1, y1 = r[1:, 0], r[1:, 1]
+            for i in range(len(x0)):
+                strad = (y0[i] > cy) != (y1[i] > cy)
+                dy = y1[i] - y0[i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xi = x0[i] + (cy - y0[i]) * (x1[i] - x0[i]) / (
+                        dy if dy != 0 else 1)
+                cross += (strad & (cx < xi)).astype(np.int64)
+        inside = (cross % 2) == 1
+        mask = inside
+        if all_touched:
+            touch = np.zeros(h * w, bool)
+            for ring in rings:
+                r = np.asarray(ring, float)
+                if not np.allclose(r[0], r[-1]):
+                    r = np.concatenate([r, r[:1]])
+                for i in range(len(r) - 1):
+                    x0, y0 = r[i]
+                    x1, y1 = r[i + 1]
+                    bb = ((cx + 0.5 >= min(x0, x1)) & (cx - 0.5 <= max(x0, x1))
+                          & (cy + 0.5 >= min(y0, y1))
+                          & (cy - 0.5 <= max(y0, y1)))
+                    nx, ny = (y1 - y0), (x0 - x1)
+                    dist = np.abs(nx * (cx - x0) + ny * (cy - y0))
+                    touch |= bb & (dist <= (abs(nx) + abs(ny)) * 0.5)
+            mask = inside | touch
+        out.ravel()[mask] = value
+    return out
+
+
+class TestRasterize:
+    def test_simple_square_interior(self):
+        sq = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], float)
+        out = rasterize([( [sq], 1 )], (12, 12), background=0,
+                        all_touched=False, backend="jnp")
+        assert out[5, 5] == 1
+        assert out[0, 0] == 0
+        # centre-inside only: rows/cols 2..7 have centres inside
+        assert out.sum() == 36
+
+    def test_all_touched_widens(self):
+        sq = np.array([[2.6, 2.6], [7.4, 2.6], [7.4, 7.4], [2.6, 7.4]], float)
+        interior = rasterize([([sq], 1)], (12, 12), 0, all_touched=False,
+                             backend="jnp")
+        touched = rasterize([([sq], 1)], (12, 12), 0, all_touched=True,
+                            backend="jnp")
+        assert touched.sum() > interior.sum()
+        # pixel (2,2): square corner at (2.4, 2.4) clips it -> touched
+        assert touched[2, 2] == 1 and interior[2, 2] == 0
+
+    def test_last_writer_wins(self):
+        a = np.array([[1, 1], [9, 1], [9, 9], [1, 9]], float)
+        b = np.array([[4, 4], [11, 4], [11, 11], [4, 11]], float)
+        out = rasterize([([a], 1), ([b], 2)], (12, 12), 0, backend="jnp")
+        assert out[5, 5] == 2  # overlap -> later feature
+        assert out[2, 2] == 1
+        out2 = rasterize([([b], 2), ([a], 1)], (12, 12), 0, backend="jnp")
+        assert out2[5, 5] == 1
+
+    def test_hole(self):
+        ext = np.array([[1, 1], [11, 1], [11, 11], [1, 11]], float)
+        hole = np.array([[4, 4], [8, 4], [8, 8], [4, 8]], float)
+        out = rasterize([([ext, hole], 7)], (12, 12), 0, all_touched=False,
+                        backend="jnp")
+        assert out[2, 2] == 7
+        assert out[6, 6] == 0  # inside hole
+        # ALL_TOUCHED: hole boundary pixels are burned
+        out2 = rasterize([([ext, hole], 7)], (12, 12), 0, all_touched=True,
+                         backend="jnp")
+        assert out2[4, 4] == 7
+
+    @pytest.mark.parametrize("all_touched", [False, True])
+    def test_matches_bruteforce_random_triangles(self, all_touched):
+        rng = np.random.RandomState(0)
+        feats = []
+        for v in range(1, 6):
+            tri = rng.rand(3, 2) * 20
+            feats.append(([tri], v))
+        ours = rasterize(feats, (20, 20), 255, all_touched=all_touched,
+                         backend="jnp")
+        oracle = brute_force_burn(feats, (20, 20), 255, all_touched)
+        np.testing.assert_array_equal(ours, oracle.astype(np.uint8))
+
+    def test_pallas_matches_jnp(self):
+        rng = np.random.RandomState(1)
+        feats = []
+        for v in range(1, 8):
+            poly = rng.rand(5, 2) * 60
+            feats.append(([poly], v))
+        a = rasterize(feats, (64, 64), 255, backend="jnp")
+        b = rasterize(feats, (64, 64), 255, backend="pallas")
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty_features(self):
+        out = rasterize([], (8, 8), background=255, backend="jnp")
+        assert (out == 255).all()
+
+    def test_attribute_values_and_nodata(self):
+        sq = np.array([[1, 1], [4, 1], [4, 4], [1, 4]], float)
+        out = rasterize([([sq], 3)], (8, 8), background=255, backend="jnp")
+        assert set(np.unique(out)) == {3, 255}
+
+
+class TestMaskedMedian:
+    def _random_case(self, seed, S=7, H=9, W=11, B=3):
+        rng = np.random.RandomState(seed)
+        stack = rng.rand(S, H, W, B).astype(np.float32) * 100
+        valid = rng.rand(S, H, W) > 0.35
+        return stack, valid
+
+    def test_matches_numpy_ma(self):
+        stack, valid = self._random_case(0)
+        mask3 = ~np.broadcast_to(valid[..., None], stack.shape)
+        expected = np.ma.median(np.ma.masked_array(stack, mask3), axis=0)
+        med, any_valid = masked_median(jnp.asarray(stack),
+                                       jnp.asarray(valid))
+        med = np.asarray(med)
+        av = np.asarray(any_valid)
+        np.testing.assert_array_equal(av, ~expected.mask)
+        np.testing.assert_allclose(med[av], expected.data[av], rtol=1e-6)
+
+    def test_all_masked_pixel(self):
+        stack = np.ones((3, 4, 4, 2), np.float32)
+        valid = np.ones((3, 4, 4), bool)
+        valid[:, 1, 2] = False
+        med, av = masked_median(jnp.asarray(stack), jnp.asarray(valid))
+        assert not np.asarray(av)[1, 2].any()
+        assert np.asarray(med)[1, 2].sum() == 0
+
+    def test_pallas_matches_jnp(self):
+        stack, valid = self._random_case(2, S=5, H=16, W=16, B=4)
+        m1, v1 = masked_median(jnp.asarray(stack), jnp.asarray(valid))
+        m2, v2 = masked_median_pallas(jnp.asarray(stack),
+                                      jnp.asarray(valid))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_pad_stack(self):
+        stack = np.ones((3, 2, 2, 1), np.float32)
+        valid = np.ones((3, 2, 2), bool)
+        s2, v2 = pad_stack(stack, valid, 8)
+        assert s2.shape[0] == 8 and v2.shape[0] == 8
+        assert not v2[3:].any()
+        med, av = masked_median(jnp.asarray(s2), jnp.asarray(v2))
+        np.testing.assert_allclose(np.asarray(med), 1.0)
+
+
+class TestNearestMosaic:
+    def test_matches_sequential_lastwins(self):
+        rng = np.random.RandomState(3)
+        S, H, W, B = 6, 8, 8, 2
+        stack = rng.rand(S, H, W, B).astype(np.float32)
+        valid = rng.rand(S, H, W) > 0.4
+        dist = np.array([5, 3, 0, 7, 3, 1], np.float32)
+        # reference behaviour: sort by dist DESC (stable), paint in order
+        order = sorted(range(S), key=lambda i: dist[i], reverse=True)
+        expect = np.zeros((H, W, B), np.float32)
+        got_any = np.zeros((H, W), bool)
+        for i in order:
+            m = valid[i]
+            expect[m] = stack[i][m]
+            got_any |= m
+        mosaic, av = nearest_valid_mosaic(
+            jnp.asarray(stack), jnp.asarray(valid), jnp.asarray(dist))
+        mosaic = np.asarray(mosaic)
+        np.testing.assert_array_equal(np.asarray(av)[..., 0], got_any)
+        np.testing.assert_allclose(mosaic[got_any], expect[got_any],
+                                   rtol=1e-6)
+
+
+class TestAugment:
+    def test_shapes_and_determinism(self):
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+        lbls = jnp.asarray(rng.randint(0, 3, (4, 16, 16)).astype(np.int32))
+        key = jax.random.PRNGKey(0)
+        i1, l1 = augment_pairs(key, imgs, lbls)
+        i2, l2 = augment_pairs(key, imgs, lbls)
+        assert i1.shape == imgs.shape and l1.shape == lbls.shape
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_image_label_alignment(self):
+        # mark one corner; after any dihedral op the label must follow
+        imgs = np.zeros((8, 8, 8, 1), np.float32)
+        imgs[:, 0, 0, 0] = 1.0
+        lbls = np.zeros((8, 8, 8), np.int32)
+        lbls[:, 0, 0] = 1
+        i, l = augment_pairs(jax.random.PRNGKey(7), jnp.asarray(imgs),
+                             jnp.asarray(lbls))
+        i = np.asarray(i)[..., 0]
+        l = np.asarray(l)
+        for n in range(8):
+            iy, ix = np.unravel_index(np.argmax(i[n]), i[n].shape)
+            ly, lx = np.unravel_index(np.argmax(l[n]), l[n].shape)
+            assert (iy, ix) == (ly, lx)

@@ -1,0 +1,286 @@
+"""Chip-creation pipeline tests: tile planning, compositing dispatch,
+label burning, GeoTIFF pair contract, resume + retry, catalogs."""
+
+import datetime as dt
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dl_image_segmentation_tpu.catalog import (LocalCatalog,
+                                               SyntheticCatalog)
+from dl_image_segmentation_tpu.geo import Tile, crs
+from dl_image_segmentation_tpu.pipeline.chips import (
+    DLSampleCreationConfig, DLTileJobConfig, OGRLabelDataDesc,
+    create_chips_for_tile, create_cloudmasked_s2_array,
+    create_img_array_for_tile, create_label_array_for_tile, is_done,
+    stack_products_for_tile)
+from dl_image_segmentation_tpu.pipeline.export import run_export
+from dl_image_segmentation_tpu.raster.geotiff import read_geotiff
+
+ZONE = 43
+TILE = Tile(60, 2, 10.0, ZONE, -380, 3491)  # real key from reference nb
+
+
+def write_labels_geojson(path, tile=TILE, attr_values=(1, 2)):
+    """Two polygons inside the tile, with a class attribute."""
+    x0, y0, x1, y1 = tile.bounds_unpadded
+    w = x1 - x0
+    feats = []
+    for i, v in enumerate(attr_values):
+        # horizontal strips
+        fy0 = y0 + (i + 0.5) * (y1 - y0) / (len(attr_values) + 1)
+        fy1 = fy0 + (y1 - y0) / (len(attr_values) + 2)
+        ring = [[x0 + 0.1 * w, fy0], [x1 - 0.1 * w, fy0],
+                [x1 - 0.1 * w, fy1], [x0 + 0.1 * w, fy1],
+                [x0 + 0.1 * w, fy0]]
+        lonlat = [
+            list(map(float, crs.utm_to_lonlat(px, py, ZONE)))
+            for px, py in ring
+        ]
+        feats.append({"type": "Feature",
+                      "geometry": {"type": "Polygon",
+                                   "coordinates": [lonlat]},
+                      "properties": {"cls": v}})
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return path
+
+
+@pytest.fixture()
+def labels_path(tmp_path):
+    return write_labels_geojson(str(tmp_path / "labels.geojson"))
+
+
+@pytest.fixture()
+def catalog():
+    return SyntheticCatalog(scenes_per_tile=6)
+
+
+class TestMosaics:
+    def test_nearest_date_mosaic(self, catalog):
+        arr = create_img_array_for_tile(
+            TILE, "sentinel-2:L1C", reference_date=dt.date(2020, 11, 1),
+            bands="red green blue", catalog=catalog)
+        assert arr is not None
+        assert arr.shape == (64, 64, 3)
+
+    def test_no_scenes_returns_none(self, catalog):
+        arr = create_img_array_for_tile(
+            TILE, "nonexistent:product", reference_date=dt.date(2020, 11, 1),
+            catalog=catalog)
+        assert arr is None
+
+    def test_cloud_filter_none_vs_strict(self, catalog):
+        loose = create_img_array_for_tile(
+            TILE, "sentinel-2:L1C", dt.date(2020, 11, 1),
+            max_cloud_fraction=None, catalog=catalog)
+        strict = create_img_array_for_tile(
+            TILE, "sentinel-2:L1C", dt.date(2020, 11, 1),
+            max_cloud_fraction=1e-9, catalog=catalog)
+        assert loose is not None
+        assert strict is None  # cf < 1e-9 excludes everything
+
+    def test_cloudmasked_median(self, catalog):
+        arr = create_cloudmasked_s2_array(
+            TILE, bands="red green blue", catalog=catalog)
+        assert arr is not None
+        assert isinstance(arr, np.ma.MaskedArray)
+        assert arr.shape == (64, 64, 3)
+
+    def test_stack_products(self, catalog):
+        arr = stack_products_for_tile(
+            TILE, ["sentinel-2:L1C", "airbus:oneatlas:phr:v2"],
+            ["red green", "red green blue"], catalog=catalog)
+        assert arr.shape == (64, 64, 5)
+
+
+class TestLabelBurn:
+    def test_attribute_burn(self, labels_path):
+        arr = create_label_array_for_tile(TILE, labels_path,
+                                          attrib_to_burn="cls",
+                                          background_value=255)
+        assert arr.shape == (64, 64)
+        assert arr.dtype == np.uint8
+        vals = set(np.unique(arr))
+        assert vals == {1, 2, 255}
+
+    def test_binary_burn(self, labels_path):
+        arr = create_label_array_for_tile(TILE, labels_path,
+                                          attrib_to_burn=None,
+                                          background_value=0)
+        assert set(np.unique(arr)) == {0, 1}
+
+
+class TestChipCreation:
+    def _job(self, tmp_path, labels_path, catalog, **kw):
+        defaults = dict(
+            dltile=TILE, out_folder_base=str(tmp_path / "out"),
+            dl_product="sentinel-2:L1C", ref_date=dt.date(2020, 11, 1),
+            labels_data=labels_path, label_attr="cls",
+            bands="red green blue", label_nodata_value=255,
+            catalog=catalog)
+        defaults.update(kw)
+        return DLTileJobConfig(**defaults)
+
+    def test_chip_pair_contract(self, tmp_path, labels_path, catalog):
+        job = self._job(tmp_path, labels_path, catalog)
+        _, img_path, lbl_path = create_chips_for_tile(job)
+        assert img_path and lbl_path
+        # filename contract
+        assert os.path.basename(img_path) == TILE.filename + ".tif"
+        assert os.path.basename(img_path) == os.path.basename(lbl_path)
+        assert "/images/" in img_path and "/labels/" in lbl_path
+        # image chip: padded size, band count, georeferencing
+        g = read_geotiff(img_path)
+        assert g.array.shape == (64, 64, 3)
+        assert g.info.epsg == 32600 + ZONE
+        np.testing.assert_allclose(g.info.geotransform, TILE.geotrans)
+        # label chip: single-band uint8 with nodata metadata
+        L = read_geotiff(lbl_path)
+        assert L.array.shape == (64, 64, 1)
+        assert L.info.dtype == "uint8"
+        assert L.info.nodata == 255
+        assert {1, 2} <= set(np.unique(L.array))
+        assert is_done(job)
+
+    def test_cloudmasked_dispatch(self, tmp_path, labels_path, catalog):
+        job = self._job(tmp_path, labels_path, catalog,
+                        max_cloud_fraction=0)
+        _, img_path, _ = create_chips_for_tile(job)
+        assert img_path is not None
+
+    def test_multiproduct_dispatch(self, tmp_path, labels_path, catalog):
+        job = self._job(tmp_path, labels_path, catalog,
+                        dl_product=["sentinel-2:L1C",
+                                    "airbus:oneatlas:phr:v2"],
+                        bands=["red green", "red green blue"])
+        _, img_path, _ = create_chips_for_tile(job)
+        g = read_geotiff(img_path)
+        assert g.array.shape[2] == 5
+
+    def test_failure_returns_none_tuple(self, tmp_path, labels_path,
+                                        catalog):
+        job = self._job(tmp_path, labels_path, catalog,
+                        dl_product="missing:product")
+        out = create_chips_for_tile(job)
+        assert out[1] is None and out[2] is None
+
+
+class TestSampleCreationConfig:
+    def test_folder_naming_contract(self, labels_path, tmp_path, catalog):
+        cfg = DLSampleCreationConfig(
+            tile_size=64, tile_padding=2, tile_res_m=10.0,
+            dl_product="sentinel-2:L1C", bands="red green blue",
+            sample_folder_root=str(tmp_path), source_tag="sentinel",
+            label_data_config=OGRLabelDataDesc(labels_path),
+            max_cloud_fraction=0.2, catalog=catalog)
+        d = cfg.images_dir_name("Mumbai", 2020)
+        assert d.endswith("sentinel-cf0p2_10.0m_2pad_64_Mumbai_2020")
+        assert cfg.dataset_name("Mumbai", 2020) == \
+            "sentinel-cf0p2_arr_Mumbai_2020"
+        # size stored net of padding
+        assert cfg.TILE_SIZE_PAD_RES() == (60, 2, 10.0)
+
+    def test_tile_planning_and_jobs(self, labels_path, tmp_path, catalog):
+        cfg = DLSampleCreationConfig(
+            tile_size=64, tile_padding=2, tile_res_m=10.0,
+            dl_product="sentinel-2:L1C", bands="red green blue",
+            sample_folder_root=str(tmp_path), source_tag="s2",
+            label_data_config=OGRLabelDataDesc(labels_path, 0, "cls"),
+            catalog=catalog)
+        tiles = cfg.get_tiles()
+        assert len(tiles) >= 1
+        assert TILE.key in cfg.get_tile_ids()
+        jobs = cfg.create_tile_job_configs("Loc", 2020,
+                                           ref_date=dt.date(2020, 11, 1))
+        assert len(jobs) == len(tiles)
+        assert jobs[0].LABEL_BURN_ATTR == "cls"
+        # rebuild-from-keys fast path
+        cfg2 = DLSampleCreationConfig(
+            tile_size=64, tile_padding=2, tile_res_m=10.0,
+            dl_product="x", bands="red",
+            sample_folder_root=str(tmp_path), source_tag="s2",
+            label_data_config=OGRLabelDataDesc(labels_path),
+            catalog=catalog)
+        tiles2 = cfg2.get_tiles(tile_ids=list(cfg.get_tile_ids()))
+        assert {t.key for t in tiles2} == cfg.get_tile_ids()
+
+    def test_cache_invalidation(self, labels_path, tmp_path, catalog):
+        cfg = DLSampleCreationConfig(
+            tile_size=64, tile_padding=2, tile_res_m=10.0,
+            dl_product="p", bands="red", sample_folder_root=str(tmp_path),
+            source_tag="t", label_data_config=OGRLabelDataDesc(labels_path),
+            catalog=catalog)
+        t1 = cfg.get_tiles()
+        cfg.TILE_SIZE_PAD_RES((128, 4, 10.0))
+        t2 = cfg.get_tiles()
+        assert t2[0].tilesize == 120
+
+
+class TestExport:
+    def test_export_with_resume(self, tmp_path, labels_path, catalog):
+        jobs = [DLTileJobConfig(
+            dltile=TILE, out_folder_base=str(tmp_path / "out"),
+            dl_product="sentinel-2:L1C", ref_date=dt.date(2020, 11, 1),
+            labels_data=labels_path, bands="red green blue",
+            catalog=catalog)]
+        r1 = run_export(jobs, n_workers=1, progress=None)
+        assert r1.completed == 1 and r1.ok
+        r2 = run_export(jobs, n_workers=1, progress=None)
+        assert r2.skipped_existing == 1 and r2.completed == 0
+
+    def test_export_retries_then_fails(self, tmp_path, labels_path,
+                                       catalog):
+        jobs = [DLTileJobConfig(
+            dltile=TILE, out_folder_base=str(tmp_path / "out"),
+            dl_product="missing:product", ref_date=dt.date(2020, 11, 1),
+            labels_data=labels_path, catalog=catalog)]
+        r = run_export(jobs, n_workers=1, max_attempts=3, progress=None)
+        assert not r.ok
+        assert r.attempts == 3
+        assert r.failed == [TILE.key]
+
+
+class TestLocalCatalog:
+    def test_local_catalog_roundtrip(self, tmp_path, labels_path):
+        root = str(tmp_path / "cat")
+        cat = LocalCatalog.create(root)
+        # one scene covering the tile, same grid
+        gt = TILE.geotrans
+        rng = np.random.RandomState(0)
+        arr = rng.randint(0, 3000, (64, 64, 3)).astype(np.uint16)
+        cat.add_scene("sentinel-2:L1C", ["red", "green", "blue"],
+                      "scene-a", dt.date(2020, 10, 20), arr, gt,
+                      epsg=32600 + ZONE, cloud_fraction=0.05)
+        # reload from disk
+        cat2 = LocalCatalog(root)
+        scenes = cat2.search(TILE, "sentinel-2:L1C")
+        assert len(scenes) == 1
+        stack, valid = cat2.load(scenes, TILE, ["red", "blue"])
+        assert stack.shape == (1, 64, 64, 2)
+        assert valid.all()
+        np.testing.assert_array_equal(stack[0, :, :, 0], arr[:, :, 0])
+        # mosaic through the pipeline
+        out = create_img_array_for_tile(TILE, "sentinel-2:L1C",
+                                        dt.date(2020, 11, 1),
+                                        bands="red green blue",
+                                        catalog=cat2)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_resample_coarser_scene(self, tmp_path):
+        root = str(tmp_path / "cat")
+        cat = LocalCatalog.create(root)
+        # scene at 20 m covering the 10 m tile: constant-valued quads
+        x0, y0, x1, y1 = TILE.bounds
+        gt20 = (x0, 20.0, 0.0, y1, 0.0, -20.0)
+        arr = np.arange(32 * 32, dtype=np.uint16).reshape(32, 32, 1)
+        cat.add_scene("p", ["b"], "s", dt.date(2020, 1, 1), arr, gt20,
+                      epsg=32600 + ZONE)
+        scenes = cat.search(TILE, "p")
+        stack, valid = cat.load(scenes, TILE, ["b"])
+        assert stack.shape == (1, 64, 64, 1)
+        # each 20 m pixel covers a 2x2 block of 10 m pixels
+        np.testing.assert_array_equal(stack[0, 0:2, 0:2, 0], 0)
+        np.testing.assert_array_equal(stack[0, 0:2, 2:4, 0], 1)
