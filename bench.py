@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: 256x256 RGB chips -> sharded TFRecords.
+
+Mirrors the reference's flagship translation workload
+(/root/reference/translate_chips_to_tfrecords.ipynb cell 12: ~6,000
+256x256 RGB chips through images_to_tfrecords_mt with raw-bytes
+storage, "a few seconds" on a 12-core machine per README.md:29).
+Baseline: 2,000 chips/s/host (the BASELINE.json north-star floor and
+the midpoint of the reference's 1,200-3,000 chips/s claim).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "chips/s", "vs_baseline": N}
+"""
+
+import contextlib
+import io
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+N_CHIPS = 6000
+SIZE = 256
+BASELINE_CHIPS_PER_SEC = 2000.0
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".benchmark_data")
+
+
+def ensure_chip_folder(root: str, n: int = N_CHIPS) -> str:
+    """Synthetic chip folder (cached across runs): smooth-ish uint8 RGB
+    imagery + binary labels, PNG, DLTile-key filenames."""
+    from dl_image_segmentation_tpu.raster.image import encode_png
+
+    chip_dir = os.path.join(root, f"chips_{n}_{SIZE}")
+    marker = os.path.join(chip_dir, ".complete")
+    if os.path.exists(marker):
+        return chip_dir
+    shutil.rmtree(chip_dir, ignore_errors=True)
+    os.makedirs(os.path.join(chip_dir, "images"))
+    os.makedirs(os.path.join(chip_dir, "labels"))
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32)
+    for i in range(n):
+        key = f"{SIZE - 4}:2:1.0:43:{-900 + i % 300}:{8300 + i // 300}"
+        fn = key.replace(":", "#") + ".png"
+        phase = rng.rand(3, 2) * 0.1
+        img = np.stack([
+            (128 + 100 * np.sin(xx * phase[c, 0] + yy * phase[c, 1])
+             + rng.randn(SIZE, SIZE) * 10)
+            for c in range(3)], axis=-1).clip(0, 255).astype(np.uint8)
+        lbl = (img[:, :, 0] > 150).astype(np.uint8)
+        with open(os.path.join(chip_dir, "images", fn), "wb") as f:
+            f.write(encode_png(img))
+        with open(os.path.join(chip_dir, "labels", fn), "wb") as f:
+            f.write(encode_png(lbl[:, :, None]))
+    open(marker, "w").close()
+    return chip_dir
+
+
+def main() -> None:
+    from dl_image_segmentation_tpu.records.writers import (
+        images_to_tfrecords_mt)
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    chip_dir = ensure_chip_folder(DATA_DIR)
+    out_dir = os.path.join(DATA_DIR, "recs_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the native extension build + page cache
+    sink = io.StringIO()
+    warm_dir = os.path.join(DATA_DIR, "recs_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    with contextlib.redirect_stdout(sink):
+        images_to_tfrecords_mt("warm", chip_dir, warm_dir, num_shards=8,
+                               num_threads=8, store_as_array=False)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(sink):
+        n = images_to_tfrecords_mt("bench", chip_dir, out_dir,
+                                   num_shards=8, num_threads=8,
+                                   store_as_array=False)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    value = n / dt
+    print(json.dumps({
+        "metric": "256x256 RGB chips -> sharded TFRecords (raw-bytes "
+                  "mode, 8 shards)",
+        "value": round(value, 1),
+        "unit": "chips/s",
+        "vs_baseline": round(value / BASELINE_CHIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Command-line interface: the driver layer.
+
+The reference's only "driver program" is three notebooks
+(/root/reference/create_training_samples.ipynb,
+translate_chips_to_tfrecords.ipynb, parse_tfrecords.ipynb --
+SURVEY.md L3). This CLI packages the same three workloads:
+
+    dlseg-tpu create-chips   -- tile an AOI, composite imagery, burn
+                                labels, write GeoTIFF chip pairs
+    dlseg-tpu to-tfrecords   -- chip folders -> sharded TFRecords
+    dlseg-tpu train          -- TFRecords -> U-Net training on TPU
+    dlseg-tpu inspect        -- summarize shards / parse a record
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import os
+import sys
+
+
+def _date(s: str) -> _dt.date:
+    return _dt.date.fromisoformat(s)
+
+
+def cmd_create_chips(args) -> int:
+    from .catalog import LocalCatalog, SyntheticCatalog
+    from .pipeline.chips import (DLSampleCreationConfig, OGRLabelDataDesc)
+    from .pipeline.export import run_export
+
+    if args.catalog == "synthetic":
+        catalog = SyntheticCatalog()
+    else:
+        catalog = LocalCatalog(args.catalog)
+    cfg = DLSampleCreationConfig(
+        tile_size=args.tile_size, tile_padding=args.pad,
+        tile_res_m=args.resolution, dl_product=args.product,
+        bands=args.bands, sample_folder_root=args.out,
+        source_tag=args.tag,
+        label_data_config=OGRLabelDataDesc(args.labels, args.layer,
+                                           args.attribute),
+        max_cloud_fraction=args.max_cloud_fraction,
+        label_nodata_value=args.nodata,
+        catalog=catalog)
+    jobs = cfg.create_tile_job_configs(
+        args.loc, args.year, ref_date=args.ref_date,
+        min_date=args.min_date, max_date=args.max_date)
+    print(f"{len(jobs)} tiles to export into "
+          f"{cfg.images_dir_name(args.loc, args.year)}")
+    report = run_export(jobs, n_workers=args.workers,
+                        max_attempts=args.max_attempts)
+    return 0 if report.ok else 1
+
+
+def cmd_to_tfrecords(args) -> int:
+    from .records.writers import (process_dataset_mp,
+                                  process_dataset_multithreaded)
+    if args.engine == "mt":
+        n = process_dataset_multithreaded(
+            args.name, args.directory, args.out, num_shards=args.shards,
+            num_threads=args.workers,
+            dltile_from_filename=not args.no_dltile_names,
+            convert_png_to_jpg=args.png_to_jpg,
+            store_as_array=args.store_as_array)
+    else:
+        n = process_dataset_mp(
+            args.name, args.directory, args.out, num_shards=args.shards,
+            num_proc=args.workers,
+            dltile_from_filename=not args.no_dltile_names,
+            file_ext=args.file_ext,
+            store_as_array=args.store_as_array)
+    print(f"wrote {n} examples")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from .pipeline.input import DevicePrefetcher, TFRecordFeed
+    from .train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(num_classes=args.classes,
+                      in_channels=args.channels,
+                      base_features=args.features,
+                      levels=args.levels,
+                      image_size=args.image_size,
+                      batch_size=args.batch_size,
+                      learning_rate=args.lr,
+                      label_nodata=args.nodata,
+                      n_model=args.n_model)
+    trainer = Trainer(cfg)
+    if args.restore:
+        trainer.restore_checkpoint(args.restore)
+    feed = TFRecordFeed(args.records, args.mode,
+                        batch_size=args.batch_size,
+                        image_size=args.image_size,
+                        shuffle_buffer=args.shuffle_buffer,
+                        num_workers=args.workers)
+    it = iter(DevicePrefetcher(feed.batches(), trainer.place_batch))
+    for step in range(args.steps):
+        images, labels = next(it)
+        metrics = trainer.train_step(images, labels)
+        if step % args.log_every == 0 or step == args.steps - 1:
+            stats = trainer.throughput_stats()
+            print(f"step {step}: loss={metrics['loss']:.4f} "
+                  f"acc={metrics['accuracy']:.4f} "
+                  f"imgs/s={stats['examples_per_sec']:.1f} "
+                  f"duty={stats['duty_cycle']:.3f}")
+    if args.checkpoint:
+        trainer.save_checkpoint(os.path.abspath(args.checkpoint))
+        print(f"checkpoint saved to {args.checkpoint}")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    import glob
+    from .records.tfrecord import read_records
+
+    files = sorted(glob.glob(args.records))
+    total = 0
+    first = None
+    for f in files:
+        for rec in read_records(f, verify_crc=args.verify_crc):
+            if first is None:
+                first = rec
+            total += 1
+    print(f"{len(files)} shards, {total} records")
+    if first is not None:
+        from .records.proto import decode_example
+        d = decode_example(first)
+        info = {k: (v.kind,
+                    len(v.bytes_list[0]) if v.kind == "bytes"
+                    else (v.int64_list if v.kind == "int64"
+                          else len(v.float_list)))
+                for k, v in sorted(d.items())}
+        print(json.dumps({k: str(v) for k, v in info.items()}, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dlseg-tpu",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create-chips", help="AOI -> GeoTIFF chip pairs")
+    c.add_argument("--labels", required=True)
+    c.add_argument("--layer", default=0)
+    c.add_argument("--attribute", default=None)
+    c.add_argument("--product", required=True)
+    c.add_argument("--bands", default="red green blue")
+    c.add_argument("--tile-size", type=int, default=256)
+    c.add_argument("--pad", type=int, default=2)
+    c.add_argument("--resolution", type=float, default=10.0)
+    c.add_argument("--out", required=True)
+    c.add_argument("--tag", default="export")
+    c.add_argument("--loc", default="aoi")
+    c.add_argument("--year", default=str(_dt.date.today().year))
+    c.add_argument("--ref-date", type=_date,
+                   default=_dt.date.today().isoformat())
+    c.add_argument("--min-date", type=_date, default=None)
+    c.add_argument("--max-date", type=_date, default=None)
+    c.add_argument("--max-cloud-fraction", type=float, default=None)
+    c.add_argument("--nodata", type=int, default=255)
+    c.add_argument("--catalog", required=True,
+                   help="local catalog root, or 'synthetic'")
+    c.add_argument("--workers", type=int, default=8)
+    c.add_argument("--max-attempts", type=int, default=20)
+    c.set_defaults(fn=cmd_create_chips)
+
+    t = sub.add_parser("to-tfrecords", help="chip folder -> TFRecords")
+    t.add_argument("--name", required=True)
+    t.add_argument("--directory", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--shards", type=int, default=12)
+    t.add_argument("--workers", type=int, default=None)
+    t.add_argument("--engine", choices=["mt", "mp"], default="mp")
+    t.add_argument("--file-ext", default="tif")
+    t.add_argument("--store-as-array", action="store_true")
+    t.add_argument("--png-to-jpg", action="store_true")
+    t.add_argument("--no-dltile-names", action="store_true")
+    t.set_defaults(fn=cmd_to_tfrecords)
+
+    tr = sub.add_parser("train", help="TFRecords -> U-Net training")
+    tr.add_argument("--records", required=True, help="shard glob")
+    tr.add_argument("--mode", default="rgbraw",
+                    choices=["rgbraw", "rgbarr", "tifraw", "tifarr"])
+    tr.add_argument("--classes", type=int, default=2)
+    tr.add_argument("--channels", type=int, default=3)
+    tr.add_argument("--features", type=int, default=32)
+    tr.add_argument("--levels", type=int, default=4)
+    tr.add_argument("--image-size", type=int, default=256)
+    tr.add_argument("--batch-size", type=int, default=32)
+    tr.add_argument("--lr", type=float, default=1e-3)
+    tr.add_argument("--steps", type=int, default=100)
+    tr.add_argument("--nodata", type=int, default=255)
+    tr.add_argument("--n-model", type=int, default=1)
+    tr.add_argument("--shuffle-buffer", type=int, default=256)
+    tr.add_argument("--workers", type=int, default=4)
+    tr.add_argument("--log-every", type=int, default=10)
+    tr.add_argument("--checkpoint", default=None)
+    tr.add_argument("--restore", default=None)
+    tr.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("inspect", help="summarize TFRecord shards")
+    i.add_argument("--records", required=True)
+    i.add_argument("--verify-crc", action="store_true")
+    i.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

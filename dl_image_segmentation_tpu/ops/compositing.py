@@ -88,22 +88,41 @@ def masked_median_pallas(stack, valid, block: int = 128,
     # move bands into the W axis for 128-lane friendliness: (S, H, W*B)
     stack2 = stack.reshape(S, H, W * B)
     valid2 = valid.reshape(S, H, W * B)
-    bh = min(block, H)
-    bw = min(block * 8, W * B)
+    # size blocks to a VMEM budget: two (S, bh, bw) f32 inputs, double
+    # buffered, plus ~S live (bh, bw) registers for the sort network
+    budget = 4 * 1024 * 1024
+    bw = min(-(-(W * B) // 128) * 128, 1024)
+    bh = max(8, min(block, H, budget // (S * bw * 4 * 4) // 8 * 8))
     grid = (-(-H // bh), -(-(W * B) // bw))
 
     def kernel(x_ref, v_ref, med_ref, cnt_ref):
-        x = x_ref[...]
-        v = v_ref[...]
-        vals = jnp.where(v > 0, x, _INF)
-        svals = jnp.sort(vals, axis=0)
-        n = jnp.sum(v > 0, axis=0)
+        # jnp.sort / gather do not lower in Pallas TPU kernels; use an
+        # unrolled odd-even transposition network over the (static,
+        # small) scene axis + comparison-based middle selection. Pure
+        # VPU min/max/select on (bh, bw) registers.
+        vals = [jnp.where(v_ref[s] > 0, x_ref[s], _INF)
+                for s in range(S)]
+        n = jnp.zeros((bh, bw), jnp.int32)
+        for s in range(S):
+            n = n + (v_ref[s] > 0).astype(jnp.int32)
+        for rnd in range(S):
+            start = rnd % 2
+            for i in range(start, S - 1, 2):
+                lo = jnp.minimum(vals[i], vals[i + 1])
+                hi = jnp.maximum(vals[i], vals[i + 1])
+                vals[i] = lo
+                vals[i + 1] = hi
         nz = jnp.maximum(n, 1)
-        lo = jnp.take_along_axis(svals, ((nz - 1) // 2)[None], axis=0)[0]
-        hi = jnp.take_along_axis(svals, (nz // 2)[None], axis=0)[0]
+        lo_idx = (nz - 1) // 2
+        hi_idx = nz // 2
+        lo = jnp.zeros((bh, bw), jnp.float32)
+        hi = jnp.zeros((bh, bw), jnp.float32)
+        for s in range(S):
+            lo = jnp.where(lo_idx == s, vals[s], lo)
+            hi = jnp.where(hi_idx == s, vals[s], hi)
         med = (lo + hi) * 0.5
         med_ref[...] = jnp.where(n > 0, med, 0.0)
-        cnt_ref[...] = n.astype(jnp.int32)
+        cnt_ref[...] = n
 
     med, cnt = pl.pallas_call(
         kernel,

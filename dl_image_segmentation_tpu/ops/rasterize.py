@@ -172,12 +172,12 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
     bw = min(block, width)
     grid = (-(-height // bh), -(-width // bw), F)
 
-    def kernel(edges_ref, values_ref, bg_ref, out_ref):
+    def kernel(values_ref, bg_ref, edges_ref, out_ref):
         f = pl.program_id(2)
 
         @pl.when(f == 0)
         def _():
-            out_ref[:, :] = jnp.full((bh, bw), bg_ref[0, 0], jnp.float32)
+            out_ref[:, :] = jnp.full((bh, bw), bg_ref[0], jnp.float32)
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -186,6 +186,8 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
         cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
               .astype(jnp.float32) + (j * bw).astype(jnp.float32) + 0.5)
 
+        # loop carries are int32, not bool: Mosaic crashes on large i1
+        # vector carries through scf.for (observed on v5e)
         def edge_body(e, carry):
             parity, touch = carry
             x0 = edges_ref[0, e, 0]
@@ -196,7 +198,7 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
             dy = y1 - y0
             safe_dy = jnp.where(dy == 0, 1.0, dy)
             xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
-            parity = parity ^ (straddle & (cx < xint))
+            parity = parity ^ (straddle & (cx < xint)).astype(jnp.int32)
             if all_touched:
                 bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
                         & (cx - 0.5 <= jnp.maximum(x0, x1))
@@ -206,32 +208,32 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
                 ny = x0 - x1
                 dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
                 reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
-                touch = touch | (bbox & (dist <= reach))
+                touch = touch | (bbox & (dist <= reach)).astype(jnp.int32)
             return parity, touch
 
-        parity0 = jnp.zeros((bh, bw), jnp.bool_)
-        touch0 = jnp.zeros((bh, bw), jnp.bool_)
+        parity0 = jnp.zeros((bh, bw), jnp.int32)
+        touch0 = jnp.zeros((bh, bw), jnp.int32)
         parity, touch = jax.lax.fori_loop(0, E, edge_body,
                                           (parity0, touch0))
-        mask = parity | touch if all_touched else parity
-        out_ref[:, :] = jnp.where(mask, values_ref[0, 0], out_ref[:, :])
+        mask = (parity | touch if all_touched else parity) > 0
+        out_ref[:, :] = jnp.where(mask, values_ref[f], out_ref[:, :])
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # values (F,), background (1,) in SMEM
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, E, 4), lambda i, j, f, *_: (f, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bh, bw), lambda i, j, f, *_: (i, j)),
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (grid[0] * bh, grid[1] * bw), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, E, 4), lambda i, j, f: (f, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, f: (f, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, f: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((bh, bw), lambda i, j, f: (i, j)),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(edges, values.reshape(-1, 1), background.reshape(1, 1))
+    )(values, background.reshape(1), edges)
     return out[:height, :width]
 
 

@@ -1,0 +1,7 @@
+"""Device-mesh parallelism helpers (pjit/GSPMD)."""
+
+from .sharding import (make_mesh, batch_sharding, replicated_sharding,
+                       param_shardings, shard_batch_local)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "param_shardings", "shard_batch_local"]

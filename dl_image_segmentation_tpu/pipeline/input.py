@@ -1,0 +1,253 @@
+"""Training input feed: sharded TFRecords -> parse -> decode -> augment
+-> batch -> device prefetch.
+
+Replaces the reference's tf.data stack (TFRecordDataset + ds.map(parse,
+8) + batch, /root/reference/parse_tfrecords.ipynb cells 4, 30-36) with
+a JAX-native host pipeline built for TPU duty cycle:
+
+* shard files are partitioned per host (jax.process_index()) -- the
+  per-host data plane of SURVEY.md section 2.4;
+* parse + decode run on a thread pool (our codecs release the GIL in
+  the C++ extension / PIL, unlike the reference's GIL-bound GDAL path
+  flagged at _tfrecord_image_translation.py:124-126);
+* batches are assembled pinned-shape and double-buffered onto the mesh
+  (device_put overlapped with the running step) so the device never
+  waits on the host;
+* augmentation runs on device (ops/augment.py), fused into the step.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+
+from ..records import parsers
+from ..records.tfrecord import read_records
+
+PARSE_FNS = {
+    "rgbraw": parsers.parse_encoded_rgb_img_proto,
+    "rgbarr": parsers.parse_8bit_array_proto,
+    "tifraw": parsers.parse_encoded_gdal_proto_wrapped,
+    "tifraw_eager": parsers.parse_encoded_gdal_proto_eager,
+    "tifarr": parsers.parse_higher_dtype_array_proto,
+}
+
+
+def host_shard_files(files: Sequence[str]) -> List[str]:
+    """This host's slice of the shard list (round-robin by process)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    return [f for k, f in enumerate(sorted(files)) if k % n == i]
+
+
+class TFRecordFeed:
+    """Iterable over (images, labels) batches from sharded TFRecords.
+
+    parse_mode: one of rgbraw | rgbarr | tifraw | tifarr (the on-disk
+    storage modes, parse nb cell 1). Images are scaled to [0, 1]
+    float32; labels are int32 (nodata preserved for loss masking).
+    """
+
+    def __init__(self, shard_pattern, parse_mode: str, batch_size: int,
+                 image_size: Optional[int] = None,
+                 shuffle_buffer: int = 256, seed: int = 0,
+                 num_workers: int = 4, repeat: bool = True,
+                 scale: Optional[float] = None,
+                 drop_remainder: bool = True,
+                 per_host: bool = True):
+        if isinstance(shard_pattern, str):
+            files = sorted(_glob.glob(shard_pattern))
+        else:
+            files = sorted(shard_pattern)
+        if not files:
+            raise FileNotFoundError(f"no shards match {shard_pattern!r}")
+        self.files = host_shard_files(files) if per_host else list(files)
+        if not self.files:
+            raise RuntimeError("this host received zero shards; use more "
+                               "shards than hosts")
+        self.parse = PARSE_FNS[parse_mode]
+        self.parse_mode = parse_mode
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.repeat = repeat
+        self.scale = scale
+        self.drop_remainder = drop_remainder
+        # throughput counters (SURVEY.md section 5: per-stage metrics)
+        self.records_read = 0
+        self.bytes_read = 0
+        self._parse_failures = 0
+
+    # -- record iteration ---------------------------------------------------
+    def _record_stream(self) -> Iterator[bytes]:
+        rng = np.random.RandomState(self.seed)
+        epoch = 0
+        while True:
+            order = rng.permutation(len(self.files))
+            for fi in order:
+                for rec in read_records(self.files[fi], verify_crc=False):
+                    self.bytes_read += len(rec)
+                    yield rec
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def _parsed_stream(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Parse records on a worker pool, preserving a shuffle buffer."""
+        recs = self._record_stream()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 8)
+        stop = threading.Event()
+        lock = threading.Lock()
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    try:
+                        rec = next(recs)
+                    except StopIteration:
+                        break
+                try:
+                    img, lbl, _ident = self.parse(rec)
+                except Exception:  # skip corrupt records, keep feeding
+                    self._parse_failures += 1
+                    # every record failing = wrong parse_mode; a
+                    # repeating stream would otherwise spin forever
+                    if (self.records_read == 0
+                            and self._parse_failures >= 1000):
+                        out_q.put(RuntimeError(
+                            f"all {self._parse_failures} records failed "
+                            f"to parse with parse_mode="
+                            f"{self.parse_mode!r}; wrong storage mode "
+                            "for these shards?"))
+                        return
+                    continue
+                out_q.put((img, lbl))
+            out_q.put(None)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        rng = np.random.RandomState(self.seed + 1)
+        buf: List[Tuple[np.ndarray, np.ndarray]] = []
+        try:
+            while finished < len(threads):
+                item = out_q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                self.records_read += 1
+                if self.shuffle_buffer > 1:
+                    buf.append(item)
+                    if len(buf) >= self.shuffle_buffer:
+                        k = rng.randint(len(buf))
+                        buf[k], buf[-1] = buf[-1], buf[k]
+                        yield buf.pop()
+                else:
+                    yield item
+            while buf:
+                k = rng.randint(len(buf))
+                buf[k], buf[-1] = buf[-1], buf[k]
+                yield buf.pop()
+        finally:
+            stop.set()
+
+    # -- batching -------------------------------------------------------------
+    def _to_float_image(self, img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        img = np.asarray(img)
+        if self.scale is not None:
+            return img.astype(np.float32) * self.scale
+        if img.dtype == np.uint8:
+            return img.astype(np.float32) / 255.0
+        if img.dtype == np.uint16:
+            return img.astype(np.float32) / 65535.0
+        return img.astype(np.float32)
+
+    def batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        imgs: List[np.ndarray] = []
+        lbls: List[np.ndarray] = []
+        seen = 0
+        yielded = 0
+        # one epoch's worth of records: if a full pass produces zero
+        # usable examples (wrong parse_mode / image_size), fail loudly
+        # instead of spinning forever on a repeating stream
+        epoch_quota = None
+        for img, lbl in self._parsed_stream():
+            seen += 1
+            img = self._to_float_image(img)
+            if lbl.ndim == 3:
+                lbl = lbl[:, :, 0]
+            usable = not (self.image_size is not None and (
+                img.shape[0] != self.image_size
+                or img.shape[1] != self.image_size))
+            if usable:
+                imgs.append(img)
+                lbls.append(lbl.astype(np.int32))
+                if len(imgs) == self.batch_size:
+                    yield np.stack(imgs), np.stack(lbls)
+                    yielded += 1
+                    imgs, lbls = [], []
+            if yielded == 0 and len(imgs) == 0 and seen >= 10000:
+                raise RuntimeError(
+                    f"input feed produced no usable examples after "
+                    f"{seen} records: check parse_mode="
+                    f"{self.parse_mode!r} and image_size="
+                    f"{self.image_size} against the shards")
+        if seen == 0:
+            raise RuntimeError(
+                f"input feed produced no examples at all: every record "
+                f"failed to parse with parse_mode={self.parse_mode!r}")
+        if imgs and not self.drop_remainder:
+            yield np.stack(imgs), np.stack(lbls)
+
+    def __iter__(self):
+        return self.batches()
+
+
+class DevicePrefetcher:
+    """Overlap host batch assembly + H2D transfer with device compute.
+
+    Keeps ``depth`` batches in flight: while the device executes step N
+    the host is placing batch N+1 (device_put is async). This is the
+    double-buffering that XLA infeed / tf.data prefetch provided in the
+    reference's world."""
+
+    def __init__(self, batches: Iterator, place: Callable, depth: int = 2):
+        self.src = iter(batches)
+        self.place = place
+        self.depth = depth
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._fill, daemon=True)
+        self.thread.start()
+
+    def _fill(self):
+        try:
+            for batch in self.src:
+                self.q.put(self.place(*batch))
+            self.q.put(None)
+        except BaseException as e:  # propagate to the consumer thread
+            self.q.put(e)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item

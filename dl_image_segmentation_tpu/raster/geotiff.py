@@ -134,9 +134,7 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_geotiff(data: bytes) -> GeoTIFF:
-    """Decode a GeoTIFF (or plain TIFF) from bytes. Zero-copy where the
-    layout allows (single uncompressed strip)."""
+def _parse_ifd(data: bytes):
     if data[:4] == b"II*\x00":
         fmt = "<"
     elif data[:4] == b"MM\x00*":
@@ -149,7 +147,66 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
     for i in range(ntags):
         p = ifd_off + 2 + i * 12
         tid, ttype, cnt = struct.unpack(fmt + "HHI", data[p:p + 8])
-        tags[tid] = _read_ifd_values(data, fmt, ttype, cnt, data[p + 8:p + 12])
+        tags[tid] = _read_ifd_values(data, fmt, ttype, cnt,
+                                     data[p + 8:p + 12])
+    return fmt, tags
+
+
+def _geo_info_from_tags(tags, info: "RasterInfo") -> None:
+    """Fill geotransform / EPSG / WKT / nodata on ``info`` from tags."""
+    scale = tags.get(_T_MODEL_PIXEL_SCALE)
+    tie = tags.get(_T_MODEL_TIEPOINT)
+    if scale and tie and len(tie) >= 6:
+        sx, sy = float(scale[0]), float(scale[1])
+        i, j, _k, x, y, _z = (float(v) for v in tie[:6])
+        origin_x = x - i * sx
+        origin_y = y + j * sy
+        info.geotransform = (origin_x, sx, 0.0, origin_y, 0.0, -sy)
+    gkd = tags.get(_T_GEO_KEY_DIRECTORY)
+    if gkd and len(gkd) >= 4:
+        nkeys = int(gkd[3])
+        for k in range(nkeys):
+            base = 4 + k * 4
+            key_id, loc, cnt, val = (int(v) for v in gkd[base:base + 4])
+            if key_id == 3072 and loc == 0:  # ProjectedCSTypeGeoKey
+                info.epsg = val
+            elif key_id == 2048 and loc == 0 and info.epsg is None:
+                info.epsg = val  # GeographicTypeGeoKey
+    nod = tags.get(_T_GDAL_NODATA)
+    if nod is not None:
+        try:
+            info.nodata = float(str(nod).strip())
+        except ValueError:
+            pass
+    if info.epsg and 32601 <= info.epsg <= 32660:
+        from ..geo import crs as _crs
+        info.wkt = _crs.utm_wkt(info.epsg - 32600, north=True)
+    elif info.epsg and 32701 <= info.epsg <= 32760:
+        from ..geo import crs as _crs
+        info.wkt = _crs.utm_wkt(info.epsg - 32700, north=False)
+
+
+def decode_geotiff_info(data: bytes) -> RasterInfo:
+    """Header-only parse: shape, dtype, band count, geo tags -- no
+    pixel decode (used by the raw-bytes writer fast path)."""
+    fmt, tags = _parse_ifd(data)
+    bps_list = tags.get(_T_BITS_PER_SAMPLE, [8])
+    if isinstance(bps_list, str):
+        bps_list = [8]
+    sfmt = int(tags.get(_T_SAMPLE_FORMAT, [_SAMPLEFORMAT_UINT])[0])
+    info = RasterInfo(
+        width=int(tags[_T_IMAGE_WIDTH][0]),
+        height=int(tags[_T_IMAGE_LENGTH][0]),
+        count=int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0]),
+        dtype=np.dtype(_np_dtype(int(bps_list[0]), sfmt, fmt)).name)
+    _geo_info_from_tags(tags, info)
+    return info
+
+
+def decode_geotiff(data: bytes) -> GeoTIFF:
+    """Decode a GeoTIFF (or plain TIFF) from bytes. Zero-copy where the
+    layout allows (single uncompressed strip)."""
+    fmt, tags = _parse_ifd(data)
 
     width = int(tags[_T_IMAGE_WIDTH][0])
     height = int(tags[_T_IMAGE_LENGTH][0])
@@ -243,37 +300,7 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
 
     info = RasterInfo(width=width, height=height, count=spp,
                       dtype=np.dtype(dtype).name)
-    # georeferencing
-    scale = tags.get(_T_MODEL_PIXEL_SCALE)
-    tie = tags.get(_T_MODEL_TIEPOINT)
-    if scale and tie and len(tie) >= 6:
-        sx, sy = float(scale[0]), float(scale[1])
-        i, j, _k, x, y, _z = (float(v) for v in tie[:6])
-        origin_x = x - i * sx
-        origin_y = y + j * sy
-        info.geotransform = (origin_x, sx, 0.0, origin_y, 0.0, -sy)
-    gkd = tags.get(_T_GEO_KEY_DIRECTORY)
-    if gkd and len(gkd) >= 4:
-        nkeys = int(gkd[3])
-        for k in range(nkeys):
-            base = 4 + k * 4
-            key_id, loc, cnt, val = (int(v) for v in gkd[base:base + 4])
-            if key_id == 3072 and loc == 0:  # ProjectedCSTypeGeoKey
-                info.epsg = val
-            elif key_id == 2048 and loc == 0 and info.epsg is None:
-                info.epsg = val  # GeographicTypeGeoKey
-    nod = tags.get(_T_GDAL_NODATA)
-    if nod is not None:
-        try:
-            info.nodata = float(str(nod).strip())
-        except ValueError:
-            pass
-    if info.epsg and 32601 <= info.epsg <= 32660:
-        from ..geo import crs as _crs
-        info.wkt = _crs.utm_wkt(info.epsg - 32600, north=True)
-    elif info.epsg and 32701 <= info.epsg <= 32760:
-        from ..geo import crs as _crs
-        info.wkt = _crs.utm_wkt(info.epsg - 32700, north=False)
+    _geo_info_from_tags(tags, info)
     out = np.ascontiguousarray(out)
     if fmt == ">":
         out = out.astype(out.dtype.newbyteorder("="))

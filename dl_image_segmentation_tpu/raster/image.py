@@ -108,3 +108,58 @@ def decode_image(data: bytes) -> np.ndarray:
     array for PNG/JPG/BMP/GIF (first frame), any supported raster
     otherwise (_tfrecord_image_translation.py:283)."""
     return decode_image_bytes(data).array
+
+
+# ---------------------------------------------------------------------------
+# header-only shape sniffing
+# ---------------------------------------------------------------------------
+
+def sniff_image_info(data: bytes) -> RasterInfo:
+    """Read (height, width, bands, dtype [, geo tags]) from container
+    HEADERS without decoding pixels.
+
+    The reference always full-decodes just to validate shape even when
+    storing raw bytes (_img_to_tf_threaded.py:105-112 "we always decode
+    the image regardless"); header parsing gives the same validation at
+    a tiny fraction of the cost, which is what makes the raw-bytes
+    chips->TFRecords path IO-bound instead of codec-bound."""
+    if _is_png(data):
+        if len(data) < 26 or data[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG header")
+        import struct
+        w, h = struct.unpack(">II", data[16:24])
+        bit_depth = data[24]
+        color_type = data[25]
+        bands = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        dtype = "uint16" if bit_depth == 16 else "uint8"
+        return RasterInfo(width=w, height=h, count=bands, dtype=dtype)
+    if _is_jpeg(data):
+        import struct
+        i = 2
+        n = len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                bands = data[i + 9]
+                return RasterInfo(width=w, height=h, count=bands,
+                                  dtype="uint8")
+            i += 2 + seglen
+        raise ValueError("no JPEG SOF marker found")
+    if _is_tiff(data):
+        from .geotiff import decode_geotiff_info
+        return decode_geotiff_info(data)
+    if _is_bmp(data):
+        import struct
+        w, h = struct.unpack("<ii", data[18:26])
+        (bpp,) = struct.unpack("<H", data[28:30])
+        return RasterInfo(width=w, height=abs(h), count=max(1, bpp // 8),
+                          dtype="uint8")
+    raise ValueError("unrecognised image container")

@@ -43,7 +43,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..raster.image import (decode_image_bytes, decode_jpeg, decode_png,
-                            png_to_jpeg)
+                            png_to_jpeg, sniff_image_info)
 from .example import encode_example_features
 from .tfrecord import TFRecordWriter, shard_filename
 
@@ -98,21 +98,26 @@ def _find_image_files(data_dir: str,
 def _load_mt(path: str, dltile_from_filename: bool, png_to_jpg: bool,
              decode: bool):
     """MT-engine loader: PNG/JPG only, 8-bit, <=3 bands
-    (_img_to_tf_threaded.py:75-121). Always decodes to validate."""
+    (_img_to_tf_threaded.py:75-121).
+
+    The reference always full-decodes "to validate shape" even when
+    only raw bytes are stored (:105-112). Here raw-bytes mode validates
+    via header parsing (sniff_image_info) -- same checks, no pixel
+    decode -- which is what lets the translation path run IO-bound."""
     with open(path, "rb") as f:
         data = f.read()
     is_png = ".png" in path  # substring test, reference quirk (:65-72)
-    if is_png:
-        if png_to_jpg:
-            data = png_to_jpeg(data)
-            image = decode_jpeg(data)
-        else:
-            image = decode_png(data)
+    if is_png and png_to_jpg and not decode:
+        data = png_to_jpeg(data)
+        is_png = False
+    if decode:
+        image = decode_png(data) if is_png else decode_jpeg(data)
+        h, w, bands = image.shape
     else:
-        image = decode_jpeg(data)
-    assert image.ndim == 3
-    h, w, bands = image.shape
-    assert bands <= 3
+        info = sniff_image_info(data)
+        h, w, bands = info.height, info.width, info.count
+        assert bands <= 3
+        image = None
     if dltile_from_filename:
         key = _tile_key_from_filename(path)
     else:
@@ -124,16 +129,21 @@ def _load_mt(path: str, dltile_from_filename: bool, png_to_jpg: bool,
 
 def _load_any(path: str, dltile_from_filename: bool, decode: bool):
     """MP-engine loader: any raster format via our codecs
-    (_img_to_tf_mp.py:22-75 equivalent)."""
+    (_img_to_tf_mp.py:22-75 equivalent). Raw-bytes mode reads only the
+    container header (shape + geotransform + CRS come from tags)."""
     with open(path, "rb") as f:
         data = f.read()
-    g = decode_image_bytes(data)
-    h, w, bands = g.info.height, g.info.width, g.info.count
+    if decode:
+        g = decode_image_bytes(data)
+        info = g.info
+    else:
+        info = sniff_image_info(data)
+    h, w, bands = info.height, info.width, info.count
     if dltile_from_filename:
         key = _tile_key_from_filename(path)
     else:
-        gt = g.info.geotransform
-        crs = g.info.crs
+        gt = info.geotransform
+        crs = info.crs
         if gt is not None and crs is not None:
             key = "|".join((os.path.basename(path), str(list(gt)), crs))
         else:

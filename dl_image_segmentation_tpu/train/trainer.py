@@ -1,0 +1,195 @@
+"""U-Net segmentation trainer: pjit data-parallel train step, orbax
+checkpointing, throughput/duty-cycle metrics.
+
+Greenfield relative to the reference (it has no trainer; SURVEY.md
+section 2), built to the BASELINE north star: a device-bound input
+pipeline feeding U-Net training. TPU-first choices:
+
+* one jitted train step with donated state (no host round-trips),
+* loss masked by the label nodata value (the chip contract's 255
+  "unknown" pixels, _descartes_img_chips.py:790-796),
+* gradients all-reduce over the mesh's "data" axis implicitly via
+  GSPMD -- no hand-written collectives,
+* duty cycle measured as device-step time / wall time, the BASELINE
+  metric (>95% target).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.unet import UNet
+from ..parallel.sharding import (batch_sharding, make_mesh,
+                                 param_shardings, replicated_sharding,
+                                 shard_batch_local)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    num_classes: int = 2
+    in_channels: int = 3
+    base_features: int = 32
+    levels: int = 4
+    image_size: int = 256
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    label_nodata: int = 255
+    n_model: int = 1  # model-axis size (channel sharding)
+    seed: int = 0
+
+
+class TrainState:
+    """Minimal train state pytree: params, opt_state, step."""
+
+    def __init__(self, params, opt_state, step):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+def masked_xent_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                     nodata: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax cross-entropy ignoring nodata pixels. Returns
+    (mean loss, accuracy over valid pixels)."""
+    valid = labels != nodata
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    loss = -jnp.sum(jnp.where(valid, ll, 0.0)) / denom
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.sum(jnp.where(valid, pred == safe_labels, False)) / denom
+    return loss, acc
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_model=config.n_model)
+        self.model = UNet(num_classes=config.num_classes,
+                          base_features=config.base_features,
+                          levels=config.levels)
+        self.tx = optax.adamw(config.learning_rate,
+                              weight_decay=config.weight_decay)
+        self._init_state()
+        self._step_fn = self._build_step()
+        # metrics
+        self.device_seconds = 0.0
+        self.wall_start = None
+        self.examples_seen = 0
+
+    # -- state ------------------------------------------------------------
+    def _init_state(self):
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+        dummy = jnp.zeros((1, cfg.image_size, cfg.image_size,
+                           cfg.in_channels), jnp.float32)
+        params = jax.jit(self.model.init)(rng, dummy)["params"]
+        p_sh = param_shardings(self.mesh, params)
+        params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), params, p_sh)
+        opt_state = jax.jit(self.tx.init)(params)
+        self.state = TrainState(params, opt_state,
+                                jnp.zeros((), jnp.int32))
+        self.param_shardings = p_sh
+
+    # -- compiled step -----------------------------------------------------
+    def _build_step(self):
+        cfg = self.config
+        model = self.model
+        tx = self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, images: jnp.ndarray,
+                 labels: jnp.ndarray):
+            def loss_fn(params):
+                logits = model.apply({"params": params}, images)
+                loss, acc = masked_xent_loss(logits, labels,
+                                             cfg.label_nodata)
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (TrainState(params, opt_state, state.step + 1),
+                    {"loss": loss, "accuracy": acc})
+
+        return step
+
+    # -- public API ---------------------------------------------------------
+    def place_batch(self, images: np.ndarray, labels: np.ndarray):
+        return shard_batch_local(self.mesh, (images, labels))
+
+    def train_step(self, images, labels) -> Dict[str, float]:
+        """One step on already-placed (or host numpy) batch."""
+        if isinstance(images, np.ndarray):
+            images, labels = self.place_batch(images, labels)
+        if self.wall_start is None:
+            self.wall_start = time.perf_counter()
+        t0 = time.perf_counter()
+        self.state, metrics = self._step_fn(self.state, images, labels)
+        metrics["loss"].block_until_ready()
+        self.device_seconds += time.perf_counter() - t0
+        self.examples_seen += images.shape[0]
+        return {k: float(v) for k, v in metrics.items()}
+
+    def train_step_async(self, images, labels):
+        """One step without host sync (for duty-cycle-friendly loops);
+        returns device metrics (block on them only when reporting)."""
+        self.state, metrics = self._step_fn(self.state, images, labels)
+        self.examples_seen += images.shape[0]
+        return metrics
+
+    # -- metrics -------------------------------------------------------------
+    def throughput_stats(self) -> Dict[str, float]:
+        wall = (time.perf_counter() - self.wall_start
+                if self.wall_start else 0.0)
+        return {
+            "examples_per_sec": self.examples_seen / wall if wall else 0.0,
+            "duty_cycle": self.device_seconds / wall if wall else 0.0,
+            "wall_seconds": wall,
+            "device_seconds": self.device_seconds,
+        }
+
+    # -- checkpointing (orbax) ------------------------------------------------
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "opt_state": self.state.opt_state,
+                          "step": self.state.step})
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        restored = ckptr.restore(path, target)
+        self.state = TrainState(restored["params"], restored["opt_state"],
+                                restored["step"])

@@ -1,0 +1,167 @@
+"""Trainer + input-feed tests on the virtual 8-device CPU mesh:
+end-to-end TFRecords -> feed -> sharded train step, loss decrease on a
+learnable toy task, checkpoint round-trip, mesh shardings."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dl_image_segmentation_tpu.models.unet import UNet
+from dl_image_segmentation_tpu.parallel.sharding import (
+    batch_sharding, make_mesh, param_shardings)
+from dl_image_segmentation_tpu.pipeline.input import (DevicePrefetcher,
+                                                      TFRecordFeed)
+from dl_image_segmentation_tpu.train.trainer import (TrainConfig, Trainer,
+                                                     masked_xent_loss)
+from dl_image_segmentation_tpu.records.writers import images_to_tfrecords_mt
+from dl_image_segmentation_tpu.raster.image import encode_png
+
+
+def make_learnable_dataset(root, n=16, size=32):
+    """Chips where the label is derived from the red channel -- a task
+    the U-Net can actually learn in a few steps."""
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    for i in range(n):
+        key = f"{size}:0:10.0:43:{i}:100"
+        fn = key.replace(":", "#") + ".png"
+        img = rng.randint(0, 255, (size, size, 3), np.uint8)
+        lbl = (img[:, :, 0] > 128).astype(np.uint8)
+        with open(os.path.join(root, "images", fn), "wb") as f:
+            f.write(encode_png(img))
+        with open(os.path.join(root, "labels", fn), "wb") as f:
+            f.write(encode_png(lbl[:, :, None]))
+
+
+class TestUNet:
+    def test_forward_shapes(self):
+        m = UNet(num_classes=3, base_features=8, levels=2)
+        x = jnp.zeros((2, 32, 32, 4))
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        y = m.apply({"params": params}, x)
+        assert y.shape == (2, 32, 32, 3)
+        assert y.dtype == jnp.float32
+
+
+class TestLoss:
+    def test_nodata_masking(self):
+        logits = jnp.zeros((1, 4, 4, 2))
+        labels = jnp.full((1, 4, 4), 255, jnp.int32)
+        labels = labels.at[0, 0, 0].set(1)
+        loss, acc = masked_xent_loss(logits, labels, 255)
+        # only one valid pixel; uniform logits -> loss = log(2)
+        np.testing.assert_allclose(float(loss), np.log(2), rtol=1e-5)
+
+    def test_all_nodata_finite(self):
+        logits = jnp.zeros((1, 4, 4, 2))
+        labels = jnp.full((1, 4, 4), 255, jnp.int32)
+        loss, _ = masked_xent_loss(logits, labels, 255)
+        assert np.isfinite(float(loss))
+
+
+class TestMesh:
+    def test_mesh_and_shardings(self):
+        assert len(jax.devices()) == 8, "conftest must provide 8 devices"
+        mesh = make_mesh(n_data=4, n_model=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        m = UNet(num_classes=2, base_features=16, levels=2)
+        params = m.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+        shardings = param_shardings(mesh, params, tp_min_features=64)
+        leaves = jax.tree_util.tree_leaves(shardings)
+        assert len(leaves) > 0
+        # at least one wide conv kernel should be model-sharded
+        specs = [s.spec for s in leaves]
+        assert any(spec != jax.sharding.PartitionSpec() for spec in specs)
+
+
+class TestTrainerEndToEnd:
+    def test_loss_decreases_on_learnable_task(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_learnable_dataset(root, n=16, size=32)
+        images_to_tfrecords_mt("train", root, out, num_shards=2,
+                               num_threads=1, store_as_array=False)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=8,
+                          learning_rate=3e-3)
+        trainer = Trainer(cfg)
+        feed = TFRecordFeed(os.path.join(out, "train-*"), "rgbraw",
+                            batch_size=8, image_size=32,
+                            shuffle_buffer=8, num_workers=2)
+        losses = []
+        it = iter(DevicePrefetcher(feed.batches(), trainer.place_batch))
+        for step in range(30):
+            images, labels = next(it)
+            metrics = trainer.train_step(images, labels)
+            losses.append(metrics["loss"])
+        assert losses[-1] < losses[0] * 0.7, losses[::10]
+        stats = trainer.throughput_stats()
+        assert stats["examples_per_sec"] > 0
+        assert 0 < stats["duty_cycle"] <= 1.0
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=4)
+        trainer = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        # batch must be divisible by the data-axis size (8 devices)
+        imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 32, 32)).astype(np.int32)
+        trainer.train_step(imgs, lbls)
+        ck = str(tmp_path / "ckpt")
+        trainer.save_checkpoint(ck)
+        step_before = int(trainer.state.step)
+        p_before = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        trainer2 = Trainer(cfg)
+        trainer2.restore_checkpoint(ck)
+        assert int(trainer2.state.step) == step_before
+        p_after = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+        np.testing.assert_array_equal(np.asarray(p_before),
+                                      np.asarray(p_after))
+
+    def test_model_sharded_training_runs(self, tmp_path):
+        """dp=4 x tp=2 mesh: one step executes with sharded params."""
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=32,
+                          levels=2, image_size=32, batch_size=8, n_model=2)
+        trainer = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 32, 32)).astype(np.int32)
+        m = trainer.train_step(imgs, lbls)
+        assert np.isfinite(m["loss"])
+
+
+class TestFeed:
+    def test_feed_modes_and_shapes(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_learnable_dataset(root, n=8, size=32)
+        images_to_tfrecords_mt("t", root, out, num_shards=1,
+                               num_threads=1, store_as_array=True)
+        feed = TFRecordFeed(os.path.join(out, "t-*"), "rgbarr",
+                            batch_size=4, image_size=32, shuffle_buffer=4,
+                            num_workers=1, repeat=False)
+        batches = list(feed.batches())
+        assert len(batches) == 2
+        imgs, lbls = batches[0]
+        assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == np.float32
+        assert imgs.max() <= 1.0
+        assert lbls.shape == (4, 32, 32) and lbls.dtype == np.int32
+        assert feed.records_read == 8
+
+    def test_feed_no_repeat_stops(self, tmp_path):
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_learnable_dataset(root, n=4, size=32)
+        images_to_tfrecords_mt("t", root, out, num_shards=1, num_threads=1)
+        feed = TFRecordFeed(os.path.join(out, "t-*"), "rgbraw",
+                            batch_size=2, repeat=False, num_workers=2,
+                            shuffle_buffer=1)
+        assert len(list(feed.batches())) == 2
