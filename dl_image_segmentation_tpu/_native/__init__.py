@@ -66,6 +66,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fc_tfrecord_frame.restype = ctypes.c_uint64
         lib.fc_tfrecord_frame.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                           ctypes.c_char_p]
+        lib.fc_encode_example_framed.restype = ctypes.c_uint64
+        lib.fc_encode_example_framed.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_char_p, ctypes.c_uint64]
@@ -103,6 +111,63 @@ def tfrecord_frame(payload: bytes) -> Optional[bytes]:
     out = ctypes.create_string_buffer(len(payload) + 16)
     n = lib.fc_tfrecord_frame(payload, len(payload), out)
     return out.raw[:n]
+
+
+_framed_buf = threading.local()
+
+
+def encode_example_framed(img: bytes, img_is_bytes: bool,
+                          tgt: bytes, tgt_is_bytes: bool,
+                          ih: int, iw: int, ic: int, th: int, tw: int,
+                          ident: bytes) -> Optional[bytes]:
+    """Fused Example serialization + TFRecord frame. Payloads are the
+    already-materialised feature bytes (raw encoded image / uint8 array
+    bytes for BytesList, little-endian f32 bytes for FloatList)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    need = len(img) + len(tgt) + len(ident) + 512
+    buf = getattr(_framed_buf, "buf", None)
+    if buf is None or len(buf) < need:
+        buf = bytearray(max(need, 1 << 20))
+        _framed_buf.buf = buf
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    n = lib.fc_encode_example_framed(
+        img, len(img), int(img_is_bytes),
+        tgt, len(tgt), int(tgt_is_bytes),
+        ih, iw, ic, th, tw, ident, len(ident),
+        cbuf, len(buf))
+    del cbuf
+    if n == 0:
+        return None
+    return bytes(memoryview(buf)[:n])
+
+
+def encode_example_framed_view(img: bytes, img_is_bytes: bool,
+                               tgt: bytes, tgt_is_bytes: bool,
+                               ih: int, iw: int, ic: int, th: int, tw: int,
+                               ident: bytes):
+    """Zero-copy variant: returns a memoryview into a thread-local
+    buffer, valid only until the next call on the same thread (write it
+    to a file immediately). None when the extension is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    need = len(img) + len(tgt) + len(ident) + 512
+    buf = getattr(_framed_buf, "buf", None)
+    if buf is None or len(buf) < need:
+        buf = bytearray(max(need, 1 << 20))
+        _framed_buf.buf = buf
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    n = lib.fc_encode_example_framed(
+        img, len(img), int(img_is_bytes),
+        tgt, len(tgt), int(tgt_is_bytes),
+        ih, iw, ic, th, tw, ident, len(ident),
+        cbuf, len(buf))
+    del cbuf
+    if n == 0:
+        return None
+    return memoryview(buf)[:n]
 
 
 def lzw_encode(data: bytes) -> Optional[bytes]:

@@ -104,6 +104,143 @@ uint64_t fc_tfrecord_frame(const uint8_t* payload, uint64_t n, uint8_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// Fused tf.train.Example encode + TFRecord frame.
+//
+// Emits the 8-feature chip schema (image/*, target/*, identifier --
+// reference _tfrecord_image_translation.py:199-209) with map entries
+// sorted by key (protobuf deterministic mode), bit-identical to the
+// Python encoder in records/proto.py, directly into a caller buffer
+// already framed (length + masked CRCs). One memcpy + one CRC pass
+// over the payload instead of the ~4 copies a nested builder makes.
+// ---------------------------------------------------------------------------
+
+static inline int varint_size(uint64_t v) {
+    int n = 1;
+    while (v >= 128) { v >>= 7; n++; }
+    return n;
+}
+
+static inline uint8_t* put_varint(uint8_t* p, uint64_t v) {
+    while (v >= 128) { *p++ = (uint8_t)(v | 128); v >>= 7; }
+    *p++ = (uint8_t)v;
+    return p;
+}
+
+// Feature{ <kind>_list { value: payload } } size; kind tag byte differs
+static inline uint64_t data_feature_size(uint64_t payload_len) {
+    uint64_t inner = 1 + varint_size(payload_len) + payload_len;
+    return 1 + varint_size(inner) + inner;
+}
+
+static inline uint8_t* put_data_feature(uint8_t* p, uint8_t kind_tag,
+                                        const uint8_t* payload,
+                                        uint64_t payload_len) {
+    uint64_t inner = 1 + varint_size(payload_len) + payload_len;
+    *p++ = kind_tag;                 // 0x0A bytes_list / 0x12 float_list
+    p = put_varint(p, inner);
+    *p++ = 0x0A;                     // repeated value, field 1
+    p = put_varint(p, payload_len);
+    memcpy(p, payload, payload_len);
+    return p + payload_len;
+}
+
+static inline uint64_t int64_feature_size(int64_t v) {
+    uint64_t s = varint_size((uint64_t)v);
+    uint64_t inner = 1 + varint_size(s) + s;
+    return 1 + varint_size(inner) + inner;
+}
+
+static inline uint8_t* put_int64_feature(uint8_t* p, int64_t v) {
+    uint64_t s = varint_size((uint64_t)v);
+    uint64_t inner = 1 + varint_size(s) + s;
+    *p++ = 0x1A;                     // int64_list, field 3
+    p = put_varint(p, inner);
+    *p++ = 0x0A;                     // packed values, field 1
+    p = put_varint(p, s);
+    p = put_varint(p, (uint64_t)v);
+    return p;
+}
+
+static inline uint64_t entry_size(uint64_t klen, uint64_t flen) {
+    uint64_t entry = 1 + varint_size(klen) + klen
+                   + 1 + varint_size(flen) + flen;
+    return 1 + varint_size(entry) + entry;
+}
+
+static inline uint8_t* put_entry_header(uint8_t* p, const char* key,
+                                        uint64_t klen, uint64_t flen) {
+    uint64_t entry = 1 + varint_size(klen) + klen
+                   + 1 + varint_size(flen) + flen;
+    *p++ = 0x0A;                     // map entry, field 1 of Features
+    p = put_varint(p, entry);
+    *p++ = 0x0A;                     // key
+    p = put_varint(p, klen);
+    memcpy(p, key, klen);
+    p += klen;
+    *p++ = 0x12;                     // value (Feature)
+    p = put_varint(p, flen);
+    return p;
+}
+
+// Returns total frame length written to out, or 0 if cap insufficient.
+uint64_t fc_encode_example_framed(
+    const uint8_t* img, uint64_t img_len, int img_is_bytes,
+    const uint8_t* tgt, uint64_t tgt_len, int tgt_is_bytes,
+    int64_t ih, int64_t iw, int64_t ic, int64_t th, int64_t tw,
+    const uint8_t* ident, uint64_t ident_len,
+    uint8_t* out, uint64_t cap) {
+    // feature sizes, keys in sorted order:
+    // identifier, image/channels, image/height, image/image_data,
+    // image/width, target/height, target/target_data, target/width
+    uint64_t f_ident = data_feature_size(ident_len);
+    uint64_t f_ic = int64_feature_size(ic);
+    uint64_t f_ih = int64_feature_size(ih);
+    uint64_t f_img = data_feature_size(img_len);
+    uint64_t f_iw = int64_feature_size(iw);
+    uint64_t f_th = int64_feature_size(th);
+    uint64_t f_tgt = data_feature_size(tgt_len);
+    uint64_t f_tw = int64_feature_size(tw);
+
+    uint64_t body = entry_size(10, f_ident)
+                  + entry_size(14, f_ic) + entry_size(12, f_ih)
+                  + entry_size(16, f_img) + entry_size(11, f_iw)
+                  + entry_size(13, f_th) + entry_size(18, f_tgt)
+                  + entry_size(12, f_tw);
+    uint64_t example_len = 1 + varint_size(body) + body;
+    if (example_len + 16 > cap) return 0;
+
+    uint8_t* base = out + 12;        // payload starts after len + hcrc
+    uint8_t* p = base;
+    *p++ = 0x0A;                     // Example.features, field 1
+    p = put_varint(p, body);
+
+    p = put_entry_header(p, "identifier", 10, f_ident);
+    p = put_data_feature(p, 0x0A, ident, ident_len);
+    p = put_entry_header(p, "image/channels", 14, f_ic);
+    p = put_int64_feature(p, ic);
+    p = put_entry_header(p, "image/height", 12, f_ih);
+    p = put_int64_feature(p, ih);
+    p = put_entry_header(p, "image/image_data", 16, f_img);
+    p = put_data_feature(p, img_is_bytes ? 0x0A : 0x12, img, img_len);
+    p = put_entry_header(p, "image/width", 11, f_iw);
+    p = put_int64_feature(p, iw);
+    p = put_entry_header(p, "target/height", 13, f_th);
+    p = put_int64_feature(p, th);
+    p = put_entry_header(p, "target/target_data", 18, f_tgt);
+    p = put_data_feature(p, tgt_is_bytes ? 0x0A : 0x12, tgt, tgt_len);
+    p = put_entry_header(p, "target/width", 12, f_tw);
+    p = put_int64_feature(p, tw);
+
+    // frame
+    memcpy(out, &example_len, 8);
+    uint32_t hcrc = fc_masked_crc32c(out, 8);
+    memcpy(out + 8, &hcrc, 4);
+    uint32_t dcrc = fc_masked_crc32c(base, example_len);
+    memcpy(out + 12 + example_len, &dcrc, 4);
+    return example_len + 16;
+}
+
+// ---------------------------------------------------------------------------
 // TIFF LZW
 // ---------------------------------------------------------------------------
 

@@ -96,6 +96,54 @@ def encode_example_features(img_data, target_data, img_h, img_w, img_b,
     return proto.encode_example(features)
 
 
+def storage_payloads(img_data, target_data):
+    """Apply the promotion rule and materialise wire payloads.
+
+    Returns (img_payload, tgt_payload, is_bytes): raw bytes for
+    BytesList storage, little-endian float32 bytes for FloatList."""
+    image_is_bytes = isinstance(img_data, bytes) or _is_uint8_array(img_data)
+    target_is_bytes = isinstance(target_data, bytes) or (
+        _is_uint8_array(target_data) and image_is_bytes)
+    if image_is_bytes and target_is_bytes:
+        return (_as_bytes_payload(img_data),
+                _as_bytes_payload(target_data), True)
+    img = np.ascontiguousarray(_as_flat_float(img_data),
+                               dtype="<f4").tobytes()
+    tgt = np.ascontiguousarray(_as_flat_float(target_data),
+                               dtype="<f4").tobytes()
+    return img, tgt, False
+
+
+def write_example_framed(fileobj, img_data, target_data, img_h, img_w,
+                         img_b, target_h, target_w, identifier) -> int:
+    """Serialize + frame one example straight into an open file.
+
+    Uses the fused native encoder (one memcpy + one CRC pass) when
+    built; otherwise the Python encoder + framer. Output bytes are
+    identical either way. Returns bytes written."""
+    from .. import _native
+    if isinstance(identifier, str):
+        identifier = identifier.encode("utf-8")
+    img_p, tgt_p, is_bytes = storage_payloads(img_data, target_data)
+    mv = _native.encode_example_framed_view(
+        img_p, is_bytes, tgt_p, is_bytes,
+        int(img_h), int(img_w), int(img_b), int(target_h), int(target_w),
+        identifier) if _native.available() else None
+    if mv is not None:
+        fileobj.write(mv)
+        return len(mv)
+    rec = encode_example_features(img_data, target_data, img_h, img_w,
+                                  img_b, target_h, target_w, identifier)
+    import struct
+    from .crc32c import masked_crc32c
+    header = struct.pack("<Q", len(rec))
+    fileobj.write(header)
+    fileobj.write(struct.pack("<I", masked_crc32c(header)))
+    fileobj.write(rec)
+    fileobj.write(struct.pack("<I", masked_crc32c(rec)))
+    return len(rec) + 16
+
+
 def convert_to_example(img_data, target_data, img_h, img_w, img_b,
                        target_h, target_w, identifier) -> Example:
     """Drop-in equivalent of the reference convert_to_example

@@ -44,7 +44,7 @@ import numpy as np
 
 from ..raster.image import (decode_image_bytes, decode_jpeg, decode_png,
                             png_to_jpeg, sniff_image_info)
-from .example import encode_example_features
+from .example import write_example_framed
 from .tfrecord import TFRecordWriter, shard_filename
 
 
@@ -193,9 +193,8 @@ def _worker(worker_index: int, ranges, name: str,
             if store_as_array and isinstance(lbl_buf, np.ndarray) \
                     and lbl_buf.ndim == 3 and lbl_buf.shape[2] == 1:
                 lbl_buf = lbl_buf[:, :, 0]
-            rec = encode_example_features(img_buf, lbl_buf, ih, iw, ib,
-                                          lh, lw, ikey)
-            writer.write(rec)
+            write_example_framed(writer._f, img_buf, lbl_buf, ih, iw, ib,
+                                 lh, lw, ikey)
             shard_counter += 1
             counter += 1
             if progress_every and not counter % progress_every:

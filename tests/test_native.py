@@ -90,3 +90,33 @@ class TestNativeSpeed:
         _native.lzw_encode(data)
         dt = time.perf_counter() - t0
         assert (1 << 20) / dt > 30e6, f"lzw too slow: {(1<<20)/dt/1e6:.1f} MB/s"
+
+
+class TestFusedExampleEncoder:
+    def test_bitidentical_to_python_encoder(self):
+        import io
+        import struct
+        from dl_image_segmentation_tpu.records.example import (
+            convert_to_example, write_example_framed)
+        from dl_image_segmentation_tpu.records.crc32c import masked_crc32c
+        rng = np.random.RandomState(0)
+        cases = [
+            (rng.randint(0, 255, (16, 16, 3), np.uint8),
+             rng.randint(0, 2, (16, 16), np.uint8)),           # bytes mode
+            (b"\x89PNG fake bytes", b"\x89PNG other bytes"),    # raw bytes
+            (rng.rand(8, 8, 13).astype(np.float32),
+             rng.randint(0, 3, (8, 8), np.uint8)),              # float mode
+            (rng.randint(0, 4000, (8, 8, 4), np.uint16),
+             rng.randint(0, 2, (8, 8), np.uint8)),              # promoted
+        ]
+        for i, (img, tgt) in enumerate(cases):
+            buf = io.BytesIO()
+            write_example_framed(buf, img, tgt, 16, 16, 3, 16, 16,
+                                 "k:1:2")
+            framed = buf.getvalue()
+            rec = convert_to_example(img, tgt, 16, 16, 3, 16, 16,
+                                     "k:1:2").SerializeToString()
+            header = struct.pack("<Q", len(rec))
+            expect = (header + struct.pack("<I", masked_crc32c(header))
+                      + rec + struct.pack("<I", masked_crc32c(rec)))
+            assert framed == expect, f"case {i}"
