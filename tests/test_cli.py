@@ -1,0 +1,91 @@
+"""CLI smoke tests (in-process, CPU): the full three-workload flow
+through the argparse surface, plus tile-plan persistence."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dl_image_segmentation_tpu.cli import main as cli_main
+from dl_image_segmentation_tpu.geo import crs, Tile
+from dl_image_segmentation_tpu.geo.tilegrid import tiles_to_layer
+from dl_image_segmentation_tpu.geo.vector import open_vector, write_geojson
+
+
+@pytest.fixture()
+def labels_path(tmp_path):
+    feats = []
+    e0, n0 = crs.lonlat_to_utm(72.85, 19.05, 43)
+    ring = [[e0, n0], [e0 + 500, n0], [e0 + 500, n0 + 400],
+            [e0, n0 + 400], [e0, n0]]
+    lonlat = [list(map(float, crs.utm_to_lonlat(x, y, 43)))
+              for x, y in ring]
+    feats.append({"type": "Feature",
+                  "geometry": {"type": "Polygon",
+                               "coordinates": [lonlat]},
+                  "properties": {"cls": 1}})
+    p = tmp_path / "labels.geojson"
+    p.write_text(json.dumps({"type": "FeatureCollection",
+                             "features": feats}))
+    return str(p)
+
+
+class TestCLIFlow:
+    def test_full_flow(self, tmp_path, labels_path, capsys):
+        chips = str(tmp_path / "chips")
+        rc = cli_main([
+            "create-chips", "--labels", labels_path, "--attribute", "cls",
+            "--product", "sentinel-2:L1C", "--bands", "red green blue",
+            "--tile-size", "32", "--pad", "2", "--resolution", "10.0",
+            "--out", chips, "--tag", "s2", "--loc", "T", "--year", "2020",
+            "--ref-date", "2020-11-01", "--catalog", "synthetic",
+            "--workers", "2", "--max-attempts", "2"])
+        assert rc == 0
+        chip_dir = os.path.join(chips, "s2_10.0m_2pad_32_T_2020")
+        assert os.path.isdir(os.path.join(chip_dir, "images"))
+        n_chips = len(os.listdir(os.path.join(chip_dir, "images")))
+        assert n_chips >= 1
+
+        recs = str(tmp_path / "recs")
+        rc = cli_main([
+            "to-tfrecords", "--name", "t", "--directory", chip_dir,
+            "--out", recs, "--shards", "2", "--workers", "2",
+            "--engine", "mp", "--store-as-array"])
+        assert rc == 0
+
+        rc = cli_main(["inspect", "--records", os.path.join(recs, "t-*"),
+                       "--verify-crc"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert f"{n_chips} records" in out
+        assert "image/image_data" in out
+
+        ck = str(tmp_path / "ck")
+        rc = cli_main([
+            "train", "--records", os.path.join(recs, "t-*"),
+            "--mode", "tifarr", "--classes", "2", "--channels", "3",
+            "--features", "8", "--levels", "1", "--image-size", "32",
+            "--batch-size", "8", "--steps", "2", "--log-every", "1",
+            "--checkpoint", ck])
+        assert rc == 0
+        assert os.path.exists(ck)
+        out = capsys.readouterr().out
+        assert "loss=" in out
+
+
+class TestTilePlanPersistence:
+    def test_roundtrip_via_geojson(self, tmp_path):
+        tiles = [Tile.from_key("60:2:10.0:43:-380:3491"),
+                 Tile.from_key("60:2:10.0:43:-379:3491")]
+        layer = tiles_to_layer(tiles)
+        p = str(tmp_path / "tiles.geojson")
+        write_geojson(p, layer)
+        lyr = open_vector(p).get_layer(0)
+        keys = [f.properties["key"] for f in lyr.features]
+        assert keys == [t.key for t in tiles]
+        # footprints should contain the tile centres
+        for f, t in zip(lyr.features, tiles):
+            lon, lat = t.center_lonlat
+            b = f.geometry.bounds
+            assert b[0] <= lon <= b[2] and b[1] <= lat <= b[3]
