@@ -96,16 +96,29 @@ def cmd_train(args) -> int:
                         image_size=args.image_size,
                         shuffle_buffer=args.shuffle_buffer,
                         num_workers=args.workers)
-    it = iter(DevicePrefetcher(feed.batches(), trainer.place_batch))
-    for step in range(args.steps):
-        images, labels = next(it)
-        metrics = trainer.train_step(images, labels)
-        if step % args.log_every == 0 or step == args.steps - 1:
-            stats = trainer.throughput_stats()
-            print(f"step {step}: loss={metrics['loss']:.4f} "
-                  f"acc={metrics['accuracy']:.4f} "
-                  f"imgs/s={stats['examples_per_sec']:.1f} "
-                  f"duty={stats['duty_cycle']:.3f}")
+    if args.scan_steps > 0:
+        # device-resident pool mode: K steps per dispatch (fastest on
+        # TPU; see train/pool.py)
+        from .train.pool import DeviceDataPool
+        pool = DeviceDataPool.from_feed(feed.batches(), args.pool_size)
+        out = trainer.train_scanned(
+            pool, total_steps=args.steps,
+            steps_per_dispatch=args.scan_steps,
+            refresh_feed=feed.batches())
+        print(f"final: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
+              f"imgs/s={out['examples_per_sec']:.1f} "
+              f"duty={out['duty_cycle']:.3f}")
+    else:
+        it = iter(DevicePrefetcher(feed.batches(), trainer.place_batch))
+        for step in range(args.steps):
+            images, labels = next(it)
+            metrics = trainer.train_step(images, labels)
+            if step % args.log_every == 0 or step == args.steps - 1:
+                stats = trainer.throughput_stats()
+                print(f"step {step}: loss={metrics['loss']:.4f} "
+                      f"acc={metrics['accuracy']:.4f} "
+                      f"imgs/s={stats['examples_per_sec']:.1f} "
+                      f"duty={stats['duty_cycle']:.3f}")
     if args.checkpoint:
         trainer.save_checkpoint(os.path.abspath(args.checkpoint))
         print(f"checkpoint saved to {args.checkpoint}")
@@ -194,6 +207,10 @@ def main(argv=None) -> int:
     tr.add_argument("--steps", type=int, default=100)
     tr.add_argument("--nodata", type=int, default=255)
     tr.add_argument("--n-model", type=int, default=1)
+    tr.add_argument("--scan-steps", type=int, default=0,
+                    help="steps per dispatch via a device-resident pool "
+                         "(0 = classic per-step feed)")
+    tr.add_argument("--pool-size", type=int, default=1024)
     tr.add_argument("--shuffle-buffer", type=int, default=256)
     tr.add_argument("--workers", type=int, default=4)
     tr.add_argument("--log-every", type=int, default=10)

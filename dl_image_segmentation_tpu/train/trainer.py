@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +139,86 @@ class Trainer:
                     {"loss": loss, "accuracy": acc})
 
         return step
+
+    def _build_scan_step(self, k: int, batch_size: int, scale: float):
+        """K optimizer steps per dispatch over a device-resident pool
+        (see train/pool.py): batch sampling, augmentation-free forward/
+        backward, and the optimizer update all run inside one lax.scan
+        -- zero host round-trips between steps."""
+        from .pool import sample_batch
+        cfg = self.config
+        model = self.model
+        tx = self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnums=(4,))
+        def scan_steps(state, key, pool_images, pool_labels, steps):
+            def body(carry, _):
+                st, ky = carry
+                ky, sub = jax.random.split(ky)
+                images, labels = sample_batch(
+                    sub, pool_images, pool_labels, batch_size, scale)
+
+                def loss_fn(params):
+                    logits = model.apply({"params": params}, images)
+                    return masked_xent_loss(logits, labels,
+                                            cfg.label_nodata)
+
+                (loss, acc), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(st.params)
+                updates, opt_state = tx.update(grads, st.opt_state,
+                                               st.params)
+                params = optax.apply_updates(st.params, updates)
+                return ((TrainState(params, opt_state, st.step + 1), ky),
+                        (loss, acc))
+
+            (state, key), (losses, accs) = jax.lax.scan(
+                body, (state, key), None, length=steps)
+            return state, key, losses, accs
+
+        return scan_steps
+
+    def train_scanned(self, pool, total_steps: int,
+                      steps_per_dispatch: int = 20,
+                      refresh_feed: Optional[Iterator] = None,
+                      refresh_every: int = 1,
+                      seed: int = 0) -> Dict[str, float]:
+        """Train from a DeviceDataPool with K steps per dispatch.
+
+        refresh_feed: optional iterator of (images, labels) host batches
+        used to rotate fresh data into the pool every ``refresh_every``
+        dispatches. Returns final metrics + throughput stats."""
+        cfg = self.config
+        scan = self._build_scan_step(steps_per_dispatch, cfg.batch_size,
+                                     pool.scale)
+        key = jax.device_put(jax.random.PRNGKey(seed))
+        if self.wall_start is None:
+            self.wall_start = time.perf_counter()
+        done = 0
+        offset = 0
+        losses = accs = None
+        dispatch = 0
+        while done < total_steps:
+            k = min(steps_per_dispatch, total_steps - done)
+            t0 = time.perf_counter()
+            self.state, key, losses, accs = scan(
+                self.state, key, pool.images, pool.labels, k)
+            if refresh_feed is not None and \
+                    dispatch % max(1, refresh_every) == 0:
+                try:
+                    imgs, lbls = next(refresh_feed)
+                    pool.refresh(imgs, lbls, offset)
+                    offset = (offset + len(imgs)) % max(
+                        1, pool.size - len(imgs) + 1)
+                except StopIteration:
+                    refresh_feed = None
+            jax.block_until_ready(losses)
+            self.device_seconds += time.perf_counter() - t0
+            done += k
+            dispatch += 1
+            self.examples_seen += k * cfg.batch_size
+        return {"loss": float(losses[-1]), "accuracy": float(accs[-1]),
+                **self.throughput_stats()}
 
     # -- public API ---------------------------------------------------------
     def place_batch(self, images: np.ndarray, labels: np.ndarray):

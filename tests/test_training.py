@@ -165,3 +165,49 @@ class TestFeed:
                             batch_size=2, repeat=False, num_workers=2,
                             shuffle_buffer=1)
         assert len(list(feed.batches())) == 2
+
+
+class TestScannedTraining:
+    def test_pool_scan_learns(self):
+        """Device-resident pool + K-step scan: loss decreases on a
+        learnable mapping (label = red channel threshold)."""
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 255, (64, 32, 32, 3), np.uint8)
+        lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=8)
+        trainer = Trainer(cfg)
+        first = trainer.train_scanned(pool, total_steps=5,
+                                      steps_per_dispatch=5)
+        out = trainer.train_scanned(pool, total_steps=40,
+                                    steps_per_dispatch=20)
+        assert out["loss"] < first["loss"] * 0.8
+        assert int(trainer.state.step) == 45
+
+    def test_pool_refresh(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(1)
+        imgs = rng.randint(0, 255, (16, 8, 8, 3), np.uint8)
+        lbls = rng.randint(0, 2, (16, 8, 8)).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        new_imgs = np.full((4, 8, 8, 3), 7, np.uint8)
+        new_lbls = np.ones((4, 8, 8), np.uint8)
+        pool.refresh(new_imgs, new_lbls, offset=2)
+        got = np.asarray(pool.images)
+        np.testing.assert_array_equal(got[2:6], new_imgs)
+        np.testing.assert_array_equal(got[:2], imgs[:2])
+
+    def test_pool_from_feed(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(2)
+
+        def gen():
+            for _ in range(10):
+                yield (rng.randint(0, 255, (4, 8, 8, 3), np.uint8),
+                       rng.randint(0, 2, (4, 8, 8)).astype(np.uint8))
+
+        pool = DeviceDataPool.from_feed(gen(), 12)
+        assert pool.size == 12
+        assert abs(pool.scale - 1 / 255.0) < 1e-9
