@@ -125,6 +125,52 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Run the model over a chip folder and write georeferenced
+    prediction GeoTIFFs (usable as a LocalCatalog product for the
+    multi-product stacking flow, reference :472-518)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from .raster.geotiff import read_geotiff, write_geotiff
+    from .train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(num_classes=args.classes, in_channels=args.channels,
+                      base_features=args.features, levels=args.levels,
+                      image_size=args.image_size,
+                      batch_size=args.batch_size)
+    trainer = Trainer(cfg)
+    trainer.restore_checkpoint(args.checkpoint)
+    os.makedirs(args.out, exist_ok=True)
+    files = sorted(_glob.glob(os.path.join(args.images, "*.tif")))
+    if not files:
+        print(f"no .tif chips in {args.images}")
+        return 1
+    wrote = 0
+    for i in range(0, len(files), args.batch_size):
+        chunk = files[i:i + args.batch_size]
+        gs = [read_geotiff(f) for f in chunk]
+        imgs = np.stack([g.array for g in gs]).astype(np.float32)
+        if imgs.max() > 1.0:
+            imgs = imgs / (255.0 if imgs.max() <= 255 else 65535.0)
+        # pad the final batch to the compiled batch size
+        n_real = len(chunk)
+        if n_real < args.batch_size:
+            pad = np.zeros((args.batch_size - n_real,) + imgs.shape[1:],
+                           imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        preds = trainer.predict(imgs)[:n_real]
+        for f, g, p in zip(chunk, gs, preds):
+            out_path = os.path.join(args.out, os.path.basename(f))
+            write_geotiff(out_path, p.astype(np.uint8),
+                          geotransform=g.info.geotransform,
+                          epsg=g.info.epsg)
+            wrote += 1
+    print(f"wrote {wrote} prediction chips to {args.out}")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     import glob
     from .records.tfrecord import read_records
@@ -217,6 +263,19 @@ def main(argv=None) -> int:
     tr.add_argument("--checkpoint", default=None)
     tr.add_argument("--restore", default=None)
     tr.set_defaults(fn=cmd_train)
+
+    pr = sub.add_parser("predict", help="chips -> prediction GeoTIFFs")
+    pr.add_argument("--images", required=True,
+                    help="folder of .tif chips (an /images folder)")
+    pr.add_argument("--checkpoint", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--classes", type=int, default=2)
+    pr.add_argument("--channels", type=int, default=3)
+    pr.add_argument("--features", type=int, default=32)
+    pr.add_argument("--levels", type=int, default=4)
+    pr.add_argument("--image-size", type=int, default=256)
+    pr.add_argument("--batch-size", type=int, default=8)
+    pr.set_defaults(fn=cmd_predict)
 
     i = sub.add_parser("inspect", help="summarize TFRecord shards")
     i.add_argument("--records", required=True)

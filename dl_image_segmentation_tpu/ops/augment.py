@@ -70,3 +70,42 @@ def normalize(images: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray
               ) -> jnp.ndarray:
     """(x - mean) / std per channel, in bfloat16-friendly float32."""
     return (images - mean) / std
+
+
+def _rotate_one(img: jnp.ndarray, angle: jnp.ndarray, order: int,
+                cval: float) -> jnp.ndarray:
+    """Rotate (H, W[, C]) about the centre by ``angle`` radians using
+    map_coordinates (order 1 for imagery, 0 for label ids)."""
+    from jax.scipy.ndimage import map_coordinates
+    h, w = img.shape[0], img.shape[1]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    sy = cy + (yy - cy) * ca - (xx - cx) * sa
+    sx = cx + (yy - cy) * sa + (xx - cx) * ca
+    if img.ndim == 2:
+        return map_coordinates(img, [sy, sx], order=order, cval=cval)
+    chans = [map_coordinates(img[..., c], [sy, sx], order=order, cval=cval)
+             for c in range(img.shape[-1])]
+    return jnp.stack(chans, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_degrees", "fill_label"))
+def random_rotate_pairs(key: jax.Array, images: jnp.ndarray,
+                        labels: jnp.ndarray, max_degrees: float = 180.0,
+                        fill_label: int = 255
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Arbitrary-angle rotation augmentation (the reference's scipy
+    rotation / Keras RandomRotation sketches, parse nb cells 47-56),
+    fully on device: bilinear for images, nearest for labels, exposed
+    corners filled with 0 / the label nodata value so the loss mask
+    ignores them."""
+    n = images.shape[0]
+    angles = jax.random.uniform(key, (n,), minval=-1.0, maxval=1.0) \
+        * (max_degrees * jnp.pi / 180.0)
+    rot_i = jax.vmap(lambda im, a: _rotate_one(im, a, 1, 0.0))(
+        images, angles)
+    rot_l = jax.vmap(lambda lb, a: _rotate_one(
+        lb.astype(jnp.float32), a, 0, float(fill_label)))(labels, angles)
+    return rot_i, rot_l.astype(labels.dtype)

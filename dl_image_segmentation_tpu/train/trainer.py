@@ -68,6 +68,26 @@ jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
 
 
+def masked_miou(pred: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
+                nodata: int) -> jnp.ndarray:
+    """Mean intersection-over-union over classes, ignoring nodata
+    pixels. pred/labels: integer class maps of the same shape."""
+    valid = labels != nodata
+    safe = jnp.where(valid, labels, 0)
+    ious = []
+    for c in range(num_classes):
+        p = (pred == c) & valid
+        t = (safe == c) & valid
+        inter = jnp.sum(p & t)
+        union = jnp.sum(p | t)
+        ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1),
+                              jnp.nan))
+    ious = jnp.stack(ious)
+    present = ~jnp.isnan(ious)
+    return jnp.sum(jnp.where(present, ious, 0.0)) / jnp.maximum(
+        jnp.sum(present), 1)
+
+
 def masked_xent_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                      nodata: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Softmax cross-entropy ignoring nodata pixels. Returns
@@ -243,6 +263,55 @@ class Trainer:
         self.state, metrics = self._step_fn(self.state, images, labels)
         self.examples_seen += images.shape[0]
         return metrics
+
+    # -- evaluation / inference ----------------------------------------------
+    def _build_predict(self):
+        model = self.model
+
+        @jax.jit
+        def predict(params, images):
+            logits = model.apply({"params": params}, images)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        return predict
+
+    def predict(self, images) -> np.ndarray:
+        """Class map for a host batch (N, H, W, C) -> (N, H, W) int32."""
+        if not hasattr(self, "_predict_fn"):
+            self._predict_fn = self._build_predict()
+        if isinstance(images, np.ndarray):
+            images = self.place_batch(images, np.zeros(
+                (images.shape[0],), np.int32))[0]
+        return np.asarray(self._predict_fn(self.state.params, images))
+
+    def evaluate(self, batches, max_batches: Optional[int] = None
+                 ) -> Dict[str, float]:
+        """mIoU / accuracy / loss over an iterator of (images, labels)."""
+        cfg = self.config
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, images, labels):
+            logits = model.apply({"params": params}, images)
+            loss, acc = masked_xent_loss(logits, labels, cfg.label_nodata)
+            pred = jnp.argmax(logits, axis=-1)
+            miou = masked_miou(pred, labels, cfg.num_classes,
+                               cfg.label_nodata)
+            return loss, acc, miou
+
+        losses, accs, mious = [], [], []
+        for i, (images, labels) in enumerate(batches):
+            if max_batches is not None and i >= max_batches:
+                break
+            if isinstance(images, np.ndarray):
+                images, labels = self.place_batch(images, labels)
+            loss, acc, miou = eval_step(self.state.params, images, labels)
+            losses.append(float(loss))
+            accs.append(float(acc))
+            mious.append(float(miou))
+        n = max(len(losses), 1)
+        return {"loss": sum(losses) / n, "accuracy": sum(accs) / n,
+                "miou": sum(mious) / n, "batches": len(losses)}
 
     # -- metrics -------------------------------------------------------------
     def throughput_stats(self) -> Dict[str, float]:

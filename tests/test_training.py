@@ -211,3 +211,55 @@ class TestScannedTraining:
         pool = DeviceDataPool.from_feed(gen(), 12)
         assert pool.size == 12
         assert abs(pool.scale - 1 / 255.0) < 1e-9
+
+
+class TestEvalAndPredict:
+    def test_miou_known_values(self):
+        from dl_image_segmentation_tpu.train.trainer import masked_miou
+        pred = jnp.array([[0, 0, 1, 1]])
+        lbls = jnp.array([[0, 1, 1, 255]])
+        # class0: inter 1 union 2 -> 0.5; class1: inter 1 union 2 -> 0.5
+        miou = masked_miou(pred, lbls, 2, 255)
+        np.testing.assert_allclose(float(miou), 0.5, rtol=1e-6)
+
+    def test_miou_absent_class_ignored(self):
+        from dl_image_segmentation_tpu.train.trainer import masked_miou
+        pred = jnp.array([[0, 0]])
+        lbls = jnp.array([[0, 0]])
+        miou = masked_miou(pred, lbls, 3, 255)
+        np.testing.assert_allclose(float(miou), 1.0)
+
+    def test_evaluate_and_predict(self):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=1, image_size=16, batch_size=8)
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 16, 16, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 16, 16)).astype(np.int32)
+        out = tr.evaluate([(imgs, lbls)])
+        assert set(out) == {"loss", "accuracy", "miou", "batches"}
+        assert out["batches"] == 1
+        p = tr.predict(imgs)
+        assert p.shape == (8, 16, 16) and p.dtype == np.int32
+        assert set(np.unique(p)) <= {0, 1}
+
+
+class TestRotateAugment:
+    def test_rotation_preserves_alignment_and_fill(self):
+        from dl_image_segmentation_tpu.ops.augment import (
+            random_rotate_pairs)
+        imgs = np.zeros((4, 17, 17, 1), np.float32)
+        imgs[:, 4:13, 4:13, 0] = 1.0
+        lbls = np.zeros((4, 17, 17), np.int32)
+        lbls[:, 4:13, 4:13] = 1
+        ri, rl = random_rotate_pairs(jax.random.PRNGKey(3),
+                                     jnp.asarray(imgs), jnp.asarray(lbls),
+                                     max_degrees=45.0, fill_label=255)
+        ri = np.asarray(ri)
+        rl = np.asarray(rl)
+        assert ri.shape == imgs.shape and rl.shape == lbls.shape
+        # centre pixel of the square stays in class 1
+        assert (rl[:, 8, 8] == 1).all()
+        # image/label agreement away from interpolation boundaries
+        interior = ri[:, :, :, 0] > 0.99
+        assert (rl[interior] == 1).all()

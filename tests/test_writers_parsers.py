@@ -200,3 +200,40 @@ class TestTFInterop:
             key = feats["identifier"].numpy().decode()
             np.testing.assert_array_equal(
                 img, truth[key][0].astype(np.float32))
+
+
+class TestFailureProtocol:
+    def test_corrupt_file_skipped(self, tmp_path, capsys):
+        """A garbage file in images/ is skipped with a message and the
+        rest of the dataset still writes (reference skip protocol,
+        _img_to_tf_mp.py:127-136)."""
+        root = str(tmp_path / "chips")
+        truth = make_png_dataset(root, n=4)
+        bad = os.path.join(root, "images", "64#0#10.0#43#1#1.png")
+        with open(bad, "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+        with open(os.path.join(root, "labels",
+                               os.path.basename(bad)), "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+        out = str(tmp_path / "recs")
+        n = images_to_tfrecords_mt("t", root, out, num_shards=1,
+                                   num_threads=1, store_as_array=True)
+        assert n == len(truth)  # corrupt pair skipped, others written
+        assert "SKIPPED" in capsys.readouterr().out
+
+
+class TestHostSharding:
+    def test_host_shard_files_partition(self, monkeypatch):
+        import jax
+        from dl_image_segmentation_tpu.pipeline.input import (
+            host_shard_files)
+        files = [f"s-{i:05d}" for i in range(10)]
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        got = []
+        for pidx in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda p=pidx: p)
+            got.append(host_shard_files(files))
+        # disjoint, complete, round-robin
+        flat = [f for g in got for f in g]
+        assert sorted(flat) == files
+        assert got[0] == ["s-00000", "s-00004", "s-00008"]
