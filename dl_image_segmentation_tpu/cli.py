@@ -171,6 +171,14 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_stitch(args) -> int:
+    from .pipeline.stitch import stitch_folder
+    n, shape = stitch_folder(args.chips, args.out,
+                             fill_value=args.fill)
+    print(f"stitched {n} tiles into {args.out} ({shape[0]}x{shape[1]})")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     import glob
     from .records.tfrecord import read_records
@@ -276,6 +284,13 @@ def main(argv=None) -> int:
     pr.add_argument("--image-size", type=int, default=256)
     pr.add_argument("--batch-size", type=int, default=8)
     pr.set_defaults(fn=cmd_predict)
+
+    stp = sub.add_parser("stitch", help="chips -> one GeoTIFF mosaic")
+    stp.add_argument("--chips", required=True,
+                     help="folder of tile-key-named .tif chips")
+    stp.add_argument("--out", required=True)
+    stp.add_argument("--fill", type=float, default=0)
+    stp.set_defaults(fn=cmd_stitch)
 
     i = sub.add_parser("inspect", help="summarize TFRecord shards")
     i.add_argument("--records", required=True)

@@ -1,0 +1,95 @@
+"""Stitch per-tile chips back into a seamless georeferenced mosaic.
+
+The inverse of the tiling step: tile rasters carry ``pad`` pixels of
+overlap on every side (README.md:13-15 of the reference); stitching
+strips the padding and pastes each tile's unpadded core into a single
+raster on the common grid. Used to assemble model predictions (from
+``dlseg-tpu predict``) into one map, completing the
+chips -> train -> predict -> mosaic loop the reference only sketches
+(its stack_products_for_tile consumes such mosaics from the remote
+catalog, _descartes_img_chips.py:472-518).
+
+All tiles must share zone + resolution + tile size (one grid). Output
+is written with our GeoTIFF codec, LZW tiled, georeferenced.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..geo.tilegrid import Tile
+from ..raster.geotiff import GeoTIFF, RasterInfo, read_geotiff, write_geotiff
+
+
+def stitch_tiles(
+    chips: Dict[Tile, np.ndarray],
+    fill_value: float = 0,
+    dtype=None,
+) -> Tuple[np.ndarray, Tuple[float, ...], int]:
+    """Merge {tile: padded array (H, W[, B])} into one mosaic.
+
+    Returns (mosaic, geotransform, epsg)."""
+    if not chips:
+        raise ValueError("no chips to stitch")
+    tiles = list(chips)
+    t0 = tiles[0]
+    for t in tiles:
+        if (t.zone != t0.zone or t.resolution != t0.resolution
+                or t.tilesize != t0.tilesize or t.pad != t0.pad):
+            raise ValueError(
+                f"tile {t.key} is not on the same grid as {t0.key}")
+    ti_min = min(t.ti for t in tiles)
+    ti_max = max(t.ti for t in tiles)
+    tj_min = min(t.tj for t in tiles)
+    tj_max = max(t.tj for t in tiles)
+    ts = t0.tilesize
+    width = (ti_max - ti_min + 1) * ts
+    height = (tj_max - tj_min + 1) * ts
+
+    sample = np.asarray(chips[t0])
+    bands = 1 if sample.ndim == 2 else sample.shape[2]
+    out_dtype = dtype or sample.dtype
+    mosaic = np.full((height, width, bands), fill_value, dtype=out_dtype)
+
+    pad = t0.pad
+    for t, arr in chips.items():
+        arr = np.asarray(arr)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        core = arr[pad:pad + ts, pad:pad + ts, :]
+        # row 0 of the mosaic is the NORTHERNMOST row: tj_max at top
+        row0 = (tj_max - t.tj) * ts
+        col0 = (t.ti - ti_min) * ts
+        mosaic[row0:row0 + ts, col0:col0 + ts, :] = core
+
+    # geotransform of the mosaic (top-left of the northwest tile core)
+    x0 = t0.bounds_unpadded[0] + (ti_min - t0.ti) * t0.span_m
+    y1 = t0.bounds_unpadded[3] + (tj_max - t0.tj) * t0.span_m
+    gt = (x0, t0.resolution, 0.0, y1, 0.0, -t0.resolution)
+    return mosaic.squeeze(-1) if bands == 1 else mosaic, gt, \
+        32600 + t0.zone
+
+
+def stitch_folder(chip_dir: str, out_path: str,
+                  fill_value: float = 0) -> Tuple[int, Tuple[int, int]]:
+    """Stitch every chip in a folder (tile-key filenames) into one
+    GeoTIFF. Returns (n_tiles, (height, width))."""
+    files = sorted(_glob.glob(os.path.join(chip_dir, "*.tif")))
+    if not files:
+        raise FileNotFoundError(f"no .tif chips in {chip_dir}")
+    chips: Dict[Tile, np.ndarray] = {}
+    nodata: Optional[float] = None
+    for f in files:
+        tile = Tile.from_filename(os.path.basename(f))
+        g = read_geotiff(f)
+        chips[tile] = g.array
+        if nodata is None:
+            nodata = g.info.nodata
+    mosaic, gt, epsg = stitch_tiles(chips, fill_value=fill_value)
+    write_geotiff(out_path, mosaic, geotransform=gt, epsg=epsg,
+                  nodata=nodata)
+    return len(chips), mosaic.shape[:2]

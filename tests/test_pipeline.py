@@ -284,3 +284,47 @@ class TestLocalCatalog:
         # each 20 m pixel covers a 2x2 block of 10 m pixels
         np.testing.assert_array_equal(stack[0, 0:2, 0:2, 0], 0)
         np.testing.assert_array_equal(stack[0, 0:2, 2:4, 0], 1)
+
+
+class TestStitch:
+    def test_stitch_roundtrip(self, tmp_path):
+        """create chips on a 2x2 tile block -> stitch -> values land at
+        the right geographic positions with padding stripped."""
+        from dl_image_segmentation_tpu.pipeline.stitch import (
+            stitch_folder, stitch_tiles)
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            read_geotiff, write_geotiff)
+        tiles = [Tile(60, 2, 10.0, ZONE, -380 + di, 3491 + dj)
+                 for di in (0, 1) for dj in (0, 1)]
+        chip_dir = str(tmp_path / "preds")
+        os.makedirs(chip_dir)
+        for k, t in enumerate(tiles):
+            arr = np.full((64, 64), k + 1, np.uint8)
+            write_geotiff(os.path.join(chip_dir, t.filename + ".tif"),
+                          arr, geotransform=t.geotrans,
+                          epsg=32600 + ZONE, nodata=255)
+        out = str(tmp_path / "mosaic.tif")
+        n, shape = stitch_folder(chip_dir, out)
+        assert n == 4 and shape == (120, 120)
+        g = read_geotiff(out)
+        assert g.info.epsg == 32600 + ZONE
+        assert g.info.nodata == 255
+        # geotransform origin = NW corner of the tile block (unpadded)
+        west = min(t.bounds_unpadded[0] for t in tiles)
+        north = max(t.bounds_unpadded[3] for t in tiles)
+        assert g.info.geotransform[0] == west
+        assert g.info.geotransform[3] == north
+        # tile (di=0, dj=1) is the NW quadrant -> value of its index
+        arrs = {(t.ti, t.tj): k + 1 for k, t in enumerate(tiles)}
+        m = g.array[:, :, 0]
+        assert m[0, 0] == arrs[(-380, 3492)]
+        assert m[119, 119] == arrs[(-379, 3491)]
+        assert m[0, 119] == arrs[(-379, 3492)]
+        assert m[119, 0] == arrs[(-380, 3491)]
+
+    def test_mixed_grid_rejected(self):
+        from dl_image_segmentation_tpu.pipeline.stitch import stitch_tiles
+        a = Tile(60, 2, 10.0, 43, 0, 0)
+        b = Tile(60, 2, 20.0, 43, 0, 1)
+        with pytest.raises(ValueError):
+            stitch_tiles({a: np.zeros((64, 64)), b: np.zeros((64, 64))})
