@@ -158,9 +158,14 @@ def _load_any(path: str, dltile_from_filename: bool, decode: bool):
 def _worker(worker_index: int, ranges, name: str,
             img_files: Sequence[str], lbl_files: Sequence[str],
             out_dir: str, num_shards: int, loader, loader_args: tuple,
-            store_as_array: bool, progress_every: int) -> int:
+            store_as_array: bool, progress_every: int,
+            shard_base: int = 0, total_shards: Optional[int] = None) -> int:
     """Writes this worker's contiguous range of shards. Returns the
-    number of examples written."""
+    number of examples written. ``num_shards`` is this host's shard
+    count; ``shard_base``/``total_shards`` keep shard numbering global
+    in multi-host runs."""
+    if total_shards is None:
+        total_shards = num_shards
     num_workers = len(ranges)
     assert not num_shards % num_workers
     shards_per_worker = num_shards // num_workers
@@ -170,9 +175,9 @@ def _worker(worker_index: int, ranges, name: str,
     files_in_worker = ranges[worker_index][1] - ranges[worker_index][0]
     counter = 0
     for s in range(shards_per_worker):
-        shard = worker_index * shards_per_worker + s
+        shard = shard_base + worker_index * shards_per_worker + s
         output_file = os.path.join(
-            out_dir, shard_filename(name, shard, num_shards))
+            out_dir, shard_filename(name, shard, total_shards))
         writer = TFRecordWriter(output_file)
         shard_counter = 0
         for i in range(shard_ranges[s], shard_ranges[s + 1]):
@@ -213,10 +218,29 @@ def _process_dataset(name: str, directory: str, out_directory: str,
                      loader, loader_args: tuple,
                      store_as_array: bool,
                      file_ext: Optional[Sequence[str]],
-                     progress_every: int) -> int:
+                     progress_every: int,
+                     host_index: int = 0, host_count: int = 1) -> int:
     assert not num_shards % num_workers, (
         "Num shards must be a multiple of num workers (incl 1*)")
     img_files, lbl_files = _find_image_files(directory, file_ext)
+    shard_base = 0
+    local_shards = num_shards
+    if host_count > 1:
+        # multi-host: each host owns a contiguous slice of the (already
+        # deterministically shuffled) file list and a matching shard
+        # range; shard numbering stays global so the combined output is
+        # identical to a single-host run (SURVEY.md section 2.3 P2)
+        assert not num_shards % host_count, (
+            "num_shards must divide evenly across hosts")
+        n = len(img_files)
+        lo = n * host_index // host_count
+        hi = n * (host_index + 1) // host_count
+        img_files = img_files[lo:hi]
+        lbl_files = lbl_files[lo:hi]
+        local_shards = num_shards // host_count
+        shard_base = local_shards * host_index
+        assert not local_shards % num_workers, (
+            "per-host shard count must be a multiple of num workers")
     os.makedirs(out_directory, exist_ok=True)
     spacing = np.linspace(0, len(img_files), num_workers + 1).astype(int)
     ranges = [[spacing[i], spacing[i + 1]] for i in range(num_workers)]
@@ -224,14 +248,16 @@ def _process_dataset(name: str, directory: str, out_directory: str,
     sys.stdout.flush()
     if num_workers == 1:
         total = _worker(0, ranges, name, img_files, lbl_files,
-                        out_directory, num_shards, loader, loader_args,
-                        store_as_array, progress_every)
+                        out_directory, local_shards, loader, loader_args,
+                        store_as_array, progress_every,
+                        shard_base=shard_base, total_shards=num_shards)
     else:
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             futs = [
                 ex.submit(_worker, w, ranges, name, img_files, lbl_files,
-                          out_directory, num_shards, loader, loader_args,
-                          store_as_array, progress_every)
+                          out_directory, local_shards, loader, loader_args,
+                          store_as_array, progress_every,
+                          shard_base, num_shards)
                 for w in range(num_workers)
             ]
             total = sum(f.result() for f in futs)
@@ -246,30 +272,37 @@ def process_dataset_multithreaded(name: str, directory: str,
                                   num_threads: Optional[int] = None,
                                   dltile_from_filename: bool = True,
                                   convert_png_to_jpg: bool = False,
-                                  store_as_array: bool = False) -> int:
+                                  store_as_array: bool = False,
+                                  host_index: int = 0,
+                                  host_count: int = 1) -> int:
     """PNG/JPG chips -> sharded TFRecords (reference:
-    _img_to_tf_threaded.py:321-349). Returns examples written."""
+    _img_to_tf_threaded.py:321-349). Returns examples written.
+    host_index/host_count partition files + shard numbers across hosts
+    (combined output identical to a single-host run)."""
     if not num_threads:
-        num_threads = num_shards
+        num_threads = num_shards // host_count
     return _process_dataset(
         name, directory, out_directory, num_shards, num_threads,
         _load_mt, (dltile_from_filename, convert_png_to_jpg),
-        store_as_array, None, progress_every=1000)
+        store_as_array, None, progress_every=1000,
+        host_index=host_index, host_count=host_count)
 
 
 def process_dataset_mp(name: str, directory: str, out_directory: str,
                        num_shards: int, num_proc: Optional[int] = None,
                        dltile_from_filename: bool = True,
                        file_ext: str = "tif",
-                       store_as_array: bool = True) -> int:
+                       store_as_array: bool = True,
+                       host_index: int = 0, host_count: int = 1) -> int:
     """Any-format chips -> sharded TFRecords (reference:
     _img_to_tf_mp.py:233-275). Returns examples written."""
     if not num_proc:
-        num_proc = num_shards
+        num_proc = num_shards // host_count
     return _process_dataset(
         name, directory, out_directory, num_shards, num_proc,
         _load_any, (dltile_from_filename,),
-        store_as_array, [file_ext], progress_every=100)
+        store_as_array, [file_ext], progress_every=100,
+        host_index=host_index, host_count=host_count)
 
 
 # facade aliases matching dl_segmentation_utils/__init__.py:9-10

@@ -46,6 +46,11 @@ class TrainConfig:
     label_nodata: int = 255
     n_model: int = 1  # model-axis size (channel sharding)
     seed: int = 0
+    # schedule: "constant" or "cosine" (with linear warmup)
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 10000  # cosine horizon
+    grad_clip_norm: float = 0.0  # 0 = off
 
 
 class TrainState:
@@ -111,8 +116,21 @@ class Trainer:
         self.model = UNet(num_classes=config.num_classes,
                           base_features=config.base_features,
                           levels=config.levels)
-        self.tx = optax.adamw(config.learning_rate,
-                              weight_decay=config.weight_decay)
+        if config.schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=config.learning_rate,
+                warmup_steps=max(config.warmup_steps, 1),
+                decay_steps=max(config.total_steps, 2))
+        elif config.warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, config.learning_rate,
+                                       config.warmup_steps)
+        else:
+            lr = config.learning_rate
+        tx = optax.adamw(lr, weight_decay=config.weight_decay)
+        if config.grad_clip_norm > 0:
+            tx = optax.chain(optax.clip_by_global_norm(
+                config.grad_clip_norm), tx)
+        self.tx = tx
         self._init_state()
         self._step_fn = self._build_step()
         # metrics

@@ -237,3 +237,26 @@ class TestHostSharding:
         flat = [f for g in got for f in g]
         assert sorted(flat) == files
         assert got[0] == ["s-00000", "s-00004", "s-00008"]
+
+
+class TestMultiHostWriter:
+    def test_hosts_produce_identical_union(self, tmp_path):
+        """Running per-host partitions produces exactly the shards a
+        single-host run produces."""
+        root = str(tmp_path / "chips")
+        truth = make_png_dataset(root, n=8)
+        single = str(tmp_path / "single")
+        images_to_tfrecords_mt("t", root, single, num_shards=4,
+                               num_threads=2, store_as_array=True)
+        multi = str(tmp_path / "multi")
+        for h in range(2):
+            images_to_tfrecords_mt("t", root, multi, num_shards=4,
+                                   num_threads=2, store_as_array=True,
+                                   host_index=h, host_count=2)
+        s_files = sorted(os.listdir(single))
+        m_files = sorted(os.listdir(multi))
+        assert s_files == m_files
+        for f in s_files:
+            a = open(os.path.join(single, f), "rb").read()
+            b = open(os.path.join(multi, f), "rb").read()
+            assert a == b, f
