@@ -14,7 +14,7 @@ and XLA-friendly (static shapes, no gather-heavy warps).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ container from magic bytes, so any supported format can be mixed.
 from __future__ import annotations
 
 import io
-from typing import Optional, Tuple
-
 import numpy as np
 
 from .geotiff import GeoTIFF, RasterInfo, decode_geotiff, encode_geotiff

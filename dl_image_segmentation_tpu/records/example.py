@@ -19,8 +19,6 @@ Schema (:199-209):
 
 from __future__ import annotations
 
-from typing import Union
-
 import numpy as np
 
 from . import proto

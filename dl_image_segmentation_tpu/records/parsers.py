@@ -19,7 +19,7 @@ tf.data pipelines keep working unchanged.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

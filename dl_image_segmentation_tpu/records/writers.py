@@ -35,7 +35,6 @@ import glob as _glob
 import os
 import random
 import sys
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
 from typing import List, Optional, Sequence, Tuple
