@@ -102,12 +102,15 @@ class VectorDataset:
 
 
 def open_vector(path: str) -> VectorDataset:
-    """Open a GeoJSON or Shapefile dataset."""
+    """Open a GeoJSON, Shapefile, or GeoPackage dataset."""
     low = path.lower()
     if low.endswith((".json", ".geojson")):
         return _open_geojson(path)
     if low.endswith(".shp"):
         return _open_shapefile(path)
+    if low.endswith(".gpkg"):
+        from .gpkg import read_gpkg
+        return read_gpkg(path)
     # directory of shapefiles = multi-layer dataset (file-GDB stand-in)
     if os.path.isdir(path):
         layers = []

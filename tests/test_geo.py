@@ -272,3 +272,61 @@ class TestShapefile:
         f = lyr.features[0]
         assert f.properties["CLS"] == 3
         assert f.geometry.bounds == (0.0, 0.0, 10.0, 10.0)
+
+
+class TestGeoPackage:
+    def test_write_read_roundtrip(self, tmp_path):
+        from dl_image_segmentation_tpu.geo.gpkg import read_gpkg, write_gpkg
+        from dl_image_segmentation_tpu.geo.vector import (Feature,
+                                                          VectorLayer,
+                                                          open_vector)
+        sq = Geometry.coerce({
+            "type": "Polygon",
+            "coordinates": [[[72.85, 19.05], [72.88, 19.05],
+                             [72.88, 19.08], [72.85, 19.08],
+                             [72.85, 19.05]]]})
+        mp = Geometry.coerce({
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                [[[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]],
+                 [[5.2, 5.2], [5.8, 5.2], [5.8, 5.8], [5.2, 5.8],
+                  [5.2, 5.2]]],
+            ]})
+        lyr = VectorLayer("labels", [Feature(sq, {"cls": 1, "name": "a"}),
+                                     Feature(mp, {"cls": 2, "name": "b"})],
+                          4326)
+        p = str(tmp_path / "labels.gpkg")
+        write_gpkg(p, lyr)
+        ds = open_vector(p)
+        assert ds.layer_names() == ["labels"]
+        got = ds.get_layer("labels")
+        assert got.crs_epsg == 4326
+        assert len(got.features) == 2
+        f0, f1 = got.features
+        assert f0.properties["cls"] == 1
+        np.testing.assert_allclose(f0.geometry.bounds,
+                                   (72.85, 19.05, 72.88, 19.08))
+        assert len(f1.geometry.polygons()) == 2
+        assert len(f1.geometry.polygons()[1]) == 2  # hole preserved
+
+    def test_gpkg_as_label_source(self, tmp_path):
+        """GPKG plugs straight into the label pipeline."""
+        from dl_image_segmentation_tpu.geo.gpkg import write_gpkg
+        from dl_image_segmentation_tpu.geo.vector import (Feature,
+                                                          VectorLayer)
+        from dl_image_segmentation_tpu.geo import Tile
+        from dl_image_segmentation_tpu.pipeline.chips import (
+            create_label_array_for_tile)
+        tile = Tile(60, 2, 10.0, 43, -380, 3491)
+        x0, y0, x1, y1 = tile.bounds_unpadded
+        ring_utm = np.array([[x0 + 100, y0 + 100], [x1 - 100, y0 + 100],
+                             [x1 - 100, y1 - 100], [x0 + 100, y1 - 100],
+                             [x0 + 100, y0 + 100]])
+        lon, lat = crs.utm_to_lonlat(ring_utm[:, 0], ring_utm[:, 1], 43)
+        g = Geometry([[np.stack([lon, lat], axis=1)]])
+        p = str(tmp_path / "lbl.gpkg")
+        write_gpkg(p, VectorLayer("lbl", [Feature(g, {"cls": 3})], 4326))
+        arr = create_label_array_for_tile(tile, p, attrib_to_burn="cls",
+                                          background_value=0)
+        assert set(np.unique(arr)) == {0, 3}
