@@ -71,6 +71,23 @@ def masked_median(stack: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(any_valid, med, 0.0), any_valid
 
 
+def _batcher_pairs(n: int):
+    """Comparator schedule of Batcher's odd-even mergesort for n inputs
+    (O(n log^2 n) comparators vs O(n^2) for odd-even transposition)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
 def masked_median_pallas(stack, valid, block: int = 128,
                          interpret: Optional[bool] = None):
     """Pallas masked median: blocks over (H, W), whole scene column in
@@ -105,13 +122,11 @@ def masked_median_pallas(stack, valid, block: int = 128,
         n = jnp.zeros((bh, bw), jnp.int32)
         for s in range(S):
             n = n + (v_ref[s] > 0).astype(jnp.int32)
-        for rnd in range(S):
-            start = rnd % 2
-            for i in range(start, S - 1, 2):
-                lo = jnp.minimum(vals[i], vals[i + 1])
-                hi = jnp.maximum(vals[i], vals[i + 1])
-                vals[i] = lo
-                vals[i + 1] = hi
+        for i, j in _batcher_pairs(S):
+            lo = jnp.minimum(vals[i], vals[j])
+            hi = jnp.maximum(vals[i], vals[j])
+            vals[i] = lo
+            vals[j] = hi
         nz = jnp.maximum(n, 1)
         lo_idx = (nz - 1) // 2
         hi_idx = nz // 2

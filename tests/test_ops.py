@@ -229,3 +229,50 @@ class TestAugment:
             iy, ix = np.unravel_index(np.argmax(i[n]), i[n].shape)
             ly, lx = np.unravel_index(np.argmax(l[n]), l[n].shape)
             assert (iy, ix) == (ly, lx)
+
+
+class TestBaselineConfig4:
+    def test_padded_512_tile_10_scene_stack(self):
+        """BASELINE config 4 shapes: cloud-masked median +
+        nearest-to-date over a 10-scene stack into a padded 512x512
+        tile (smaller band count to keep CI fast)."""
+        rng = np.random.RandomState(0)
+        S, size, B = 10, 512, 4
+        stack = rng.rand(7, size, size, B).astype(np.float32) * 1e4
+        valid = rng.rand(7, size, size) > 0.4
+        stack, valid = pad_stack(stack, valid, S)
+        assert stack.shape == (S, size, size, B)
+        med, av = masked_median(jnp.asarray(stack), jnp.asarray(valid))
+        assert med.shape == (size, size, B)
+        mask3 = ~np.broadcast_to(valid[..., None], stack.shape)
+        exp = np.ma.median(np.ma.masked_array(stack, mask3), axis=0)
+        got_valid = np.asarray(av)
+        np.testing.assert_allclose(np.asarray(med)[got_valid],
+                                   exp.data[got_valid], rtol=1e-6)
+        dist = np.abs(np.arange(S, dtype=np.float32) - 4.5)
+        mosaic, av2 = nearest_valid_mosaic(
+            jnp.asarray(stack), jnp.asarray(valid), jnp.asarray(dist))
+        assert mosaic.shape == (size, size, B)
+
+
+class TestGeoref:
+    def test_tile_key_identifier(self):
+        from dl_image_segmentation_tpu.geo.georef import (
+            georef_from_identifier, tile_from_identifier)
+        gt, crs_s = georef_from_identifier(b"252:2:1.0:43:-902:8394")
+        t = tile_from_identifier("252:2:1.0:43:-902:8394")
+        assert crs_s == "EPSG:32643"
+        assert gt == t.geotrans
+
+    def test_gt_crs_identifier(self):
+        from dl_image_segmentation_tpu.geo.georef import (
+            georef_from_identifier)
+        ident = "chip.tif|[272696.0, 10.0, 0.0, 2115548.0, 0.0, -10.0]|EPSG:32643"
+        gt, crs_s = georef_from_identifier(ident)
+        assert gt == (272696.0, 10.0, 0.0, 2115548.0, 0.0, -10.0)
+        assert crs_s == "EPSG:32643"
+
+    def test_plain_filename(self):
+        from dl_image_segmentation_tpu.geo.georef import (
+            georef_from_identifier)
+        assert georef_from_identifier("whatever.png") == (None, None)
