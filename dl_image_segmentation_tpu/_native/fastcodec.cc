@@ -321,26 +321,23 @@ uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
     return bw.pos;
 }
 
-// Decode: prefix/suffix tables, strings unwound through a stack.
+// Decode via output back-references: every table code maps to a
+// (start, length) range of the ALREADY-DECODED output, so emitting a
+// code is one sequential copy (KwKwK overlap handled by byte-forward
+// copying) instead of a per-byte stack unwind. New entry (prev string
+// + first char of current emit) is exactly the output range starting
+// at the previous emit with length prev_len + 1, because emissions are
+// contiguous.
 // Returns decompressed size; (uint64_t)-1 on corrupt stream;
 // (uint64_t)-2 when dst capacity is insufficient. 0 is a legal size
 // for empty payloads.
 uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
                        uint8_t* dst, uint64_t cap) {
-    static thread_local int16_t* prefix = nullptr;
-    static thread_local uint8_t* suffix = nullptr;
-    static thread_local uint8_t* firstc = nullptr;
-    static thread_local uint8_t* stack = nullptr;
-    if (!prefix) {
-        prefix = (int16_t*)malloc(4096 * sizeof(int16_t));
-        suffix = (uint8_t*)malloc(4096);
-        firstc = (uint8_t*)malloc(4096);
-        stack = (uint8_t*)malloc(8192);  // KwKwK can exceed 4096 by one
-    }
-    for (int i = 0; i < 256; i++) {
-        prefix[i] = -1;
-        suffix[i] = (uint8_t)i;
-        firstc[i] = (uint8_t)i;
+    static thread_local uint64_t* off = nullptr;   // output start per code
+    static thread_local uint32_t* len = nullptr;   // length per code
+    if (!off) {
+        off = (uint64_t*)malloc(4096 * sizeof(uint64_t));
+        len = (uint32_t*)malloc(4096 * sizeof(uint32_t));
     }
 
     uint64_t pos = 0;          // byte position in src
@@ -348,7 +345,8 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
     int bitcnt = 0;
     int bits = 9;
     int next_code = LZW_FIRST;
-    int old = -1;
+    uint64_t prev_start = 0;
+    uint32_t prev_len = 0;     // 0 = no previous emit (start / post-clear)
     uint64_t out = 0;
 
     for (;;) {
@@ -363,43 +361,40 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
         if (code == LZW_CLEAR) {
             bits = 9;
             next_code = LZW_FIRST;
-            old = -1;
+            prev_len = 0;
             continue;
         }
-        uint32_t entry_first;
-        int sp = 0;
-        if ((int)code < next_code && !(code >= 256 && (int)code < LZW_FIRST)) {
-            // known code: unwind
-            int c = (int)code;
-            while (c >= 0) {
-                stack[sp++] = suffix[c];
-                c = prefix[c];
-            }
-            entry_first = stack[sp - 1];
-        } else if ((int)code == next_code && old >= 0) {
-            // KwKwK case: old string + first char of old
-            int c = old;
-            stack[sp++] = firstc[old];
-            while (c >= 0) {
-                stack[sp++] = suffix[c];
-                c = prefix[c];
-            }
-            entry_first = stack[sp - 1];
+        uint64_t emit_start = out;
+        uint32_t emit_len;
+        if (code < 256) {
+            if (out + 1 > cap) return (uint64_t)-2;
+            dst[out++] = (uint8_t)code;
+            emit_len = 1;
+        } else if ((int)code < next_code) {
+            emit_len = len[code];
+            if (out + emit_len > cap) return (uint64_t)-2;
+            memcpy(dst + out, dst + off[code], emit_len);
+            out += emit_len;
+        } else if ((int)code == next_code && prev_len > 0) {
+            // KwKwK: prev string + its first char; source overlaps
+            // dest by exactly the final byte -> forward byte copy
+            emit_len = prev_len + 1;
+            if (out + emit_len > cap) return (uint64_t)-2;
+            const uint8_t* s = dst + prev_start;
+            uint8_t* d = dst + out;
+            for (uint32_t i = 0; i < emit_len; i++) d[i] = s[i];
+            out += emit_len;
         } else {
             return (uint64_t)-1;
         }
-        if (out + (uint64_t)sp > cap) return (uint64_t)-2;
-        // emit reversed
-        for (int i = sp - 1; i >= 0; i--) dst[out++] = stack[i];
-        if (old >= 0 && next_code < 4096) {
-            prefix[next_code] = (int16_t)old;
-            suffix[next_code] = (uint8_t)entry_first;
-            firstc[next_code] = firstc[old];
+        if (prev_len > 0 && next_code < 4096) {
+            off[next_code] = prev_start;
+            len[next_code] = prev_len + 1;
             next_code++;
             if (next_code == (1 << bits) - 1 && bits < 12) bits++;
         }
-        old = (int)code;
-        firstc[code] = (uint8_t)entry_first;  // ensure defined for roots too
+        prev_start = emit_start;
+        prev_len = emit_len;
     }
 done:
     return out;

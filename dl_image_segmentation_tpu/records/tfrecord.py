@@ -46,6 +46,12 @@ class TFRecordWriter:
         self._native_frame = _native.tfrecord_frame if _native.available() \
             else None
 
+    @property
+    def fileobj(self):
+        """The underlying binary file (for pre-framed writes, see
+        records.example.write_example_framed)."""
+        return self._f
+
     def write(self, record: Union[bytes, memoryview]) -> None:
         record = bytes(record)
         if self._native_frame is not None:

@@ -197,7 +197,7 @@ def _worker(worker_index: int, ranges, name: str,
             if store_as_array and isinstance(lbl_buf, np.ndarray) \
                     and lbl_buf.ndim == 3 and lbl_buf.shape[2] == 1:
                 lbl_buf = lbl_buf[:, :, 0]
-            write_example_framed(writer._f, img_buf, lbl_buf, ih, iw, ib,
+            write_example_framed(writer.fileobj, img_buf, lbl_buf, ih, iw, ib,
                                  lh, lw, ikey)
             shard_counter += 1
             counter += 1

@@ -302,9 +302,7 @@ class Trainer:
                 (images.shape[0],), np.int32))[0]
         return np.asarray(self._predict_fn(self.state.params, images))
 
-    def evaluate(self, batches, max_batches: Optional[int] = None
-                 ) -> Dict[str, float]:
-        """mIoU / accuracy / loss over an iterator of (images, labels)."""
+    def _build_eval_step(self):
         cfg = self.config
         model = self.model
 
@@ -317,6 +315,14 @@ class Trainer:
                                cfg.label_nodata)
             return loss, acc, miou
 
+        return eval_step
+
+    def evaluate(self, batches, max_batches: Optional[int] = None
+                 ) -> Dict[str, float]:
+        """mIoU / accuracy / loss over an iterator of (images, labels)."""
+        if not hasattr(self, "_eval_fn"):
+            self._eval_fn = self._build_eval_step()
+        eval_step = self._eval_fn
         losses, accs, mious = [], [], []
         for i, (images, labels) in enumerate(batches):
             if max_batches is not None and i >= max_batches:

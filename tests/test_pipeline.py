@@ -328,3 +328,24 @@ class TestStitch:
         b = Tile(60, 2, 20.0, 43, 0, 1)
         with pytest.raises(ValueError):
             stitch_tiles({a: np.zeros((64, 64)), b: np.zeros((64, 64))})
+
+
+class TestViz:
+    def test_plot_tiles_and_chip_pair(self, tmp_path, labels_path):
+        from dl_image_segmentation_tpu.geo.vector import open_vector
+        from dl_image_segmentation_tpu.utils.viz import (plot_chip_pair,
+                                                         plot_tiles,
+                                                         save_fig)
+        tiles = [TILE]
+        layer = open_vector(labels_path).get_layer(0)
+        fig = plot_tiles(tiles, layer)
+        p1 = str(tmp_path / "tiles.png")
+        save_fig(fig, p1)
+        assert os.path.getsize(p1) > 1000
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 4000, (64, 64, 4), np.uint16)
+        lbl = rng.randint(0, 3, (64, 64)).astype(np.uint8)
+        fig2 = plot_chip_pair(img, lbl, prediction=lbl)
+        p2 = str(tmp_path / "pair.png")
+        save_fig(fig2, p2)
+        assert os.path.getsize(p2) > 1000
