@@ -74,6 +74,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p, ctypes.c_uint64]
+        lib.fc_encode_pair_from_files.restype = ctypes.c_uint64
+        lib.fc_encode_pair_from_files.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_char_p, ctypes.c_uint64]
@@ -163,6 +168,32 @@ def encode_example_framed_view(img: bytes, img_is_bytes: bool,
         img, len(img), int(img_is_bytes),
         tgt, len(tgt), int(tgt_is_bytes),
         ih, iw, ic, th, tw, ident, len(ident),
+        cbuf, len(buf))
+    del cbuf
+    if n == 0:
+        return None
+    return memoryview(buf)[:n]
+
+
+def encode_pair_from_files(img_path: str, lbl_path: str, ident: bytes):
+    """Fully-native raw-bytes pair path: file reads land directly in
+    the framed output buffer. Returns a memoryview valid until the next
+    call on this thread, or None on any failure (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        need = (os.path.getsize(img_path) + os.path.getsize(lbl_path)
+                + len(ident) + 512)
+    except OSError:
+        return None
+    buf = getattr(_framed_buf, "buf", None)
+    if buf is None or len(buf) < need:
+        buf = bytearray(max(need, 1 << 20))
+        _framed_buf.buf = buf
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    n = lib.fc_encode_pair_from_files(
+        img_path.encode(), lbl_path.encode(), ident, len(ident),
         cbuf, len(buf))
     del cbuf
     if n == 0:

@@ -241,6 +241,167 @@ uint64_t fc_encode_example_framed(
 }
 
 // ---------------------------------------------------------------------------
+// Whole-pair fast path: read both chip files STRAIGHT INTO the framed
+// output buffer (no intermediate copies), parse shapes from PNG/JPEG
+// headers, emit the framed Example. Returns frame length; 0 on any
+// parse/size problem (caller falls back to the Python path).
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <sys/stat.h>
+
+static bool read_file_into(const char* path, uint8_t* dst, uint64_t len) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    size_t got = fread(dst, 1, len, f);
+    fclose(f);
+    return got == len;
+}
+
+static int64_t file_size(const char* path) {
+    struct stat st;
+    if (stat(path, &st) != 0) return -1;
+    return (int64_t)st.st_size;
+}
+
+// parse (h, w, bands) from PNG IHDR or JPEG SOF; data = first bytes
+static bool sniff_shape(const uint8_t* d, uint64_t n,
+                        int64_t* h, int64_t* w, int64_t* bands) {
+    if (n >= 26 && d[0] == 0x89 && d[1] == 'P' && d[2] == 'N'
+        && d[3] == 'G' && memcmp(d + 12, "IHDR", 4) == 0) {
+        *w = ((int64_t)d[16] << 24) | (d[17] << 16) | (d[18] << 8) | d[19];
+        *h = ((int64_t)d[20] << 24) | (d[21] << 16) | (d[22] << 8) | d[23];
+        switch (d[25]) {  // color type
+            case 0: *bands = 1; break;
+            case 2: *bands = 3; break;
+            case 3: *bands = 1; break;
+            case 4: *bands = 2; break;
+            case 6: *bands = 4; break;
+            default: return false;
+        }
+        return true;
+    }
+    if (n >= 4 && d[0] == 0xFF && d[1] == 0xD8 && d[2] == 0xFF) {
+        uint64_t i = 2;
+        while (i + 9 < n) {
+            if (d[i] != 0xFF) { i++; continue; }
+            uint8_t m = d[i + 1];
+            if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+                i += 2;
+                continue;
+            }
+            uint64_t seglen = ((uint64_t)d[i + 2] << 8) | d[i + 3];
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8
+                && m != 0xCC) {
+                *h = ((int64_t)d[i + 5] << 8) | d[i + 6];
+                *w = ((int64_t)d[i + 7] << 8) | d[i + 8];
+                *bands = d[i + 9];
+                return true;
+            }
+            i += 2 + seglen;
+        }
+    }
+    return false;
+}
+
+uint64_t fc_encode_pair_from_files(
+    const char* img_path, const char* lbl_path,
+    const uint8_t* ident, uint64_t ident_len,
+    uint8_t* out, uint64_t cap) {
+    int64_t img_len = file_size(img_path);
+    int64_t lbl_len = file_size(lbl_path);
+    if (img_len <= 0 || lbl_len <= 0) return 0;
+
+    // feature sizes (both payloads as BytesList: raw encoded files)
+    uint64_t f_ident = data_feature_size(ident_len);
+    uint64_t f_img = data_feature_size((uint64_t)img_len);
+    uint64_t f_tgt = data_feature_size((uint64_t)lbl_len);
+    // dims unknown until headers read; headers live inside the payload
+    // region, so read payloads first into their final positions, then
+    // backfill the int64 features. Because int64 feature size depends
+    // on the VALUE, reserve layout assuming <= 2 varint bytes (dims up
+    // to 16383 px), checked after sniffing.
+    // Simpler + robust: read only the first 4KB of the image to sniff,
+    // compute exact layout, then stream the files into place.
+    uint8_t head[4096];
+    FILE* f = fopen(img_path, "rb");
+    if (!f) return 0;
+    size_t hn = fread(head, 1, sizeof head, f);
+    fclose(f);
+    int64_t ih, iw, ic;
+    if (!sniff_shape(head, hn, &ih, &iw, &ic)) return 0;
+    f = fopen(lbl_path, "rb");
+    if (!f) return 0;
+    hn = fread(head, 1, sizeof head, f);
+    fclose(f);
+    int64_t lh, lw, lc;
+    if (!sniff_shape(head, hn, &lh, &lw, &lc)) return 0;
+    if (ic > 3) return 0;  // MT-engine contract: <=3 bands
+
+    uint64_t f_ic = int64_feature_size(ic);
+    uint64_t f_ih = int64_feature_size(ih);
+    uint64_t f_iw = int64_feature_size(iw);
+    uint64_t f_th = int64_feature_size(lh);
+    uint64_t f_tw = int64_feature_size(lw);
+
+    uint64_t body = entry_size(10, f_ident)
+                  + entry_size(14, f_ic) + entry_size(12, f_ih)
+                  + entry_size(16, f_img) + entry_size(11, f_iw)
+                  + entry_size(13, f_th) + entry_size(18, f_tgt)
+                  + entry_size(12, f_tw);
+    uint64_t example_len = 1 + varint_size(body) + body;
+    if (example_len + 16 > cap) return 0;
+
+    uint8_t* base = out + 12;
+    uint8_t* p = base;
+    *p++ = 0x0A;
+    p = put_varint(p, body);
+
+    p = put_entry_header(p, "identifier", 10, f_ident);
+    p = put_data_feature(p, 0x0A, ident, ident_len);
+    p = put_entry_header(p, "image/channels", 14, f_ic);
+    p = put_int64_feature(p, ic);
+    p = put_entry_header(p, "image/height", 12, f_ih);
+    p = put_int64_feature(p, ih);
+    // image payload read straight into place
+    p = put_entry_header(p, "image/image_data", 16, f_img);
+    {
+        uint64_t inner = 1 + varint_size((uint64_t)img_len)
+                       + (uint64_t)img_len;
+        *p++ = 0x0A;
+        p = put_varint(p, inner);
+        *p++ = 0x0A;
+        p = put_varint(p, (uint64_t)img_len);
+        if (!read_file_into(img_path, p, (uint64_t)img_len)) return 0;
+        p += img_len;
+    }
+    p = put_entry_header(p, "image/width", 11, f_iw);
+    p = put_int64_feature(p, iw);
+    p = put_entry_header(p, "target/height", 13, f_th);
+    p = put_int64_feature(p, lh);
+    p = put_entry_header(p, "target/target_data", 18, f_tgt);
+    {
+        uint64_t inner = 1 + varint_size((uint64_t)lbl_len)
+                       + (uint64_t)lbl_len;
+        *p++ = 0x0A;
+        p = put_varint(p, inner);
+        *p++ = 0x0A;
+        p = put_varint(p, (uint64_t)lbl_len);
+        if (!read_file_into(lbl_path, p, (uint64_t)lbl_len)) return 0;
+        p += lbl_len;
+    }
+    p = put_entry_header(p, "target/width", 12, f_tw);
+    p = put_int64_feature(p, lw);
+
+    memcpy(out, &example_len, 8);
+    uint32_t hcrc = fc_masked_crc32c(out, 8);
+    memcpy(out + 8, &hcrc, 4);
+    uint32_t dcrc = fc_masked_crc32c(base, example_len);
+    memcpy(out + 12 + example_len, &dcrc, 4);
+    return example_len + 16;
+}
+
+// ---------------------------------------------------------------------------
 // TIFF LZW
 // ---------------------------------------------------------------------------
 

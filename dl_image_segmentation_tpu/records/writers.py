@@ -172,6 +172,13 @@ def _worker(worker_index: int, ranges, name: str,
                                ranges[worker_index][1],
                                shards_per_worker + 1).astype(int)
     files_in_worker = ranges[worker_index][1] - ranges[worker_index][0]
+    # fully-native pair path: applicable to raw-bytes PNG/JPG mode with
+    # no transcode (the headline translation workload); C++ reads both
+    # files straight into the framed output buffer
+    from .. import _native
+    use_native_pair = (loader is _load_mt and not store_as_array
+                       and not loader_args[1] and _native.available())
+
     counter = 0
     for s in range(shards_per_worker):
         shard = shard_base + worker_index * shards_per_worker + s
@@ -182,6 +189,23 @@ def _worker(worker_index: int, ranges, name: str,
         for i in range(shard_ranges[s], shard_ranges[s + 1]):
             filename = img_files[i]
             label = lbl_files[i]
+            if use_native_pair:
+                key = (_tile_key_from_filename(filename)
+                       if loader_args[0] else os.path.basename(filename))
+                mv = _native.encode_pair_from_files(filename, label,
+                                                    key.encode())
+                if mv is not None:
+                    writer.fileobj.write(mv)
+                    shard_counter += 1
+                    counter += 1
+                    if progress_every and not counter % progress_every:
+                        print(f"{datetime.now()} [worker {worker_index}]: "
+                              f"Processed {counter} of {files_in_worker} "
+                              "images in batch.")
+                        sys.stdout.flush()
+                    continue
+                # fall through to the Python path (also produces the
+                # reference's SKIPPED message on genuinely bad files)
             try:
                 img_buf, ih, iw, ib, ikey = loader(
                     filename, *loader_args, store_as_array)

@@ -120,3 +120,39 @@ class TestFusedExampleEncoder:
             expect = (header + struct.pack("<I", masked_crc32c(header))
                       + rec + struct.pack("<I", masked_crc32c(rec)))
             assert framed == expect, f"case {i}"
+
+
+class TestNativePairPath:
+    def test_bitidentical_to_python_path(self, tmp_path):
+        """The fully-native pair encoder must produce byte-identical
+        frames to the Python loader + encoder path."""
+        import io as _io
+        import os as _os
+        from dl_image_segmentation_tpu.raster.image import encode_png
+        from dl_image_segmentation_tpu.records.writers import _load_mt
+        from dl_image_segmentation_tpu.records.example import (
+            write_example_framed)
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (32, 32, 3), np.uint8)
+        lbl = rng.randint(0, 2, (32, 32), np.uint8)
+        ipath = str(tmp_path / "60#2#10.0#43#-380#3491.png")
+        lpath = str(tmp_path / "lbl_60#2#10.0#43#-380#3491.png")
+        open(ipath, "wb").write(encode_png(img))
+        open(lpath, "wb").write(encode_png(lbl[:, :, None]))
+        key = "60:2:10.0:43:-380:3491"
+        mv = _native.encode_pair_from_files(ipath, lpath, key.encode())
+        assert mv is not None
+        native_frame = bytes(mv)
+        # python path
+        ib, ih, iw, ic, _ = _load_mt(ipath, True, False, False)
+        lb, lh, lw, lc, _ = _load_mt(lpath, True, False, False)
+        buf = _io.BytesIO()
+        write_example_framed(buf, ib, lb, ih, iw, ic, lh, lw, key)
+        assert native_frame == buf.getvalue()
+
+    def test_fallback_on_garbage(self, tmp_path):
+        p1 = str(tmp_path / "a.png")
+        p2 = str(tmp_path / "b.png")
+        open(p1, "wb").write(b"not a png at all")
+        open(p2, "wb").write(b"also not")
+        assert _native.encode_pair_from_files(p1, p2, b"k") is None
