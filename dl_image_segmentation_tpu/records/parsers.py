@@ -165,3 +165,15 @@ def parse_higher_dtype_array_proto(example_proto: bytes
     target_raw = d["target/target_data"].float_list.reshape(th, tw)
     identifier = d["identifier"].bytes_list[0]
     return img_raw, target_raw, identifier
+
+
+# Legacy aliases: the reference's docstrings and parse notebook use
+# pre-rename function names (parse_gdal_example_py / _tf,
+# parse_8bit_array_example, parse_encoded_rgb_img_example,
+# parse_higher_example -- _tfrecord_image_translation.py:107,122,132
+# and parse_tfrecords.ipynb cells 16/19/30); kept working here.
+parse_gdal_example_py = parse_encoded_gdal_proto_eager
+parse_gdal_example_tf = parse_encoded_gdal_proto_wrapped
+parse_8bit_array_example = parse_8bit_array_proto
+parse_encoded_rgb_img_example = parse_encoded_rgb_img_proto
+parse_higher_example = parse_higher_dtype_array_proto

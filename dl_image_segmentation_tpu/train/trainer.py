@@ -178,12 +178,15 @@ class Trainer:
 
         return step
 
-    def _build_scan_step(self, k: int, batch_size: int, scale: float):
+    def _build_scan_step(self, k: int, batch_size: int, scale: float,
+                         augment: bool = False):
         """K optimizer steps per dispatch over a device-resident pool
-        (see train/pool.py): batch sampling, augmentation-free forward/
-        backward, and the optimizer update all run inside one lax.scan
-        -- zero host round-trips between steps."""
+        (see train/pool.py): batch sampling, optional dihedral
+        augmentation, forward/backward, and the optimizer update all
+        run inside one lax.scan -- zero host round-trips between
+        steps."""
         from .pool import sample_batch
+        from ..ops.augment import augment_pairs
         cfg = self.config
         model = self.model
         tx = self.tx
@@ -196,6 +199,9 @@ class Trainer:
                 ky, sub = jax.random.split(ky)
                 images, labels = sample_batch(
                     sub, pool_images, pool_labels, batch_size, scale)
+                if augment:
+                    ky, asub = jax.random.split(ky)
+                    images, labels = augment_pairs(asub, images, labels)
 
                 def loss_fn(params):
                     logits = model.apply({"params": params}, images)
@@ -220,7 +226,8 @@ class Trainer:
                       steps_per_dispatch: int = 20,
                       refresh_feed: Optional[Iterator] = None,
                       refresh_every: int = 1,
-                      seed: int = 0) -> Dict[str, float]:
+                      seed: int = 0,
+                      augment: bool = False) -> Dict[str, float]:
         """Train from a DeviceDataPool with K steps per dispatch.
 
         refresh_feed: optional iterator of (images, labels) host batches
@@ -228,7 +235,7 @@ class Trainer:
         dispatches. Returns final metrics + throughput stats."""
         cfg = self.config
         scan = self._build_scan_step(steps_per_dispatch, cfg.batch_size,
-                                     pool.scale)
+                                     pool.scale, augment=augment)
         key = jax.device_put(jax.random.PRNGKey(seed))
         if self.wall_start is None:
             self.wall_start = time.perf_counter()
@@ -294,12 +301,15 @@ class Trainer:
         return predict
 
     def predict(self, images) -> np.ndarray:
-        """Class map for a host batch (N, H, W, C) -> (N, H, W) int32."""
+        """Class map for a host batch (N, H, W, C) -> (N, H, W) int32.
+
+        Inputs are replicated (not batch-sharded): prediction batches
+        are arbitrary sizes, unlike training batches which must divide
+        the data axis."""
         if not hasattr(self, "_predict_fn"):
             self._predict_fn = self._build_predict()
         if isinstance(images, np.ndarray):
-            images = self.place_batch(images, np.zeros(
-                (images.shape[0],), np.int32))[0]
+            images = jax.device_put(images, replicated_sharding(self.mesh))
         return np.asarray(self._predict_fn(self.state.params, images))
 
     def _build_eval_step(self):
@@ -328,7 +338,10 @@ class Trainer:
             if max_batches is not None and i >= max_batches:
                 break
             if isinstance(images, np.ndarray):
-                images, labels = self.place_batch(images, labels)
+                # replicate: eval batches may not divide the data axis
+                sh = replicated_sharding(self.mesh)
+                images = jax.device_put(images, sh)
+                labels = jax.device_put(labels, sh)
             loss, acc, miou = eval_step(self.state.params, images, labels)
             losses.append(float(loss))
             accs.append(float(acc))
