@@ -362,6 +362,40 @@ class Trainer:
         }
 
     # -- checkpointing (orbax) ------------------------------------------------
+    def checkpoint_manager(self, directory: str, keep: int = 3):
+        """Rotating orbax CheckpointManager (keep latest N). Use with
+        save_managed / restore_latest for long runs."""
+        import orbax.checkpoint as ocp
+        return ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True))
+
+    def save_managed(self, manager) -> int:
+        import orbax.checkpoint as ocp
+        step = int(self.state.step)
+        manager.save(step, args=ocp.args.StandardSave(
+            {"params": self.state.params,
+             "opt_state": self.state.opt_state,
+             "step": self.state.step}))
+        manager.wait_until_finished()
+        return step
+
+    def restore_latest(self, manager) -> Optional[int]:
+        """Restore the newest managed checkpoint; None if none exist."""
+        import orbax.checkpoint as ocp
+        step = manager.latest_step()
+        if step is None:
+            return None
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        restored = manager.restore(
+            step, args=ocp.args.StandardRestore(target))
+        self.state = TrainState(restored["params"],
+                                restored["opt_state"], restored["step"])
+        return step
+
     def save_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()

@@ -263,3 +263,34 @@ class TestRotateAugment:
         # image/label agreement away from interpolation boundaries
         interior = ri[:, :, :, 0] > 0.99
         assert (rl[interior] == 1).all()
+
+
+class TestManagedCheckpoints:
+    def test_rotation_and_resume(self, tmp_path):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=1, image_size=16, batch_size=8)
+        tr = Trainer(cfg)
+        mgr = tr.checkpoint_manager(str(tmp_path / "ckpts"), keep=2)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 16, 16, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 16, 16)).astype(np.int32)
+        saved = []
+        for _ in range(3):
+            tr.train_step(imgs, lbls)
+            saved.append(tr.save_managed(mgr))
+        assert saved == [1, 2, 3]
+        assert sorted(mgr.all_steps()) == [2, 3]  # keep=2 rotated
+        tr2 = Trainer(cfg)
+        mgr2 = tr2.checkpoint_manager(str(tmp_path / "ckpts"), keep=2)
+        step = tr2.restore_latest(mgr2)
+        assert step == 3 and int(tr2.state.step) == 3
+        p1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+        p2 = jax.tree_util.tree_leaves(tr2.state.params)[0]
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_restore_latest_empty(self, tmp_path):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=1, image_size=16, batch_size=8)
+        tr = Trainer(cfg)
+        mgr = tr.checkpoint_manager(str(tmp_path / "none"))
+        assert tr.restore_latest(mgr) is None
