@@ -139,6 +139,9 @@ def _parse_ifd(data: bytes):
         fmt = "<"
     elif data[:4] == b"MM\x00*":
         fmt = ">"
+    elif data[:4] in (b"II+\x00", b"MM\x00+"):
+        raise ValueError("BigTIFF is not supported (chips are far below "
+                         "the 4 GiB classic-TIFF limit)")
     else:
         raise ValueError("not a classic TIFF")
     (ifd_off,) = struct.unpack(fmt + "I", data[4:8])

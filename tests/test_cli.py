@@ -73,6 +73,23 @@ class TestCLIFlow:
         out = capsys.readouterr().out
         assert "loss=" in out
 
+        preds = str(tmp_path / "preds")
+        rc = cli_main([
+            "predict", "--images", os.path.join(chip_dir, "images"),
+            "--checkpoint", ck, "--out", preds, "--classes", "2",
+            "--channels", "3", "--features", "8", "--levels", "1",
+            "--image-size", "32", "--batch-size", "4"])
+        assert rc == 0
+        assert len(os.listdir(preds)) == n_chips
+
+        mosaic = str(tmp_path / "map.tif")
+        rc = cli_main(["stitch", "--chips", preds, "--out", mosaic])
+        assert rc == 0
+        from dl_image_segmentation_tpu.raster.geotiff import read_geotiff
+        g = read_geotiff(mosaic)
+        assert g.info.epsg == 32643
+        assert set(np.unique(g.array)) <= {0, 1}
+
 
 class TestTilePlanPersistence:
     def test_roundtrip_via_geojson(self, tmp_path):

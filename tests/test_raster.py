@@ -159,3 +159,25 @@ class TestImageCodec:
         assert decode_image_bytes(encode_geotiff(arr)).array.shape == (8, 8, 3)
         with pytest.raises(ValueError):
             decode_image_bytes(b"garbage-bytes")
+
+
+class TestLZWFuzz:
+    def test_random_length_roundtrips(self):
+        """Fuzz: random contents and lengths through both codecs."""
+        from dl_image_segmentation_tpu import _native
+        rng = np.random.RandomState(42)
+        for trial in range(40):
+            n = int(rng.randint(0, 5000))
+            alphabet = int(rng.choice([2, 8, 256]))
+            data = rng.randint(0, alphabet, n).astype(np.uint8).tobytes()
+            enc_py = lzw_encode(data)
+            assert lzw_decode(enc_py) == data, trial
+            if _native.available():
+                enc_c = _native.lzw_encode(data)
+                assert enc_c == enc_py, trial
+                assert _native.lzw_decode(enc_c) == data, trial
+
+    def test_bigtiff_rejected_with_clear_message(self):
+        from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
+        with pytest.raises(ValueError, match="BigTIFF"):
+            decode_geotiff(b"II+\x00" + b"\x00" * 32)
