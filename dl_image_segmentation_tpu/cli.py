@@ -63,14 +63,16 @@ def cmd_to_tfrecords(args) -> int:
             num_threads=args.workers,
             dltile_from_filename=not args.no_dltile_names,
             convert_png_to_jpg=args.png_to_jpg,
-            store_as_array=args.store_as_array)
+            store_as_array=args.store_as_array,
+            resume=args.resume)
     else:
         n = process_dataset_mp(
             args.name, args.directory, args.out, num_shards=args.shards,
             num_proc=args.workers,
             dltile_from_filename=not args.no_dltile_names,
             file_ext=args.file_ext,
-            store_as_array=args.store_as_array)
+            store_as_array=args.store_as_array,
+            resume=args.resume)
     print(f"wrote {n} examples")
     return 0
 
@@ -245,6 +247,9 @@ def main(argv=None) -> int:
     t.add_argument("--store-as-array", action="store_true")
     t.add_argument("--png-to-jpg", action="store_true")
     t.add_argument("--no-dltile-names", action="store_true")
+    t.add_argument("--resume", action="store_true",
+                   help="skip shard files that already exist (atomic "
+                        "writes make existence mean complete)")
     t.set_defaults(fn=cmd_to_tfrecords)
 
     tr = sub.add_parser("train", help="TFRecords -> U-Net training")

@@ -60,7 +60,8 @@ class TFRecordFeed:
                  num_workers: int = 4, repeat: bool = True,
                  scale: Optional[float] = None,
                  drop_remainder: bool = True,
-                 per_host: bool = True):
+                 per_host: bool = True,
+                 interleave: int = 4):
         if isinstance(shard_pattern, str):
             files = sorted(_glob.glob(shard_pattern))
         else:
@@ -81,6 +82,7 @@ class TFRecordFeed:
         self.repeat = repeat
         self.scale = scale
         self.drop_remainder = drop_remainder
+        self.interleave = interleave
         # throughput counters (SURVEY.md section 5: per-stage metrics)
         self.records_read = 0
         self.bytes_read = 0
@@ -88,15 +90,28 @@ class TFRecordFeed:
 
     # -- record iteration ---------------------------------------------------
     def _record_stream(self) -> Iterator[bytes]:
+        """Records from all shards, interleaved round-robin across
+        ``interleave`` concurrently-open shards (improves shuffle
+        quality far beyond the buffer alone; tf.data's interleave
+        equivalent), shard order re-permuted every epoch."""
         rng = np.random.RandomState(self.seed)
-        epoch = 0
+        width = max(1, min(self.interleave, len(self.files)))
         while True:
-            order = rng.permutation(len(self.files))
-            for fi in order:
-                for rec in read_records(self.files[fi], verify_crc=False):
+            order = list(rng.permutation(len(self.files)))
+            open_iters = []
+            while order or open_iters:
+                while order and len(open_iters) < width:
+                    open_iters.append(read_records(
+                        self.files[order.pop()], verify_crc=False))
+                alive = []
+                for it in open_iters:
+                    rec = next(it, None)
+                    if rec is None:
+                        continue
                     self.bytes_read += len(rec)
                     yield rec
-            epoch += 1
+                    alive.append(it)
+                open_iters = alive
             if not self.repeat:
                 return
 

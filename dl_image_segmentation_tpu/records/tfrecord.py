@@ -38,10 +38,18 @@ def masked_crc32c(data) -> int:
 
 class TFRecordWriter:
     """Streaming TFRecord writer. Frame assembly runs in the native
-    extension when available (single memcpy + hardware CRC32C)."""
+    extension when available (single memcpy + hardware CRC32C).
 
-    def __init__(self, path: str):
-        self._f = open(path, "wb")
+    Crash-safe: data streams to ``<path>.tmp`` and is renamed into
+    place on close(), so an existing final file always means a COMPLETE
+    shard -- which is what makes shard-level resume sound
+    (records.writers ``resume=True``)."""
+
+    def __init__(self, path: str, atomic: bool = True):
+        self._path = path
+        self._tmp_path = path + ".tmp" if atomic else path
+        self._f = open(self._tmp_path, "wb")
+        self._atomic = atomic
         from .. import _native
         self._native_frame = _native.tfrecord_frame if _native.available() \
             else None
@@ -69,6 +77,8 @@ class TFRecordWriter:
     def close(self) -> None:
         if not self._f.closed:
             self._f.close()
+            if self._atomic:
+                os.replace(self._tmp_path, self._path)
 
     def __enter__(self):
         return self

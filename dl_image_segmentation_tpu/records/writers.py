@@ -158,7 +158,8 @@ def _worker(worker_index: int, ranges, name: str,
             img_files: Sequence[str], lbl_files: Sequence[str],
             out_dir: str, num_shards: int, loader, loader_args: tuple,
             store_as_array: bool, progress_every: int,
-            shard_base: int = 0, total_shards: Optional[int] = None) -> int:
+            shard_base: int = 0, total_shards: Optional[int] = None,
+            resume: bool = False) -> int:
     """Writes this worker's contiguous range of shards. Returns the
     number of examples written. ``num_shards`` is this host's shard
     count; ``shard_base``/``total_shards`` keep shard numbering global
@@ -184,6 +185,12 @@ def _worker(worker_index: int, ranges, name: str,
         shard = shard_base + worker_index * shards_per_worker + s
         output_file = os.path.join(
             out_dir, shard_filename(name, shard, total_shards))
+        if resume and os.path.exists(output_file):
+            # writers are atomic (tmp + rename), so existence means the
+            # shard completed in a previous run
+            print(f"{datetime.now()} [worker {worker_index}]: shard "
+                  f"{output_file} exists, skipping (resume)")
+            continue
         writer = TFRecordWriter(output_file)
         shard_counter = 0
         for i in range(shard_ranges[s], shard_ranges[s + 1]):
@@ -242,7 +249,8 @@ def _process_dataset(name: str, directory: str, out_directory: str,
                      store_as_array: bool,
                      file_ext: Optional[Sequence[str]],
                      progress_every: int,
-                     host_index: int = 0, host_count: int = 1) -> int:
+                     host_index: int = 0, host_count: int = 1,
+                     resume: bool = False) -> int:
     assert not num_shards % num_workers, (
         "Num shards must be a multiple of num workers (incl 1*)")
     img_files, lbl_files = _find_image_files(directory, file_ext)
@@ -273,14 +281,15 @@ def _process_dataset(name: str, directory: str, out_directory: str,
         total = _worker(0, ranges, name, img_files, lbl_files,
                         out_directory, local_shards, loader, loader_args,
                         store_as_array, progress_every,
-                        shard_base=shard_base, total_shards=num_shards)
+                        shard_base=shard_base, total_shards=num_shards,
+                        resume=resume)
     else:
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             futs = [
                 ex.submit(_worker, w, ranges, name, img_files, lbl_files,
                           out_directory, local_shards, loader, loader_args,
                           store_as_array, progress_every,
-                          shard_base, num_shards)
+                          shard_base, num_shards, resume)
                 for w in range(num_workers)
             ]
             total = sum(f.result() for f in futs)
@@ -297,7 +306,8 @@ def process_dataset_multithreaded(name: str, directory: str,
                                   convert_png_to_jpg: bool = False,
                                   store_as_array: bool = False,
                                   host_index: int = 0,
-                                  host_count: int = 1) -> int:
+                                  host_count: int = 1,
+                                  resume: bool = False) -> int:
     """PNG/JPG chips -> sharded TFRecords (reference:
     _img_to_tf_threaded.py:321-349). Returns examples written.
     host_index/host_count partition files + shard numbers across hosts
@@ -308,7 +318,7 @@ def process_dataset_multithreaded(name: str, directory: str,
         name, directory, out_directory, num_shards, num_threads,
         _load_mt, (dltile_from_filename, convert_png_to_jpg),
         store_as_array, None, progress_every=1000,
-        host_index=host_index, host_count=host_count)
+        host_index=host_index, host_count=host_count, resume=resume)
 
 
 def process_dataset_mp(name: str, directory: str, out_directory: str,
@@ -316,7 +326,8 @@ def process_dataset_mp(name: str, directory: str, out_directory: str,
                        dltile_from_filename: bool = True,
                        file_ext: str = "tif",
                        store_as_array: bool = True,
-                       host_index: int = 0, host_count: int = 1) -> int:
+                       host_index: int = 0, host_count: int = 1,
+                       resume: bool = False) -> int:
     """Any-format chips -> sharded TFRecords (reference:
     _img_to_tf_mp.py:233-275). Returns examples written."""
     if not num_proc:
@@ -325,7 +336,7 @@ def process_dataset_mp(name: str, directory: str, out_directory: str,
         name, directory, out_directory, num_shards, num_proc,
         _load_any, (dltile_from_filename,),
         store_as_array, [file_ext], progress_every=100,
-        host_index=host_index, host_count=host_count)
+        host_index=host_index, host_count=host_count, resume=resume)
 
 
 # facade aliases matching dl_segmentation_utils/__init__.py:9-10

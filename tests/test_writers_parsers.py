@@ -260,3 +260,24 @@ class TestMultiHostWriter:
             a = open(os.path.join(single, f), "rb").read()
             b = open(os.path.join(multi, f), "rb").read()
             assert a == b, f
+
+
+class TestAtomicAndResume:
+    def test_no_tmp_left_and_resume_skips(self, tmp_path, capsys):
+        root = str(tmp_path / "chips")
+        make_png_dataset(root, n=8)
+        out = str(tmp_path / "recs")
+        images_to_tfrecords_mt("t", root, out, num_shards=2,
+                               num_threads=1, store_as_array=True)
+        files = sorted(os.listdir(out))
+        assert files == ["t-00000-of-00002", "t-00001-of-00002"]
+        assert not any(f.endswith(".tmp") for f in files)
+        # delete one shard; resume rewrites only that one
+        mtime0 = os.path.getmtime(os.path.join(out, files[0]))
+        os.remove(os.path.join(out, files[1]))
+        n = images_to_tfrecords_mt("t", root, out, num_shards=2,
+                                   num_threads=1, store_as_array=True,
+                                   resume=True)
+        assert n == 4  # only the missing shard's examples rewritten
+        assert os.path.getmtime(os.path.join(out, files[0])) == mtime0
+        assert os.path.exists(os.path.join(out, files[1]))
