@@ -89,7 +89,8 @@ def cmd_train(args) -> int:
                       batch_size=args.batch_size,
                       learning_rate=args.lr,
                       label_nodata=args.nodata,
-                      n_model=args.n_model)
+                      n_model=args.n_model,
+                      model=args.model)
     trainer = Trainer(cfg)
     if args.restore:
         trainer.restore_checkpoint(args.restore)
@@ -256,6 +257,7 @@ def main(argv=None) -> int:
     tr.add_argument("--records", required=True, help="shard glob")
     tr.add_argument("--mode", default="rgbraw",
                     choices=["rgbraw", "rgbarr", "tifraw", "tifarr"])
+    tr.add_argument("--model", default="unet", choices=["unet", "deeplab"])
     tr.add_argument("--classes", type=int, default=2)
     tr.add_argument("--channels", type=int, default=3)
     tr.add_argument("--features", type=int, default=32)

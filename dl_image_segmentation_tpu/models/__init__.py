@@ -1,5 +1,6 @@
-"""Models: U-Net segmentation (flax)."""
+"""Models: U-Net (flagship) and DeepLab-lite segmentation (flax)."""
 
 from .unet import UNet, ConvBlock
+from .deeplab import DeepLabLite, ASPP
 
-__all__ = ["UNet", "ConvBlock"]
+__all__ = ["UNet", "ConvBlock", "DeepLabLite", "ASPP"]

@@ -46,6 +46,7 @@ class TrainConfig:
     label_nodata: int = 255
     n_model: int = 1  # model-axis size (channel sharding)
     seed: int = 0
+    model: str = "unet"  # "unet" | "deeplab"
     # schedule: "constant" or "cosine" (with linear warmup)
     schedule: str = "constant"
     warmup_steps: int = 0
@@ -113,9 +114,17 @@ class Trainer:
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             n_model=config.n_model)
-        self.model = UNet(num_classes=config.num_classes,
-                          base_features=config.base_features,
-                          levels=config.levels)
+        if config.model == "deeplab":
+            from ..models.deeplab import DeepLabLite
+            self.model = DeepLabLite(num_classes=config.num_classes,
+                                     base_features=config.base_features)
+        elif config.model == "unet":
+            self.model = UNet(num_classes=config.num_classes,
+                              base_features=config.base_features,
+                              levels=config.levels)
+        else:
+            raise ValueError(f"unknown model {config.model!r} "
+                             "(expected 'unet' or 'deeplab')")
         if config.schedule == "cosine":
             lr = optax.warmup_cosine_decay_schedule(
                 init_value=0.0, peak_value=config.learning_rate,

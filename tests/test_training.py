@@ -294,3 +294,28 @@ class TestManagedCheckpoints:
         tr = Trainer(cfg)
         mgr = tr.checkpoint_manager(str(tmp_path / "none"))
         assert tr.restore_latest(mgr) is None
+
+
+class TestDeepLab:
+    def test_forward_shapes(self):
+        from dl_image_segmentation_tpu.models.deeplab import DeepLabLite
+        m = DeepLabLite(num_classes=3, base_features=8, aspp_features=16)
+        x = jnp.zeros((2, 32, 32, 4))
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        y = m.apply({"params": params}, x)
+        assert y.shape == (2, 32, 32, 3)
+        assert y.dtype == jnp.float32
+
+    def test_trains_via_trainer(self):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          image_size=32, batch_size=8, model="deeplab")
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+        lbls = (imgs[:, :, :, 0] > 0.5).astype(np.int32)
+        losses = [tr.train_step(imgs, lbls)["loss"] for _ in range(15)]
+        assert losses[-1] < losses[0]
+
+    def test_unknown_model_rejected(self):
+        with pytest.raises(ValueError, match="unknown model"):
+            Trainer(TrainConfig(model="transformer9000"))
