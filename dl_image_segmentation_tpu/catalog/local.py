@@ -78,6 +78,29 @@ class LocalCatalog(Catalog):
                   encoding="utf-8") as f:
             json.dump(self._index, f)
 
+    def ingest_chips(self, product: str, bands: Sequence[str],
+                     folder: str, date: _dt.date,
+                     cloud_fraction: Optional[float] = None) -> int:
+        """Register every GeoTIFF chip in a folder as scenes of a
+        product -- e.g. feed `dlseg-tpu predict` output back in as
+        model input for multi-product stacking (the reference's
+        prior-model-outputs use case, _descartes_img_chips.py:493-497).
+        Returns the number of scenes added."""
+        import glob as _glob
+        n = 0
+        for f in sorted(_glob.glob(os.path.join(folder, "*.tif"))):
+            g = read_geotiff(f)
+            if g.info.geotransform is None or g.info.epsg is None:
+                continue
+            sid = (f"{product.replace(':', '_')}-"
+                   f"{os.path.splitext(os.path.basename(f))[0]}")
+            self.add_scene(product, bands, sid, date, g.array,
+                           g.info.geotransform, g.info.epsg,
+                           cloud_fraction=cloud_fraction,
+                           nodata=g.info.nodata)
+            n += 1
+        return n
+
     # -- Catalog interface ----------------------------------------------
     def products(self) -> List[str]:
         return list(self._index.get("products", {}))

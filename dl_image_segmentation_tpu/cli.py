@@ -174,6 +174,29 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """mIoU / accuracy / loss over TFRecord shards with a checkpoint."""
+    from .pipeline.input import TFRecordFeed
+    from .train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(num_classes=args.classes, in_channels=args.channels,
+                      base_features=args.features, levels=args.levels,
+                      image_size=args.image_size,
+                      batch_size=args.batch_size,
+                      label_nodata=args.nodata, model=args.model)
+    trainer = Trainer(cfg)
+    trainer.restore_checkpoint(args.checkpoint)
+    feed = TFRecordFeed(args.records, args.mode,
+                        batch_size=args.batch_size,
+                        image_size=args.image_size,
+                        shuffle_buffer=1, num_workers=args.workers,
+                        repeat=False)
+    out = trainer.evaluate(feed.batches(), max_batches=args.max_batches)
+    print(f"eval: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
+          f"miou={out['miou']:.4f} over {out['batches']} batches")
+    return 0
+
+
 def cmd_stitch(args) -> int:
     from .pipeline.stitch import stitch_folder
     n, shape = stitch_folder(args.chips, args.out,
@@ -291,6 +314,24 @@ def main(argv=None) -> int:
     pr.add_argument("--image-size", type=int, default=256)
     pr.add_argument("--batch-size", type=int, default=8)
     pr.set_defaults(fn=cmd_predict)
+
+    ev = sub.add_parser("eval", help="evaluate a checkpoint on shards")
+    ev.add_argument("--records", required=True)
+    ev.add_argument("--checkpoint", required=True)
+    ev.add_argument("--mode", default="tifarr",
+                    choices=["rgbraw", "rgbarr", "tifraw", "tifarr"])
+    ev.add_argument("--model", default="unet",
+                    choices=["unet", "deeplab"])
+    ev.add_argument("--classes", type=int, default=2)
+    ev.add_argument("--channels", type=int, default=3)
+    ev.add_argument("--features", type=int, default=32)
+    ev.add_argument("--levels", type=int, default=4)
+    ev.add_argument("--image-size", type=int, default=256)
+    ev.add_argument("--batch-size", type=int, default=8)
+    ev.add_argument("--nodata", type=int, default=255)
+    ev.add_argument("--workers", type=int, default=2)
+    ev.add_argument("--max-batches", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval)
 
     stp = sub.add_parser("stitch", help="chips -> one GeoTIFF mosaic")
     stp.add_argument("--chips", required=True,

@@ -349,3 +349,55 @@ class TestViz:
         p2 = str(tmp_path / "pair.png")
         save_fig(fig2, p2)
         assert os.path.getsize(p2) > 1000
+
+
+class TestIngestAndCoverage:
+    def test_ingest_chips_as_product(self, tmp_path, labels_path, catalog):
+        """Prediction chips re-ingested as a catalog product feed the
+        multi-product stacking flow (reference's prior-model-output
+        use case)."""
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        # fake "prediction" chips on the tile grid
+        pred_dir = str(tmp_path / "preds")
+        os.makedirs(pred_dir)
+        rng = np.random.RandomState(0)
+        for t in (TILE,):
+            arr = rng.randint(0, 2, (64, 64)).astype(np.uint8)
+            write_geotiff(os.path.join(pred_dir, t.filename + ".tif"),
+                          arr, geotransform=t.geotrans, epsg=32643)
+        local = LocalCatalog.create(str(tmp_path / "cat"))
+        n = local.ingest_chips("model:v1:predictions", ["class"],
+                               pred_dir, dt.date(2021, 1, 1))
+        assert n == 1
+        scenes = local.search(TILE, "model:v1:predictions")
+        assert len(scenes) == 1
+        stack, valid = local.load(scenes, TILE, ["class"])
+        assert stack.shape == (1, 64, 64, 1)
+
+    def test_coverage_dataset_controls_tiling(self, tmp_path, catalog):
+        """label_coverage_config determines WHERE tiles go; labels are
+        still what gets rasterised (reference :354-364)."""
+        labels = write_labels_geojson(str(tmp_path / "labels.geojson"))
+        # coverage: a small polygon inside ONE tile only
+        x0, y0, x1, y1 = TILE.bounds_unpadded
+        ring = [[x0 + 50, y0 + 50], [x0 + 150, y0 + 50],
+                [x0 + 150, y0 + 150], [x0 + 50, y0 + 150],
+                [x0 + 50, y0 + 50]]
+        import json as _json
+        lonlat = [list(map(float, crs.utm_to_lonlat(px, py, ZONE)))
+                  for px, py in ring]
+        cov = str(tmp_path / "cov.geojson")
+        with open(cov, "w") as f:
+            _json.dump({"type": "FeatureCollection", "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Polygon", "coordinates": [lonlat]},
+                 "properties": {}}]}, f)
+        cfg = DLSampleCreationConfig(
+            tile_size=64, tile_padding=2, tile_res_m=10.0,
+            dl_product="sentinel-2:L1C", bands="red",
+            sample_folder_root=str(tmp_path), source_tag="s",
+            label_data_config=OGRLabelDataDesc(labels, 0, "cls"),
+            label_coverage_config=OGRLabelDataDesc(cov),
+            catalog=catalog)
+        tiles = cfg.get_tiles()
+        assert [t.key for t in tiles] == [TILE.key]
