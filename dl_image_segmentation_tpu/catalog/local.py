@@ -68,7 +68,11 @@ class LocalCatalog(Catalog):
                       nodata=nodata)
         prods = self._index.setdefault("products", {})
         p = prods.setdefault(product, {"bands": list(bands), "scenes": []})
-        entry = {"id": scene_id, "date": date.isoformat(), "path": rel}
+        gt = tuple(geotransform)
+        h, w = array.shape[:2]
+        bounds = [gt[0], gt[3] + h * gt[5], gt[0] + w * gt[1], gt[3]]
+        entry = {"id": scene_id, "date": date.isoformat(), "path": rel,
+                 "bounds": bounds}
         if cloud_fraction is not None:
             entry["cloud_fraction"] = cloud_fraction
         if nodata is not None:
@@ -128,14 +132,15 @@ class LocalCatalog(Catalog):
             if max_cloud_fraction is not None and cf is not None \
                     and not (cf < max_cloud_fraction):
                 continue
-            # intersect scene bounds with the tile
-            g = self._load_scene(s["path"])
-            gt = g.info.geotransform
-            sx0 = gt[0]
-            sy1 = gt[3]
-            sx1 = sx0 + g.info.width * gt[1]
-            sy0 = sy1 + g.info.height * gt[5]
-            if sx1 < tx0 or sx0 > tx1 or sy1 < ty0 or sy0 > ty1:
+            # intersect scene bounds with the tile: indexed bounds when
+            # recorded (cheap), else one header-only read
+            b = s.get("bounds")
+            if b is None:
+                g = self._load_scene(s["path"])
+                gt = g.info.geotransform
+                b = [gt[0], gt[3] + g.info.height * gt[5],
+                     gt[0] + g.info.width * gt[1], gt[3]]
+            if b[2] < tx0 or b[0] > tx1 or b[3] < ty0 or b[1] > ty1:
                 continue
             out.append(SceneMeta(s["id"], product, date, cf, s["path"],
                                  extra={"nodata": s.get("nodata")}))
