@@ -44,15 +44,123 @@ static void crc32c_init() {
     crc32c_init_done = true;
 }
 
+// --- 3-stream CRC32C -------------------------------------------------------
+// The crc32 instruction has 3-cycle latency / 1-cycle throughput: a
+// single dependency chain runs at ~2.7 GB/s while three interleaved
+// chains reach ~8 GB/s. Streams are stitched with precomputed
+// zero-extension operators (append-N-zero-bytes is linear over GF(2);
+// represent it as 4x256 lookup tables built once by operator squaring).
+
+#if defined(__SSE4_2__)
+#define CRC_LONG 8192u
+#define CRC_SHORT 256u
+
+static uint32_t crc_shift_long[4][256];
+static uint32_t crc_shift_short[4][256];
+static bool crc_shift_init_done = false;
+
+// multiply two GF(2) operators represented as 32 column vectors
+static void gf2_matrix_square(uint32_t* square, const uint32_t* mat) {
+    for (int n = 0; n < 32; n++) {
+        uint32_t col = 0;
+        uint32_t vec = mat[n];
+        const uint32_t* m = mat;
+        // apply mat to mat[n]
+        col = 0;
+        for (int b = 0; b < 32 && vec; b++, vec >>= 1)
+            if (vec & 1) col ^= m[b];
+        square[n] = col;
+    }
+}
+
+// build the 4x256 table form of the append-len-zero-bytes operator
+static void crc32c_zeros(uint32_t table[4][256], uint32_t len) {
+    const uint32_t poly = 0x82F63B78u;
+    uint32_t op[32], tmp[32];
+    // operator for one zero BIT
+    op[0] = poly;
+    for (int n = 1; n < 32; n++) op[n] = 1u << (n - 1);
+    // square to one zero BYTE (x8 bits -> 3 squarings)
+    gf2_matrix_square(tmp, op);
+    gf2_matrix_square(op, tmp);
+    gf2_matrix_square(tmp, op);
+    // tmp = 1-byte operator; square len-1 more times doubling bytes
+    uint32_t cur[32];
+    memcpy(cur, tmp, sizeof cur);
+    uint32_t bytes = 1;
+    while (bytes < len) {
+        gf2_matrix_square(op, cur);
+        memcpy(cur, op, sizeof cur);
+        bytes <<= 1;
+    }
+    if (bytes != len) {
+        // len must be a power of two for this builder
+        abort();
+    }
+    for (int k = 0; k < 4; k++)
+        for (int i = 0; i < 256; i++) {
+            uint32_t c = 0;
+            uint32_t v = (uint32_t)i << (k * 8);
+            for (int b = 0; b < 32 && v; b++, v >>= 1)
+                if (v & 1) c ^= cur[b];
+            table[k][i] = c;
+        }
+}
+
+static inline uint32_t crc_shift(const uint32_t table[4][256],
+                                 uint32_t crc) {
+    return table[0][crc & 0xFF] ^ table[1][(crc >> 8) & 0xFF]
+         ^ table[2][(crc >> 16) & 0xFF] ^ table[3][crc >> 24];
+}
+
+static void crc_shift_init() {
+    crc32c_zeros(crc_shift_long, CRC_LONG);
+    crc32c_zeros(crc_shift_short, CRC_SHORT);
+    crc_shift_init_done = true;
+}
+#endif  // __SSE4_2__
+
 uint32_t fc_crc32c(const uint8_t* data, uint64_t n, uint32_t initial) {
     uint32_t crc = ~initial;
 #if defined(__SSE4_2__)
+    if (!crc_shift_init_done) crc_shift_init();
     // align to 8
     while (n && ((uintptr_t)data & 7)) {
         crc = _mm_crc32_u8(crc, *data++);
         n--;
     }
     uint64_t crc64 = crc;
+    // 3 interleaved streams over LONG blocks
+    while (n >= 3 * CRC_LONG) {
+        uint64_t a = crc64, b = 0, c = 0;
+        const uint64_t* p = (const uint64_t*)data;
+        const uint64_t* pb = (const uint64_t*)(data + CRC_LONG);
+        const uint64_t* pc = (const uint64_t*)(data + 2 * CRC_LONG);
+        for (uint32_t i = 0; i < CRC_LONG / 8; i++) {
+            a = _mm_crc32_u64(a, p[i]);
+            b = _mm_crc32_u64(b, pb[i]);
+            c = _mm_crc32_u64(c, pc[i]);
+        }
+        crc64 = crc_shift(crc_shift_long, (uint32_t)a) ^ (uint32_t)b;
+        crc64 = crc_shift(crc_shift_long, (uint32_t)crc64) ^ (uint32_t)c;
+        data += 3 * CRC_LONG;
+        n -= 3 * CRC_LONG;
+    }
+    while (n >= 3 * CRC_SHORT) {
+        uint64_t a = crc64, b = 0, c = 0;
+        const uint64_t* p = (const uint64_t*)data;
+        const uint64_t* pb = (const uint64_t*)(data + CRC_SHORT);
+        const uint64_t* pc = (const uint64_t*)(data + 2 * CRC_SHORT);
+        for (uint32_t i = 0; i < CRC_SHORT / 8; i++) {
+            a = _mm_crc32_u64(a, p[i]);
+            b = _mm_crc32_u64(b, pb[i]);
+            c = _mm_crc32_u64(c, pc[i]);
+        }
+        crc64 = crc_shift(crc_shift_short, (uint32_t)a) ^ (uint32_t)b;
+        crc64 = crc_shift(crc_shift_short, (uint32_t)crc64) ^ (uint32_t)c;
+        data += 3 * CRC_SHORT;
+        n -= 3 * CRC_SHORT;
+    }
     while (n >= 8) {
         crc64 = _mm_crc32_u64(crc64, *(const uint64_t*)data);
         data += 8;
