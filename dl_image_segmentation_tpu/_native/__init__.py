@@ -79,6 +79,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p, ctypes.c_uint64]
+        lib.fc_encode_pair_to_fd.restype = ctypes.c_uint64
+        lib.fc_encode_pair_to_fd.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_char_p, ctypes.c_uint64]
@@ -199,6 +204,30 @@ def encode_pair_from_files(img_path: str, lbl_path: str, ident: bytes):
     if n == 0:
         return None
     return memoryview(buf)[:n]
+
+
+def encode_pair_to_fd(img_path: str, lbl_path: str, ident: bytes,
+                      fd: int) -> int:
+    """Fully-native pair path writing straight to a file descriptor.
+    Returns bytes written; 0 means fall back to the Python path."""
+    lib = get_lib()
+    if lib is None:
+        return 0
+    try:
+        need = (os.path.getsize(img_path) + os.path.getsize(lbl_path)
+                + len(ident) + 512)
+    except OSError:
+        return 0
+    buf = getattr(_framed_buf, "buf", None)
+    if buf is None or len(buf) < need:
+        buf = bytearray(max(need, 1 << 20))
+        _framed_buf.buf = buf
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    n = lib.fc_encode_pair_to_fd(
+        img_path.encode(), lbl_path.encode(), ident, len(ident),
+        cbuf, len(buf), fd)
+    del cbuf
+    return int(n)
 
 
 def lzw_encode(data: bytes) -> Optional[bytes]:

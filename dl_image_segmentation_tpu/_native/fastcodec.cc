@@ -509,6 +509,28 @@ uint64_t fc_encode_pair_from_files(
     return example_len + 16;
 }
 
+// Same as fc_encode_pair_from_files but writes the finished frame to a
+// file descriptor (one write syscall), eliminating the Python write
+// glue from the hot loop. scratch/cap provided by the caller (reused
+// across calls). Returns frame length written, 0 on fallback-needed.
+#include <unistd.h>
+
+uint64_t fc_encode_pair_to_fd(
+    const char* img_path, const char* lbl_path,
+    const uint8_t* ident, uint64_t ident_len,
+    uint8_t* scratch, uint64_t cap, int fd) {
+    uint64_t n = fc_encode_pair_from_files(img_path, lbl_path, ident,
+                                           ident_len, scratch, cap);
+    if (n == 0) return 0;
+    uint64_t off = 0;
+    while (off < n) {
+        ssize_t w = write(fd, scratch + off, n - off);
+        if (w <= 0) return 0;
+        off += (uint64_t)w;
+    }
+    return n;
+}
+
 // ---------------------------------------------------------------------------
 // TIFF LZW
 // ---------------------------------------------------------------------------

@@ -45,10 +45,13 @@ class TFRecordWriter:
     shard -- which is what makes shard-level resume sound
     (records.writers ``resume=True``)."""
 
-    def __init__(self, path: str, atomic: bool = True):
+    def __init__(self, path: str, atomic: bool = True,
+                 buffering: int = -1):
         self._path = path
         self._tmp_path = path + ".tmp" if atomic else path
-        self._f = open(self._tmp_path, "wb")
+        # buffering=0 (unbuffered) when the caller writes whole frames
+        # and may interleave direct-fd writes (native pair path)
+        self._f = open(self._tmp_path, "wb", buffering=buffering)
         self._atomic = atomic
         from .. import _native
         self._native_frame = _native.tfrecord_frame if _native.available() \

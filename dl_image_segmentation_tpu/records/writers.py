@@ -191,7 +191,9 @@ def _worker(worker_index: int, ranges, name: str,
             print(f"{datetime.now()} [worker {worker_index}]: shard "
                   f"{output_file} exists, skipping (resume)")
             continue
-        writer = TFRecordWriter(output_file)
+        writer = TFRecordWriter(output_file,
+                                buffering=0 if use_native_pair else -1)
+        fd = writer.fileobj.fileno() if use_native_pair else -1
         shard_counter = 0
         for i in range(shard_ranges[s], shard_ranges[s + 1]):
             filename = img_files[i]
@@ -199,10 +201,8 @@ def _worker(worker_index: int, ranges, name: str,
             if use_native_pair:
                 key = (_tile_key_from_filename(filename)
                        if loader_args[0] else os.path.basename(filename))
-                mv = _native.encode_pair_from_files(filename, label,
-                                                    key.encode())
-                if mv is not None:
-                    writer.fileobj.write(mv)
+                if _native.encode_pair_to_fd(filename, label,
+                                             key.encode(), fd):
                     shard_counter += 1
                     counter += 1
                     if progress_every and not counter % progress_every:
