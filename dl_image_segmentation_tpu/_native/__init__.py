@@ -84,6 +84,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
+        lib.fc_write_shard.restype = ctypes.c_uint64
+        lib.fc_write_shard.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_char_p, ctypes.c_uint64]
@@ -228,6 +235,34 @@ def encode_pair_to_fd(img_path: str, lbl_path: str, ident: bytes,
         cbuf, len(buf), fd)
     del cbuf
     return int(n)
+
+
+def write_shard(img_paths, lbl_paths, idents, fd: int,
+                scratch_bytes: int = 32 << 20):
+    """Write a whole shard natively. Returns (written, failed_indices)
+    or None when the extension is unavailable. Pairs too large for the
+    scratch buffer are reported failed (caller's Python path handles
+    them)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(img_paths)
+    ArrP = ctypes.c_char_p * n
+    imgs = ArrP(*[p.encode() for p in img_paths])
+    lbls = ArrP(*[p.encode() for p in lbl_paths])
+    ids = ArrP(*idents)
+    lens = (ctypes.c_uint64 * n)(*[len(i) for i in idents])
+    buf = getattr(_framed_buf, "buf", None)
+    if buf is None or len(buf) < scratch_bytes:
+        buf = bytearray(scratch_bytes)
+        _framed_buf.buf = buf
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    failed = ctypes.create_string_buffer(n)
+    written = lib.fc_write_shard(imgs, lbls, ids, lens, n, fd,
+                                 cbuf, len(buf), failed)
+    del cbuf
+    failed_idx = [i for i in range(n) if failed.raw[i]]
+    return int(written), failed_idx
 
 
 def lzw_encode(data: bytes) -> Optional[bytes]:

@@ -531,6 +531,44 @@ uint64_t fc_encode_pair_to_fd(
     return n;
 }
 
+// Whole-shard loop in native code: encode + write every pair of the
+// shard with zero per-record Python involvement. Pairs that fail to
+// parse/read are flagged in `failed` (caller retries them through the
+// Python path, which produces the reference's SKIPPED diagnostics).
+// Returns the number of records written.
+uint64_t fc_write_shard(const char* const* img_paths,
+                        const char* const* lbl_paths,
+                        const char* const* idents,
+                        const uint64_t* ident_lens,
+                        uint64_t count, int fd,
+                        uint8_t* scratch, uint64_t cap,
+                        uint8_t* failed) {
+    uint64_t written = 0;
+    for (uint64_t i = 0; i < count; i++) {
+        uint64_t n = fc_encode_pair_from_files(
+            img_paths[i], lbl_paths[i],
+            (const uint8_t*)idents[i], ident_lens[i], scratch, cap);
+        if (n == 0) {
+            failed[i] = 1;
+            continue;
+        }
+        uint64_t off = 0;
+        bool ok = true;
+        while (off < n) {
+            ssize_t w = write(fd, scratch + off, n - off);
+            if (w <= 0) { ok = false; break; }
+            off += (uint64_t)w;
+        }
+        if (!ok) {
+            failed[i] = 1;
+            continue;
+        }
+        failed[i] = 0;
+        written++;
+    }
+    return written;
+}
+
 // ---------------------------------------------------------------------------
 // TIFF LZW
 // ---------------------------------------------------------------------------

@@ -193,26 +193,30 @@ def _worker(worker_index: int, ranges, name: str,
             continue
         writer = TFRecordWriter(output_file,
                                 buffering=0 if use_native_pair else -1)
-        fd = writer.fileobj.fileno() if use_native_pair else -1
         shard_counter = 0
-        for i in range(shard_ranges[s], shard_ranges[s + 1]):
+        indices = list(range(shard_ranges[s], shard_ranges[s + 1]))
+        if use_native_pair and indices:
+            # whole shard in native code (no per-record Python); pairs
+            # the native path can't handle are retried below through
+            # the Python path (which produces the reference's SKIPPED
+            # diagnostics for genuinely bad files)
+            keys = [
+                (_tile_key_from_filename(img_files[i])
+                 if loader_args[0]
+                 else os.path.basename(img_files[i])).encode()
+                for i in indices]
+            result = _native.write_shard(
+                [img_files[i] for i in indices],
+                [lbl_files[i] for i in indices],
+                keys, writer.fileobj.fileno())
+            if result is not None:
+                written, failed_idx = result
+                shard_counter += written
+                counter += written
+                indices = [indices[k] for k in failed_idx]
+        for i in indices:
             filename = img_files[i]
             label = lbl_files[i]
-            if use_native_pair:
-                key = (_tile_key_from_filename(filename)
-                       if loader_args[0] else os.path.basename(filename))
-                if _native.encode_pair_to_fd(filename, label,
-                                             key.encode(), fd):
-                    shard_counter += 1
-                    counter += 1
-                    if progress_every and not counter % progress_every:
-                        print(f"{datetime.now()} [worker {worker_index}]: "
-                              f"Processed {counter} of {files_in_worker} "
-                              "images in batch.")
-                        sys.stdout.flush()
-                    continue
-                # fall through to the Python path (also produces the
-                # reference's SKIPPED message on genuinely bad files)
             try:
                 img_buf, ih, iw, ib, ikey = loader(
                     filename, *loader_args, store_as_array)
