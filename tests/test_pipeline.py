@@ -401,3 +401,34 @@ class TestIngestAndCoverage:
             catalog=catalog)
         tiles = cfg.get_tiles()
         assert [t.key for t in tiles] == [TILE.key]
+
+
+class TestS2ThirteenBand:
+    def test_full_band_s2_chip(self, tmp_path, labels_path, catalog):
+        """BASELINE 'S2 13-band 64px/10m' run config (create nb cell
+        13): all 13 Sentinel-2 bands through the cloud-masked path."""
+        bands = ("coastal-aerosol blue green red red-edge red-edge-2 "
+                 "red-edge-3 nir red-edge-4 water-vapor cirrus swir1 swir2")
+        job = DLTileJobConfig(
+            dltile=TILE, out_folder_base=str(tmp_path / "out"),
+            dl_product="sentinel-2:L1C", ref_date=dt.date(2020, 11, 1),
+            labels_data=labels_path, bands=bands,
+            max_cloud_fraction=0, catalog=catalog)
+        _, img_path, _ = create_chips_for_tile(job)
+        g = read_geotiff(img_path)
+        assert g.array.shape == (64, 64, 13)
+
+
+class TestProfilingTrace:
+    def test_trace_and_stage_timer(self, tmp_path):
+        import jax.numpy as jnp
+        from dl_image_segmentation_tpu.utils.profiling import (StageTimer,
+                                                               trace)
+        st = StageTimer()
+        with st.stage("demo", items=10, nbytes=1000):
+            pass
+        assert "demo" in st.report()
+        logdir = str(tmp_path / "trace")
+        with trace(logdir):
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        assert os.path.exists(logdir)
