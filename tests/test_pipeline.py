@@ -432,3 +432,26 @@ class TestProfilingTrace:
         with trace(logdir):
             (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
         assert os.path.exists(logdir)
+
+
+class TestConcurrencySafety:
+    def test_concurrent_exports_no_corruption(self, tmp_path, labels_path,
+                                              catalog):
+        """Two exports racing on the same output folder produce valid,
+        complete chips (the makedirs/write races the reference handled
+        manually in its notebook, create nb cell 76)."""
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = [DLTileJobConfig(
+            dltile=TILE, out_folder_base=str(tmp_path / "out"),
+            dl_product="sentinel-2:L1C", ref_date=dt.date(2020, 11, 1),
+            labels_data=labels_path, bands="red green blue",
+            catalog=catalog)]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            r1 = ex.submit(run_export, jobs, 2, 3, None)
+            r2 = ex.submit(run_export, jobs, 2, 3, None)
+            a, b = r1.result(), r2.result()
+        assert a.ok and b.ok
+        img = os.path.join(str(tmp_path / "out"), "images",
+                           TILE.filename + ".tif")
+        g = read_geotiff(img)  # parses -> not corrupt
+        assert g.array.shape == (64, 64, 3)
