@@ -265,6 +265,13 @@ class DLSampleCreationConfig:
 # per-tile mosaic functions (reference :461-629)
 # ---------------------------------------------------------------------------
 
+def _debug_errors() -> bool:
+    """DLSEG_DEBUG=1 re-raises fetch errors instead of returning None
+    (the reference's retry protocol swallows them, which is right for
+    production but opaque when debugging a catalog/kernel problem)."""
+    return bool(os.environ.get("DLSEG_DEBUG"))
+
+
 def _resolve_catalog(catalog) -> Catalog:
     return catalog if catalog is not None else get_default_catalog()
 
@@ -290,6 +297,8 @@ def create_img_array_for_tile(ctx, product, reference_date, min_date=None,
         out = np.asarray(mosaic).astype(stack.dtype)
         return out
     except Exception:
+        if _debug_errors():
+            raise
         return None
 
 
@@ -325,6 +334,8 @@ def create_cloudmasked_s2_array(ctx, min_date=None, max_date=None,
         mask = ~np.asarray(any_valid)
         return np.ma.masked_array(med, mask=mask)
     except Exception:
+        if _debug_errors():
+            raise
         return None
 
 
