@@ -122,6 +122,17 @@ class TFRecordFeed:
         stop = threading.Event()
         lock = threading.Lock()
 
+        def put(item) -> bool:
+            """Queue put that gives up when the consumer is gone (so
+            worker threads never leak blocked on a full queue)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             while not stop.is_set():
                 with lock:
@@ -137,15 +148,16 @@ class TFRecordFeed:
                     # repeating stream would otherwise spin forever
                     if (self.records_read == 0
                             and self._parse_failures >= 1000):
-                        out_q.put(RuntimeError(
+                        put(RuntimeError(
                             f"all {self._parse_failures} records failed "
                             f"to parse with parse_mode="
                             f"{self.parse_mode!r}; wrong storage mode "
                             "for these shards?"))
                         return
                     continue
-                out_q.put((img, lbl))
-            out_q.put(None)
+                if not put((img, lbl)):
+                    return
+            put(None)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -196,10 +208,6 @@ class TFRecordFeed:
         lbls: List[np.ndarray] = []
         seen = 0
         yielded = 0
-        # one epoch's worth of records: if a full pass produces zero
-        # usable examples (wrong parse_mode / image_size), fail loudly
-        # instead of spinning forever on a repeating stream
-        epoch_quota = None
         for img, lbl in self._parsed_stream():
             seen += 1
             img = self._to_float_image(img)
