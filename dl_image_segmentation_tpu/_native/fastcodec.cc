@@ -597,15 +597,25 @@ static inline void bw_put(BitWriter* bw, uint32_t code, int bits) {
     }
 }
 
-// Encode: direct-mapped children table child[code][byte] -> next code.
+// Encode: direct-mapped children table child[code][byte] -> next code,
+// epoch-stamped so table resets cost nothing (no 2 MB memset per Clear
+// -- random-ish data resets every ~4-6 KB of input).
 // Returns compressed size, or 0 on output overflow (caller grows buffer).
 uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
                        uint8_t* dst, uint64_t cap) {
-    // 4096 * 256 entries of int16 (-1 = absent)
-    static thread_local int16_t* child = nullptr;
-    if (!child)
-        child = (int16_t*)malloc(4096 * 256 * sizeof(int16_t));
-    memset(child, 0xFF, 4096 * 256 * sizeof(int16_t));
+    // entry = (epoch << 16) | code; entry valid iff its epoch matches
+    static thread_local uint32_t* child = nullptr;
+    static thread_local uint32_t epoch = 0;
+    if (!child) {
+        child = (uint32_t*)malloc(4096 * 256 * sizeof(uint32_t));
+        memset(child, 0, 4096 * 256 * sizeof(uint32_t));
+        epoch = 0;
+    }
+    if (epoch >= 0xFFFEu) {  // epoch wrap: one real reset per ~65k clears
+        memset(child, 0, 4096 * 256 * sizeof(uint32_t));
+        epoch = 0;
+    }
+    epoch++;
 
     BitWriter bw = {dst, cap, 0, 0, 0, false};
     int bits = 9;
@@ -624,16 +634,20 @@ uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
     int w = src[0];
     for (uint64_t i = 1; i < n; i++) {
         uint8_t k = src[i];
-        int16_t nx = child[((uint32_t)w << 8) | k];
-        if (nx >= 0) { w = nx; continue; }
+        uint32_t e = child[((uint32_t)w << 8) | k];
+        if ((e >> 16) == epoch) { w = (int)(e & 0xFFFF); continue; }
         bw_put(&bw, (uint32_t)w, bits);
         if (bw.overflow) return 0;
-        child[((uint32_t)w << 8) | k] = (int16_t)next_code;
+        child[((uint32_t)w << 8) | k] = (epoch << 16) | (uint32_t)next_code;
         next_code++;
         w = k;
         if (next_code >= LZW_RESET) {
             bw_put(&bw, LZW_CLEAR, bits);
-            memset(child, 0xFF, 4096 * 256 * sizeof(int16_t));
+            epoch++;
+            if (epoch >= 0xFFFFu) {  // 16-bit stamp wrap mid-stream
+                memset(child, 0, 4096 * 256 * sizeof(uint32_t));
+                epoch = 1;
+            }
             next_code = LZW_FIRST;
             bits = 9;
         } else if (next_code == (1 << bits) && bits < 12) {
