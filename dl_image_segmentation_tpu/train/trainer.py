@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
@@ -376,7 +377,7 @@ class Trainer:
         save_managed / restore_latest for long runs."""
         import orbax.checkpoint as ocp
         return ocp.CheckpointManager(
-            directory,
+            os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(max_to_keep=keep,
                                                  create=True))
 
@@ -407,6 +408,7 @@ class Trainer:
 
     def save_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, {"params": self.state.params,
                           "opt_state": self.state.opt_state,
@@ -415,6 +417,7 @@ class Trainer:
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         target = {"params": self.state.params,
                   "opt_state": self.state.opt_state,
