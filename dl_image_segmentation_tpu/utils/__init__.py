@@ -1,1 +1,1 @@
-"""Utilities: profiling counters, manifests."""
+"""Utilities: profiling counters, jax traces, visualization."""
