@@ -29,22 +29,12 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".benchmark_data")
 
 
-def _encode_png_fast(arr):
-    """PNG at compress level 1: the bench measures the WRITER, not PNG
-    encode, so cold-start fixture generation is kept cheap."""
-    import io as _io
-
-    from PIL import Image
-    a = arr[:, :, 0] if arr.ndim == 3 and arr.shape[2] == 1 else arr
-    buf = _io.BytesIO()
-    Image.fromarray(a).save(buf, format="PNG", compress_level=1)
-    return buf.getvalue()
-
-
 def ensure_chip_folder(root: str, n: int = N_CHIPS) -> str:
-    """Synthetic chip folder (cached across runs): smooth-ish uint8 RGB
-    imagery + binary labels, PNG, DLTile-key filenames."""
-    encode_png = _encode_png_fast
+    """Synthetic chip folder (cached across runs, ~4 min to generate
+    cold): smooth-ish uint8 RGB imagery + binary labels,
+    default-compression PNG (realistic chip sizes), DLTile-key
+    filenames."""
+    from dl_image_segmentation_tpu.raster.image import encode_png
 
     chip_dir = os.path.join(root, f"chips_{n}_{SIZE}")
     marker = os.path.join(chip_dir, ".complete")
