@@ -330,3 +330,26 @@ class TestGeoPackage:
         arr = create_label_array_for_tile(tile, p, attrib_to_burn="cls",
                                           background_value=0)
         assert set(np.unique(arr)) == {0, 3}
+
+
+class TestGeoPackageUTM:
+    def test_utm_gpkg_reprojects_into_pipeline(self, tmp_path):
+        """A GPKG authored in a UTM CRS reprojects through to_wgs84 and
+        plans tiles correctly."""
+        from dl_image_segmentation_tpu.geo.gpkg import write_gpkg
+        from dl_image_segmentation_tpu.geo.vector import (Feature,
+                                                          VectorLayer,
+                                                          open_vector)
+        e, n = crs.lonlat_to_utm(72.86, 19.06, 43)
+        ring = np.array([[e, n], [e + 800, n], [e + 800, n + 600],
+                         [e, n + 600], [e, n]], float)
+        g = Geometry([[ring]])
+        p = str(tmp_path / "utm.gpkg")
+        write_gpkg(p, VectorLayer("l", [Feature(g, {"cls": 1})], 32643))
+        lyr = open_vector(p).get_layer(0)
+        assert lyr.crs_epsg == 32643
+        w = lyr.to_wgs84()
+        b = w.features[0].geometry.bounds
+        assert 72.8 < b[0] < 72.9 and 19.0 < b[1] < 19.1
+        tiles = tiles_from_shape(w.features[0].geometry, 10.0, 60, 2)
+        assert len(tiles) >= 1

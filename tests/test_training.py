@@ -319,3 +319,26 @@ class TestDeepLab:
     def test_unknown_model_rejected(self):
         with pytest.raises(ValueError, match="unknown model"):
             Trainer(TrainConfig(model="transformer9000"))
+
+
+class TestDevicePrefetcher:
+    def test_exception_propagates(self):
+        def bad_gen():
+            yield (np.zeros((1, 4, 4, 1), np.float32),
+                   np.zeros((1, 4, 4), np.int32))
+            raise RuntimeError("boom from source")
+
+        pf = DevicePrefetcher(bad_gen(), lambda a, b: (a, b))
+        it = iter(pf)
+        next(it)
+        with pytest.raises(RuntimeError, match="boom from source"):
+            next(it)
+
+    def test_stops_cleanly(self):
+        def gen():
+            for _ in range(3):
+                yield (np.zeros((1, 2, 2, 1), np.float32),
+                       np.zeros((1, 2, 2), np.int32))
+
+        pf = DevicePrefetcher(gen(), lambda a, b: (a, b))
+        assert len(list(pf)) == 3
