@@ -8,7 +8,7 @@ from .tilegrid import (Tile, tile_from_key, tiles_from_shape,
 from .georef import georef_from_identifier, tile_from_identifier
 from .geometry import Geometry, points_in_polygon, polygon_intersects_rect
 from .vector import (VectorDataset, VectorLayer, Feature, open_vector,
-                     write_geojson)
+                     write_geojson, write_shapefile)
 from . import crs
 
 __all__ = [
@@ -16,5 +16,5 @@ __all__ = [
     "tiles_to_layer", "georef_from_identifier", "tile_from_identifier",
     "Geometry", "points_in_polygon", "polygon_intersects_rect",
     "VectorDataset", "VectorLayer", "Feature", "open_vector",
-    "write_geojson", "crs",
+    "write_geojson", "write_shapefile", "crs",
 ]

@@ -353,3 +353,37 @@ class TestGeoPackageUTM:
         assert 72.8 < b[0] < 72.9 and 19.0 < b[1] < 19.1
         tiles = tiles_from_shape(w.features[0].geometry, 10.0, 60, 2)
         assert len(tiles) >= 1
+
+
+class TestShapefileWriter:
+    def test_roundtrip_through_own_reader(self, tmp_path):
+        from dl_image_segmentation_tpu.geo.vector import write_shapefile
+        ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+        g = Geometry([[ext, hole]])
+        lyr = VectorLayer("t", [Feature(g, {"cls": 3, "name": "abc"})],
+                          4326)
+        p = str(tmp_path / "out.shp")
+        write_shapefile(p, lyr)
+        for ext_ in (".shp", ".shx", ".dbf", ".prj"):
+            assert os.path.exists(str(tmp_path / ("out" + ext_)))
+        ds = open_vector(p)
+        f = ds.get_layer(0).features[0]
+        assert f.properties["cls"] == 3
+        assert f.properties["name"] == "abc"
+        polys = f.geometry.polygons()
+        assert len(polys) == 1 and len(polys[0]) == 2  # hole preserved
+        assert f.geometry.bounds == (0.0, 0.0, 10.0, 10.0)
+
+    def test_tile_plan_to_shapefile_roundtrip(self, tmp_path):
+        """The reference's save-tiles-to-shapefile resume flow (create
+        nb cells 22-24) end to end."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_to_layer
+        from dl_image_segmentation_tpu.geo.vector import write_shapefile
+        tiles = [Tile.from_key("60:2:10.0:43:-380:3491"),
+                 Tile.from_key("60:2:10.0:43:-379:3491")]
+        p = str(tmp_path / "tiles.shp")
+        write_shapefile(p, tiles_to_layer(tiles))
+        lyr = open_vector(p).get_layer(0)
+        keys = [f.properties["key"].strip() for f in lyr.features]
+        assert keys == [t.key for t in tiles]
