@@ -79,6 +79,9 @@ def main() -> None:
         images_to_tfrecords_mt("warm", chip_dir, warm_dir, num_shards=8,
                                num_threads=8, store_as_array=False)
     shutil.rmtree(warm_dir, ignore_errors=True)
+    # flush the warm run's dirty pages so background writeback doesn't
+    # steal bandwidth from the timed run
+    os.sync()
 
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(sink):
