@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import sqlite3
 import struct
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -17,7 +17,7 @@ MXU/HBM:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -93,7 +93,6 @@ def masked_median_pallas(stack, valid, block: int = 128,
     """Pallas masked median: blocks over (H, W), whole scene column in
     VMEM. Same outputs as masked_median."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -21,9 +21,8 @@ Preserved on-disk contracts:
 
 from __future__ import annotations
 
-import datetime as _dt
 import os
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional
 
 import numpy as np
 

@@ -17,12 +17,12 @@ from __future__ import annotations
 
 import glob as _glob
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 from ..geo.tilegrid import Tile
-from ..raster.geotiff import GeoTIFF, RasterInfo, read_geotiff, write_geotiff
+from ..raster.geotiff import read_geotiff, write_geotiff
 
 
 def stitch_tiles(

@@ -13,7 +13,7 @@ from __future__ import annotations
 import io
 import numpy as np
 
-from .geotiff import GeoTIFF, RasterInfo, decode_geotiff, encode_geotiff
+from .geotiff import GeoTIFF, RasterInfo, decode_geotiff
 
 
 def _is_png(data: bytes) -> bool:

@@ -16,7 +16,7 @@ trade-off; refresh cadence controls how quickly new data cycles in.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

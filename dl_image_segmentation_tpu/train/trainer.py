@@ -20,18 +20,17 @@ import dataclasses
 import functools
 import os
 import time
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..models.unet import UNet
-from ..parallel.sharding import (batch_sharding, make_mesh,
-                                 param_shardings, replicated_sharding,
-                                 shard_batch_local)
+from ..parallel.sharding import (make_mesh, param_shardings,
+                                 replicated_sharding, shard_batch_local)
 
 
 @dataclasses.dataclass

@@ -10,7 +10,7 @@ callers can save or show.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
