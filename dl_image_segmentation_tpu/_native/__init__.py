@@ -23,6 +23,10 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_lock = threading.Lock()
 _build_failed = False
 
+# fd-write functions return this when a partial frame write could not
+# be rolled back (shard must be aborted -- see fastcodec.cc)
+_FD_CORRUPT = (1 << 64) - 1
+
 
 def _so_path() -> str:
     with open(_SRC, "rb") as f:
@@ -234,6 +238,10 @@ def encode_pair_to_fd(img_path: str, lbl_path: str, ident: bytes,
         img_path.encode(), lbl_path.encode(), ident, len(ident),
         cbuf, len(buf), fd)
     del cbuf
+    if n == _FD_CORRUPT:
+        raise IOError(
+            "native frame write failed and the fd could not be rolled "
+            "back; shard must be aborted (torn frame would corrupt it)")
     return int(n)
 
 
@@ -261,6 +269,10 @@ def write_shard(img_paths, lbl_paths, idents, fd: int,
     written = lib.fc_write_shard(imgs, lbls, ids, lens, n, fd,
                                  cbuf, len(buf), failed)
     del cbuf
+    if written == _FD_CORRUPT:
+        raise IOError(
+            "native shard write failed and the fd could not be rolled "
+            "back; shard must be aborted (torn frame would corrupt it)")
     failed_idx = [i for i in range(n) if failed.raw[i]]
     return int(written), failed_idx
 

@@ -512,8 +512,33 @@ uint64_t fc_encode_pair_from_files(
 // Same as fc_encode_pair_from_files but writes the finished frame to a
 // file descriptor (one write syscall), eliminating the Python write
 // glue from the hot loop. scratch/cap provided by the caller (reused
-// across calls). Returns frame length written, 0 on fallback-needed.
+// across calls). Returns frame length written, 0 on fallback-needed,
+// FC_FD_CORRUPT if the fd could not be rolled back after a partial
+// write (shard must be aborted -- a torn frame would otherwise break
+// the atomic-rename "existence == complete" resume invariant).
 #include <unistd.h>
+
+#define FC_FD_CORRUPT ((uint64_t)-1)
+
+// Write a whole frame; on a short/failed write, roll the fd back to
+// the frame's start (ftruncate + lseek) so no torn bytes remain.
+// Returns 1 on success, 0 on clean rollback, FC_FD_CORRUPT otherwise.
+static uint64_t write_frame_or_rollback(int fd, const uint8_t* buf,
+                                        uint64_t n) {
+    off_t start = lseek(fd, 0, SEEK_CUR);
+    if (start < 0) return FC_FD_CORRUPT;  // unseekable fd: can't be safe
+    uint64_t off = 0;
+    while (off < n) {
+        ssize_t w = write(fd, buf + off, n - off);
+        if (w <= 0) {
+            if (ftruncate(fd, start) != 0) return FC_FD_CORRUPT;
+            if (lseek(fd, start, SEEK_SET) != start) return FC_FD_CORRUPT;
+            return 0;
+        }
+        off += (uint64_t)w;
+    }
+    return 1;
+}
 
 uint64_t fc_encode_pair_to_fd(
     const char* img_path, const char* lbl_path,
@@ -522,19 +547,19 @@ uint64_t fc_encode_pair_to_fd(
     uint64_t n = fc_encode_pair_from_files(img_path, lbl_path, ident,
                                            ident_len, scratch, cap);
     if (n == 0) return 0;
-    uint64_t off = 0;
-    while (off < n) {
-        ssize_t w = write(fd, scratch + off, n - off);
-        if (w <= 0) return 0;
-        off += (uint64_t)w;
-    }
-    return n;
+    uint64_t r = write_frame_or_rollback(fd, scratch, n);
+    if (r == FC_FD_CORRUPT) return FC_FD_CORRUPT;
+    return r ? n : 0;
 }
 
 // Whole-shard loop in native code: encode + write every pair of the
 // shard with zero per-record Python involvement. Pairs that fail to
 // parse/read are flagged in `failed` (caller retries them through the
 // Python path, which produces the reference's SKIPPED diagnostics).
+// Failed frame WRITES are rolled back (ftruncate to frame start) so a
+// later append lands on a clean boundary; if rollback itself fails the
+// whole call returns FC_FD_CORRUPT and the caller must abort the shard
+// (leave the .tmp) to keep "existing shard == complete shard" true.
 // Returns the number of records written.
 uint64_t fc_write_shard(const char* const* img_paths,
                         const char* const* lbl_paths,
@@ -552,14 +577,9 @@ uint64_t fc_write_shard(const char* const* img_paths,
             failed[i] = 1;
             continue;
         }
-        uint64_t off = 0;
-        bool ok = true;
-        while (off < n) {
-            ssize_t w = write(fd, scratch + off, n - off);
-            if (w <= 0) { ok = false; break; }
-            off += (uint64_t)w;
-        }
-        if (!ok) {
+        uint64_t r = write_frame_or_rollback(fd, scratch, n);
+        if (r == FC_FD_CORRUPT) return FC_FD_CORRUPT;
+        if (r == 0) {
             failed[i] = 1;
             continue;
         }

@@ -112,16 +112,17 @@ def cmd_train(args) -> int:
               f"imgs/s={out['examples_per_sec']:.1f} "
               f"duty={out['duty_cycle']:.3f}")
     else:
-        it = iter(DevicePrefetcher(feed.batches(), trainer.place_batch))
-        for step in range(args.steps):
-            images, labels = next(it)
-            metrics = trainer.train_step(images, labels)
-            if step % args.log_every == 0 or step == args.steps - 1:
-                stats = trainer.throughput_stats()
-                print(f"step {step}: loss={metrics['loss']:.4f} "
-                      f"acc={metrics['accuracy']:.4f} "
-                      f"imgs/s={stats['examples_per_sec']:.1f} "
-                      f"duty={stats['duty_cycle']:.3f}")
+        with DevicePrefetcher(feed.batches(), trainer.place_batch) as pf:
+            it = iter(pf)
+            for step in range(args.steps):
+                images, labels = next(it)
+                metrics = trainer.train_step(images, labels)
+                if step % args.log_every == 0 or step == args.steps - 1:
+                    stats = trainer.throughput_stats()
+                    print(f"step {step}: loss={metrics['loss']:.4f} "
+                          f"acc={metrics['accuracy']:.4f} "
+                          f"imgs/s={stats['examples_per_sec']:.1f} "
+                          f"duty={stats['duty_cycle']:.3f}")
     if args.checkpoint:
         trainer.save_checkpoint(os.path.abspath(args.checkpoint))
         print(f"checkpoint saved to {args.checkpoint}")

@@ -134,29 +134,36 @@ class TFRecordFeed:
             return False
 
         def worker():
-            while not stop.is_set():
-                with lock:
+            try:
+                while not stop.is_set():
+                    with lock:
+                        try:
+                            rec = next(recs)
+                        except StopIteration:
+                            break
                     try:
-                        rec = next(recs)
-                    except StopIteration:
-                        break
-                try:
-                    img, lbl, _ident = self.parse(rec)
-                except Exception:  # skip corrupt records, keep feeding
-                    self._parse_failures += 1
-                    # every record failing = wrong parse_mode; a
-                    # repeating stream would otherwise spin forever
-                    if (self.records_read == 0
-                            and self._parse_failures >= 1000):
-                        put(RuntimeError(
-                            f"all {self._parse_failures} records failed "
-                            f"to parse with parse_mode="
-                            f"{self.parse_mode!r}; wrong storage mode "
-                            "for these shards?"))
+                        img, lbl, _ident = self.parse(rec)
+                    except Exception:  # skip corrupt records, keep feeding
+                        self._parse_failures += 1
+                        # every record failing = wrong parse_mode; a
+                        # repeating stream would otherwise spin forever
+                        if (self.records_read == 0
+                                and self._parse_failures >= 1000):
+                            put(RuntimeError(
+                                f"all {self._parse_failures} records "
+                                f"failed to parse with parse_mode="
+                                f"{self.parse_mode!r}; wrong storage "
+                                "mode for these shards?"))
+                            return
+                        continue
+                    if not put((img, lbl)):
                         return
-                    continue
-                if not put((img, lbl)):
-                    return
+            except BaseException as e:
+                # IO errors from the record stream (truncated/corrupt
+                # shard) must fail the consumer loudly, not strand it
+                # waiting on a sentinel that never comes.
+                put(e)
+                return
             put(None)
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -253,16 +260,48 @@ class DevicePrefetcher:
         self.place = place
         self.depth = depth
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self.thread = threading.Thread(target=self._fill, daemon=True)
         self.thread.start()
+
+    def _put(self, item) -> bool:
+        """Queue put that gives up once close() is called, so the fill
+        thread (plus its device-resident batches) never leaks when the
+        consumer stops early (e.g. a fixed-step training loop over a
+        repeating feed)."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _fill(self):
         try:
             for batch in self.src:
-                self.q.put(self.place(*batch))
-            self.q.put(None)
+                if self._stop.is_set() or not self._put(self.place(*batch)):
+                    return
+            self._put(None)
         except BaseException as e:  # propagate to the consumer thread
-            self.q.put(e)
+            self._put(e)
+
+    def close(self):
+        """Stop the fill thread and release queued device batches."""
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self.thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self

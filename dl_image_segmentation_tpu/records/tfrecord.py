@@ -83,11 +83,22 @@ class TFRecordWriter:
             if self._atomic:
                 os.replace(self._tmp_path, self._path)
 
+    def abort(self) -> None:
+        """Close WITHOUT renaming into place: the shard stays a .tmp
+        (ignored by readers and by resume), preserving the
+        "existing shard == complete shard" invariant after a write
+        failure that can't be rolled back."""
+        if not self._f.closed:
+            self._f.close()
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        self.close()
+        if exc and exc[0] is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:

@@ -181,6 +181,7 @@ def _worker(worker_index: int, ranges, name: str,
                        and not loader_args[1] and _native.available())
 
     counter = 0
+    skipped: dict = {}  # reason -> count, surfaced in the run summary
     for s in range(shards_per_worker):
         shard = shard_base + worker_index * shards_per_worker + s
         output_file = os.path.join(
@@ -193,58 +194,96 @@ def _worker(worker_index: int, ranges, name: str,
             continue
         writer = TFRecordWriter(output_file,
                                 buffering=0 if use_native_pair else -1)
-        shard_counter = 0
-        indices = list(range(shard_ranges[s], shard_ranges[s + 1]))
-        if use_native_pair and indices:
-            # whole shard in native code (no per-record Python); pairs
-            # the native path can't handle are retried below through
-            # the Python path (which produces the reference's SKIPPED
-            # diagnostics for genuinely bad files)
-            keys = [
-                (_tile_key_from_filename(img_files[i])
-                 if loader_args[0]
-                 else os.path.basename(img_files[i])).encode()
-                for i in indices]
-            result = _native.write_shard(
-                [img_files[i] for i in indices],
-                [lbl_files[i] for i in indices],
-                keys, writer.fileobj.fileno())
-            if result is not None:
-                written, failed_idx = result
-                shard_counter += written
-                counter += written
-                indices = [indices[k] for k in failed_idx]
-        for i in indices:
-            filename = img_files[i]
-            label = lbl_files[i]
-            try:
-                img_buf, ih, iw, ib, ikey = loader(
-                    filename, *loader_args, store_as_array)
-                lbl_buf, lh, lw, lb, lkey = loader(
-                    label, *loader_args, store_as_array)
-                assert ikey == lkey
-            except Exception as e:  # noqa: BLE001 -- skip-and-continue contract
-                print(e)
-                print(f"SKIPPED: Unexpected error while decoding {filename}.")
-                continue
-            # labels are single-band rasters; drop the band axis so the
-            # target stores (h, w) like the reference's 2-D label arrays
-            if store_as_array and isinstance(lbl_buf, np.ndarray) \
-                    and lbl_buf.ndim == 3 and lbl_buf.shape[2] == 1:
-                lbl_buf = lbl_buf[:, :, 0]
-            write_example_framed(writer.fileobj, img_buf, lbl_buf, ih, iw, ib,
-                                 lh, lw, ikey)
-            shard_counter += 1
-            counter += 1
-            if progress_every and not counter % progress_every:
-                print(f"{datetime.now()} [worker {worker_index}]: Processed "
-                      f"{counter} of {files_in_worker} images in batch.")
-                sys.stdout.flush()
+        try:
+            shard_counter, shard_skips = _write_one_shard(
+                writer, worker_index, img_files, lbl_files,
+                list(range(shard_ranges[s], shard_ranges[s + 1])),
+                loader, loader_args, store_as_array, use_native_pair,
+                progress_every, counter, files_in_worker)
+        except BaseException:
+            # leave the .tmp in place (never renamed): an existing
+            # final shard file always means a COMPLETE shard
+            writer.abort()
+            raise
+        counter += shard_counter
+        for k, v in shard_skips.items():
+            skipped[k] = skipped.get(k, 0) + v
         writer.close()
         print(f"{datetime.now()} [worker {worker_index}]: Wrote "
               f"{shard_counter} images to {output_file}")
         sys.stdout.flush()
-    return counter
+    return counter, skipped
+
+
+def _write_one_shard(writer, worker_index: int, img_files, lbl_files,
+                     indices, loader, loader_args: tuple,
+                     store_as_array: bool, use_native_pair: bool,
+                     progress_every: int, counter_base: int,
+                     files_in_worker: int) -> int:
+    """Write one shard's records; returns (count written, {skip reason:
+    count}). Raises on unrecoverable write errors (caller aborts the
+    shard, leaving the .tmp so the atomic-rename resume invariant
+    holds)."""
+    from .. import _native
+    from ..raster.image import UnsupportedFormatError
+
+    shard_counter = 0
+    skipped: dict = {}
+    counter = counter_base
+    if use_native_pair and indices:
+        # whole shard in native code (no per-record Python); pairs the
+        # native path can't handle are retried below through the Python
+        # path (which produces the reference's SKIPPED diagnostics for
+        # genuinely bad files). Known deviation from the reference's
+        # record order: natively-rejected pairs land at the END of the
+        # shard rather than at their seed-12345 shuffled position (the
+        # record SET per shard is identical).
+        keys = [
+            (_tile_key_from_filename(img_files[i])
+             if loader_args[0]
+             else os.path.basename(img_files[i])).encode()
+            for i in indices]
+        result = _native.write_shard(
+            [img_files[i] for i in indices],
+            [lbl_files[i] for i in indices],
+            keys, writer.fileobj.fileno())
+        if result is not None:
+            written, failed_idx = result
+            shard_counter += written
+            counter += written
+            indices = [indices[k] for k in failed_idx]
+    for i in indices:
+        filename = img_files[i]
+        label = lbl_files[i]
+        try:
+            img_buf, ih, iw, ib, ikey = loader(
+                filename, *loader_args, store_as_array)
+            lbl_buf, lh, lw, lb, lkey = loader(
+                label, *loader_args, store_as_array)
+            assert ikey == lkey
+        except Exception as e:  # noqa: BLE001 -- skip-and-continue contract
+            print(e)
+            print(f"SKIPPED: Unexpected error while decoding {filename}.")
+            if isinstance(e, UnsupportedFormatError):
+                reason = str(e).split(".")[0]  # "unsupported ...: JP2"
+            else:
+                reason = type(e).__name__
+            skipped[reason] = skipped.get(reason, 0) + 1
+            continue
+        # labels are single-band rasters; drop the band axis so the
+        # target stores (h, w) like the reference's 2-D label arrays
+        if store_as_array and isinstance(lbl_buf, np.ndarray) \
+                and lbl_buf.ndim == 3 and lbl_buf.shape[2] == 1:
+            lbl_buf = lbl_buf[:, :, 0]
+        write_example_framed(writer.fileobj, img_buf, lbl_buf, ih, iw, ib,
+                             lh, lw, ikey)
+        shard_counter += 1
+        counter += 1
+        if progress_every and not counter % progress_every:
+            print(f"{datetime.now()} [worker {worker_index}]: Processed "
+                  f"{counter} of {files_in_worker} images in batch.")
+            sys.stdout.flush()
+    return shard_counter, skipped
 
 
 def _process_dataset(name: str, directory: str, out_directory: str,
@@ -282,11 +321,11 @@ def _process_dataset(name: str, directory: str, out_directory: str,
     print(f"Launching {num_workers} workers for spacings: {ranges}")
     sys.stdout.flush()
     if num_workers == 1:
-        total = _worker(0, ranges, name, img_files, lbl_files,
-                        out_directory, local_shards, loader, loader_args,
-                        store_as_array, progress_every,
-                        shard_base=shard_base, total_shards=num_shards,
-                        resume=resume)
+        results = [_worker(0, ranges, name, img_files, lbl_files,
+                           out_directory, local_shards, loader, loader_args,
+                           store_as_array, progress_every,
+                           shard_base=shard_base, total_shards=num_shards,
+                           resume=resume)]
     else:
         with ThreadPoolExecutor(max_workers=num_workers) as ex:
             futs = [
@@ -296,9 +335,16 @@ def _process_dataset(name: str, directory: str, out_directory: str,
                           shard_base, num_shards, resume)
                 for w in range(num_workers)
             ]
-            total = sum(f.result() for f in futs)
+            results = [f.result() for f in futs]
+    total = sum(r[0] for r in results)
+    skipped: dict = {}
+    for _, sk in results:
+        for k, v in sk.items():
+            skipped[k] = skipped.get(k, 0) + v
     print(f"{datetime.now()}: Finished writing all {len(img_files)} images "
           "in data set.")
+    for reason, n in sorted(skipped.items()):
+        print(f"WARNING: {n} file(s) skipped: {reason}")
     sys.stdout.flush()
     return total
 

@@ -57,14 +57,15 @@ def main():
                                    imgs, lbls)
             yield np.asarray(ai), np.asarray(al)
 
-    it = iter(DevicePrefetcher(augmented(feed.batches()),
-                               trainer.place_batch))
-    for step in range(args.steps):
-        imgs, lbls = next(it)
-        m = trainer.train_step(imgs, lbls)
-        if step % 5 == 0:
-            print(f"step {step}: loss={m['loss']:.4f} "
-                  f"acc={m['accuracy']:.4f}")
+    with DevicePrefetcher(augmented(feed.batches()),
+                          trainer.place_batch) as pf:
+        it = iter(pf)
+        for step in range(args.steps):
+            imgs, lbls = next(it)
+            m = trainer.train_step(imgs, lbls)
+            if step % 5 == 0:
+                print(f"step {step}: loss={m['loss']:.4f} "
+                      f"acc={m['accuracy']:.4f}")
     print(trainer.throughput_stats())
 
 

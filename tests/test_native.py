@@ -156,3 +156,92 @@ class TestNativePairPath:
         open(p1, "wb").write(b"not a png at all")
         open(p2, "wb").write(b"also not")
         assert _native.encode_pair_from_files(p1, p2, b"k") is None
+
+
+class TestShardWriteSafety:
+    def _mk_pair(self, tmp_path):
+        from dl_image_segmentation_tpu.raster.image import encode_png
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (16, 16, 3), np.uint8)
+        lbl = rng.randint(0, 2, (16, 16, 1), np.uint8)
+        ipath = str(tmp_path / "60#2#10.0#43#-1#1.png")
+        lpath = str(tmp_path / "l_60#2#10.0#43#-1#1.png")
+        open(ipath, "wb").write(encode_png(img))
+        open(lpath, "wb").write(encode_png(lbl))
+        return ipath, lpath
+
+    def test_unrollbackable_fd_raises(self, tmp_path):
+        """A frame write that cannot be rolled back (unseekable fd)
+        must raise IOError so the caller aborts the shard, instead of
+        leaving a torn frame (ADVICE round 1, fastcodec.cc:559)."""
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        ipath, lpath = self._mk_pair(tmp_path)
+        r, w = os.pipe()
+        try:
+            with pytest.raises(IOError, match="rolled back"):
+                _native.write_shard([ipath], [lpath], [b"k"], w)
+        finally:
+            os.close(r)
+            os.close(w)
+
+    def test_writer_abort_leaves_tmp_only(self, tmp_path):
+        from dl_image_segmentation_tpu.records.tfrecord import (
+            TFRecordWriter)
+        final = str(tmp_path / "shard-00000-of-00001")
+        wtr = TFRecordWriter(final)
+        wtr.write(b"payload")
+        wtr.abort()
+        assert not os.path.exists(final)
+        assert os.path.exists(final + ".tmp")
+
+    def test_writer_context_aborts_on_exception(self, tmp_path):
+        from dl_image_segmentation_tpu.records.tfrecord import (
+            TFRecordWriter)
+        final = str(tmp_path / "shard-00000-of-00001")
+        with pytest.raises(RuntimeError):
+            with TFRecordWriter(final) as wtr:
+                wtr.write(b"payload")
+                raise RuntimeError("boom")
+        assert not os.path.exists(final)
+
+    def test_worker_aborts_shard_on_write_error(self, tmp_path, capsys):
+        """An unrecoverable write error inside a shard leaves only the
+        .tmp (resume treats the shard as incomplete) and propagates."""
+        from dl_image_segmentation_tpu.records import writers
+
+        root = tmp_path / "chips"
+        (root / "images").mkdir(parents=True)
+        (root / "labels").mkdir()
+        from dl_image_segmentation_tpu.raster.image import encode_png
+        rng = np.random.RandomState(2)
+        for i in range(4):
+            name = f"64#0#10.0#43#-{i}#7.png"
+            img = rng.randint(0, 255, (16, 16, 3), np.uint8)
+            lbl = rng.randint(0, 2, (16, 16, 1), np.uint8)
+            open(root / "images" / name, "wb").write(encode_png(img))
+            open(root / "labels" / name, "wb").write(encode_png(lbl))
+        out = tmp_path / "recs"
+
+        def boom(*a, **k):
+            raise IOError("simulated device-full")
+
+        orig = writers.write_example_framed
+        writers.write_example_framed = boom
+        try:
+            # disable the native whole-shard path so the Python encode
+            # path (and its failure) is exercised
+            from dl_image_segmentation_tpu import _native as nat
+            avail = nat.available
+            nat.available = lambda: False
+            try:
+                with pytest.raises(IOError, match="device-full"):
+                    writers.process_dataset_multithreaded(
+                        "t", str(root), str(out), num_shards=1,
+                        num_threads=1)
+            finally:
+                nat.available = avail
+        finally:
+            writers.write_example_framed = orig
+        assert not os.path.exists(out / "t-00000-of-00001")
+        assert os.path.exists(str(out / "t-00000-of-00001") + ".tmp")

@@ -156,6 +156,23 @@ class TestFeed:
         assert lbls.shape == (4, 32, 32) and lbls.dtype == np.int32
         assert feed.records_read == 8
 
+    def test_feed_truncated_shard_fails_loudly(self, tmp_path):
+        """An IO error mid-shard (truncated file) must raise in the
+        consumer, not strand it waiting for a worker sentinel."""
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_learnable_dataset(root, n=8, size=32)
+        images_to_tfrecords_mt("t", root, out, num_shards=1, num_threads=1)
+        shard = os.path.join(out, sorted(os.listdir(out))[0])
+        sz = os.path.getsize(shard)
+        with open(shard, "r+b") as f:
+            f.truncate(sz - 7)  # cut into the last record's payload
+        feed = TFRecordFeed(os.path.join(out, "t-*"), "rgbraw",
+                            batch_size=2, repeat=False, num_workers=2,
+                            shuffle_buffer=1)
+        with pytest.raises(IOError, match="truncated"):
+            list(feed.batches())
+
     def test_feed_no_repeat_stops(self, tmp_path):
         root = str(tmp_path / "chips")
         out = str(tmp_path / "recs")
@@ -342,3 +359,27 @@ class TestDevicePrefetcher:
 
         pf = DevicePrefetcher(gen(), lambda a, b: (a, b))
         assert len(list(pf)) == 3
+
+    def test_close_unblocks_fill_on_early_stop(self):
+        # An endless source with the consumer stopping after one batch:
+        # close() must terminate the fill thread (it would otherwise
+        # block forever on the bounded queue).
+        def endless():
+            while True:
+                yield (np.zeros((1, 2, 2, 1), np.float32),
+                       np.zeros((1, 2, 2), np.int32))
+
+        pf = DevicePrefetcher(endless(), lambda a, b: (a, b), depth=2)
+        next(iter(pf))
+        pf.close()
+        assert not pf.thread.is_alive()
+
+    def test_context_manager_closes(self):
+        def endless():
+            while True:
+                yield (np.zeros((1, 2, 2, 1), np.float32),
+                       np.zeros((1, 2, 2), np.int32))
+
+        with DevicePrefetcher(endless(), lambda a, b: (a, b)) as pf:
+            next(iter(pf))
+        assert not pf.thread.is_alive()
