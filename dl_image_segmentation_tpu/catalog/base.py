@@ -84,17 +84,33 @@ def get_default_catalog() -> Catalog:
         "$DLSEG_CATALOG to a local catalog root")
 
 
+def equator_referenced_gt(gt: Sequence[float],
+                          epsg: Optional[int]) -> Tuple[float, ...]:
+    """Normalize a geotransform to the grid's internal
+    equator-referenced frame: UTM-south CRSes (EPSG:327xx) carry a
+    10^7 m false northing that is subtracted here, so scene rasters
+    from either hemisphere convention compare directly against
+    ``tile.bounds`` / ``tile.geotrans_equator``."""
+    gt = tuple(float(v) for v in gt)
+    if epsg is not None and 32701 <= int(epsg) <= 32760:
+        return gt[:3] + (gt[3] - 10_000_000.0,) + gt[4:]
+    return gt
+
+
 def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
-                     nodata: Optional[float] = None
+                     nodata: Optional[float] = None,
+                     src_epsg: Optional[int] = None
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Nearest-neighbour resample of a source raster (H', W', B) with
-    geotransform ``src_gt`` (same CRS as the tile) onto the tile's
-    padded grid. Returns (out (H, W, B), valid (H, W)).
+    geotransform ``src_gt`` (same UTM zone as the tile; pass
+    ``src_epsg`` so a southern false northing is normalized away) onto
+    the tile's padded grid. Returns (out (H, W, B), valid (H, W)).
 
     This is the local equivalent of the server-side windowing/resample
     the DL API performed for ctx-shaped mosaics."""
+    src_gt = equator_referenced_gt(src_gt, src_epsg)
     n = tile.raster_size
-    gt = tile.geotrans
+    gt = tile.geotrans_equator
     rows = np.arange(n, dtype=np.float64) + 0.5
     cols = np.arange(n, dtype=np.float64) + 0.5
     x = gt[0] + cols * gt[1]          # (W,)

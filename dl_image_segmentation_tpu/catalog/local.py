@@ -32,7 +32,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..raster.geotiff import read_geotiff
-from .base import Catalog, SceneMeta, resample_to_tile
+from .base import (Catalog, SceneMeta, equator_referenced_gt,
+                   resample_to_tile)
 
 
 class LocalCatalog(Catalog):
@@ -68,11 +69,14 @@ class LocalCatalog(Catalog):
                       nodata=nodata)
         prods = self._index.setdefault("products", {})
         p = prods.setdefault(product, {"bands": list(bands), "scenes": []})
-        gt = tuple(geotransform)
+        # index bounds are stored equator-referenced (southern scenes'
+        # false northing removed) so search compares them directly
+        # against tile.bounds
+        gt = equator_referenced_gt(geotransform, epsg)
         h, w = array.shape[:2]
         bounds = [gt[0], gt[3] + h * gt[5], gt[0] + w * gt[1], gt[3]]
         entry = {"id": scene_id, "date": date.isoformat(), "path": rel,
-                 "bounds": bounds}
+                 "bounds": bounds, "epsg": int(epsg)}
         if cloud_fraction is not None:
             entry["cloud_fraction"] = cloud_fraction
         if nodata is not None:
@@ -137,7 +141,8 @@ class LocalCatalog(Catalog):
             b = s.get("bounds")
             if b is None:
                 g = self._load_scene(s["path"])
-                gt = g.info.geotransform
+                gt = equator_referenced_gt(g.info.geotransform,
+                                           g.info.epsg)
                 b = [gt[0], gt[3] + g.info.height * gt[5],
                      gt[0] + g.info.width * gt[1], gt[3]]
             if b[2] < tx0 or b[0] > tx1 or b[3] < ty0 or b[1] > ty1:
@@ -162,7 +167,8 @@ class LocalCatalog(Catalog):
             if nodata is None:
                 nodata = g.info.nodata
             out, valid = resample_to_tile(arr, g.info.geotransform, tile,
-                                          nodata=nodata)
+                                          nodata=nodata,
+                                          src_epsg=g.info.epsg)
             stacks.append(out)
             valids.append(valid)
         if not stacks:

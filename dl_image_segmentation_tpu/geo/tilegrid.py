@@ -19,9 +19,17 @@ integer grid indices. Grid anchoring:
     northing_min (unpadded) = tj * tilesize * resolution
 
 Northing is referenced to the equator and may be negative in the
-southern hemisphere; the CRS reported for a tile is EPSG:326{zone}
-regardless of hemisphere, with negative northings south of the equator.
-This keeps keys hemisphere-agnostic and the grid globally continuous.
+southern hemisphere -- all INTERNAL grid math (``bounds``,
+``geotrans_equator``) stays in this equator-referenced frame, keeping
+keys hemisphere-agnostic and the grid globally continuous (tiles align
+to the equator, so a tile never straddles it).
+
+GEOREFERENCING outputs are hemisphere-aware, matching standard GIS
+conventions (the reference got this via GDAL,
+_descartes_img_chips.py:846-848): a tile south of the equator
+(``tj < 0``) reports ``crs``/``epsg`` EPSG:327{zone} and a ``geotrans``
+with the standard 10,000,000 m false northing applied, so the written
+GeoTIFFs open correctly in external tools for both hemispheres.
 
 Tiles expose the geocontext attributes the reference consumes:
 ``tilesize``, ``pad``, ``resolution``, ``wkt``, ``geotrans``, ``key``,
@@ -104,22 +112,53 @@ class Tile:
         """Pixels per side of the padded raster."""
         return self.tilesize + 2 * self.pad
 
+    # -- hemisphere-aware georeferencing ------------------------------
+    @property
+    def north(self) -> bool:
+        """True for tiles in the northern hemisphere. Tiles align to
+        the equator (northing 0 is a tile boundary), so tj >= 0 means
+        the whole unpadded tile is at-or-north of the equator."""
+        return self.tj >= 0
+
+    @property
+    def epsg(self) -> int:
+        return (32600 if self.north else 32700) + self.zone
+
+    @property
+    def false_northing(self) -> float:
+        """Northing offset between the tile's reported CRS and the
+        grid's internal equator-referenced frame (10^7 m for southern
+        tiles, per standard UTM-south convention)."""
+        return 0.0 if self.north else 10_000_000.0
+
     @property
     def geotrans(self) -> Tuple[float, float, float, float, float, float]:
-        """GDAL-style geotransform of the PADDED raster:
-        (origin_x, px_w, 0, origin_y, 0, -px_h). Origin is the top-left
-        corner; row 0 is the northernmost row."""
+        """GDAL-style geotransform of the PADDED raster in the tile's
+        reported CRS (``self.crs``): (origin_x, px_w, 0, origin_y, 0,
+        -px_h). Origin is the top-left corner; row 0 is the
+        northernmost row. Southern tiles carry the UTM-south false
+        northing -- use ``geotrans_equator`` for grid-internal math."""
+        x0, _, _, y1 = self.bounds
+        r = self.resolution
+        return (x0, r, 0.0, y1 + self.false_northing, 0.0, -r)
+
+    @property
+    def geotrans_equator(self) -> Tuple[float, float, float, float,
+                                        float, float]:
+        """Geotransform in the internal equator-referenced frame
+        (negative northings south of the equator), matching
+        ``bounds`` and geo.crs.lonlat_to_utm."""
         x0, _, _, y1 = self.bounds
         r = self.resolution
         return (x0, r, 0.0, y1, 0.0, -r)
 
     @property
     def wkt(self) -> str:
-        return _crs.utm_wkt(self.zone, north=True)
+        return _crs.utm_wkt(self.zone, north=self.north)
 
     @property
     def crs(self) -> str:
-        return f"EPSG:{32600 + self.zone}"
+        return f"EPSG:{self.epsg}"
 
     @property
     def lonlat_bounds(self) -> Tuple[float, float, float, float]:

@@ -320,12 +320,31 @@ def create_cloudmasked_s2_array(ctx, min_date=None, max_date=None,
         cloud_scenes = cat.search(ctx, S2_CLOUD_PRODUCT, start=min_date,
                                   end=max_date)
         if cloud_scenes:
-            cmask, _ = cat.load(cloud_scenes[:len(s2_scenes)], ctx,
-                                ["valid_cloudfree"])
-            # align counts (cloud product is per-scene in the reference)
-            k = min(len(cmask), len(stack))
-            valid = coverage[:k] & (cmask[:k, :, :, 0] > 0)
-            stack = stack[:k]
+            # pair cloud scenes to S2 scenes by acquisition DATE, not
+            # list position: positional pairing silently applies masks
+            # to the wrong dates when one search is missing a scene (a
+            # latent assumption in the reference,
+            # _descartes_img_chips.py:557-563, deliberately improved).
+            by_date = {}
+            for cs in cloud_scenes:
+                by_date.setdefault(cs.date, cs)
+            matched = [by_date.get(m.date) for m in s2_scenes]
+            unmatched = [m.scene_id for m, c in zip(s2_scenes, matched)
+                         if c is None]
+            if unmatched:
+                print(f"WARNING: {len(unmatched)} S2 scene(s) have no "
+                      f"same-date {S2_CLOUD_PRODUCT} scene (e.g. "
+                      f"{unmatched[0]}); using coverage-only validity "
+                      "for those scenes.")
+            present = [c for c in matched if c is not None]
+            valid = coverage.copy()
+            if present:
+                cmask, _ = cat.load(present, ctx, ["valid_cloudfree"])
+                j = 0
+                for i, c in enumerate(matched):
+                    if c is not None:
+                        valid[i] &= cmask[j, :, :, 0] > 0
+                        j += 1
         else:
             valid = coverage
         med, any_valid = masked_median(stack, valid)
@@ -371,7 +390,9 @@ def create_label_array_for_tile(ctx, label_data, attrib_to_burn=None,
     (ops/rasterize). Returns uint8 (H, W)."""
     ds = open_vector(label_data)
     layer = ds.get_layer(layer_idx).to_wgs84()
-    gt = ctx.geotrans
+    # equator-referenced frame: lonlat_to_utm below returns negative
+    # northings south of the equator (no false northing)
+    gt = ctx.geotrans_equator
     zone = ctx.zone
     feats = []
     for f in layer.features:
@@ -451,7 +472,10 @@ def create_chips_for_tile(job_details: DLTileJobConfig) -> tuple:
 
     img_file = os.path.join(out_img_folder, fn) + ".tif"
     lbl_file = os.path.join(out_lbl_folder, fn) + ".tif"
-    epsg = 32600 + dltile.zone
+    # hemisphere-aware CRS: EPSG:326xx north / 327xx south with the
+    # matching false-northing geotransform (Tile.geotrans), so chips
+    # open correctly in standard GIS tools in both hemispheres
+    epsg = dltile.epsg
     write_geotiff(img_file, np.asarray(img_arr),
                   geotransform=dltile.geotrans, epsg=epsg)
     write_geotiff(lbl_file, lbl_arr, geotransform=dltile.geotrans,

@@ -66,12 +66,18 @@ def stitch_tiles(
         col0 = (t.ti - ti_min) * ts
         mosaic[row0:row0 + ts, col0:col0 + ts, :] = core
 
-    # geotransform of the mosaic (top-left of the northwest tile core)
+    # geotransform of the mosaic (top-left of the northwest tile core);
+    # hemisphere-aware CRS: EPSG:327xx + false northing when every tile
+    # is south of the equator, EPSG:326xx otherwise (an equator-
+    # straddling mosaic keeps the northern CRS with negative southern
+    # northings -- consistent, if unconventional)
+    south = all(t.tj < 0 for t in tiles)
+    epsg = (32700 if south else 32600) + t0.zone
+    fn = 10_000_000.0 if south else 0.0
     x0 = t0.bounds_unpadded[0] + (ti_min - t0.ti) * t0.span_m
-    y1 = t0.bounds_unpadded[3] + (tj_max - t0.tj) * t0.span_m
+    y1 = t0.bounds_unpadded[3] + (tj_max - t0.tj) * t0.span_m + fn
     gt = (x0, t0.resolution, 0.0, y1, 0.0, -t0.resolution)
-    return mosaic.squeeze(-1) if bands == 1 else mosaic, gt, \
-        32600 + t0.zone
+    return mosaic.squeeze(-1) if bands == 1 else mosaic, gt, epsg
 
 
 def stitch_folder(chip_dir: str, out_path: str,

@@ -16,6 +16,53 @@ import numpy as np
 from .geotiff import GeoTIFF, RasterInfo, decode_geotiff
 
 
+class UnsupportedFormatError(ValueError):
+    """Raised when bytes are a recognisable raster container that this
+    framework does not decode (the reference read these via
+    rasterio/GDAL, _img_to_tf_mp.py:45-53). The message names the
+    detected format so a user hits an actionable error instead of the
+    silent skip-every-file path.
+
+    Supported matrix: GeoTIFF (LZW/Deflate/PackBits/uncompressed,
+    tiled + striped, uint8/uint16/int16/uint32/float32/float64),
+    PNG, JPEG, BMP; GIF decode-only.
+    """
+
+
+_KNOWN_MAGICS = (
+    (b"\x00\x00\x00\x0cjP  ", "JPEG 2000 (JP2)"),
+    (b"\xff\x4f\xff\x51", "JPEG 2000 codestream (J2K)"),
+    (b"\x89HDF\r\n\x1a\n", "HDF5"),
+    (b"\x0e\x03\x13\x01", "HDF4"),
+    (b"CDF\x01", "NetCDF classic"),
+    (b"CDF\x02", "NetCDF 64-bit"),
+    (b"GRIB", "GRIB"),
+    (b"MM\x00\x2b", "BigTIFF (big-endian)"),
+    (b"II\x2b\x00", "BigTIFF (little-endian)"),
+)
+
+
+def _identify_unsupported(data: bytes) -> str:
+    """Name the container for an unsupported byte blob (best effort)."""
+    for magic, name in _KNOWN_MAGICS:
+        if data[:len(magic)] == magic:
+            return name
+    head = data.lstrip()[:20]
+    if head.startswith(b"<VRTDataset"):
+        return "GDAL VRT (XML)"
+    if head.startswith(b"ENVI"):
+        return "ENVI header"
+    return f"unknown container (magic bytes {data[:4]!r})"
+
+
+def _unsupported(data: bytes) -> UnsupportedFormatError:
+    name = _identify_unsupported(data)
+    return UnsupportedFormatError(
+        f"unsupported raster format: {name}. Supported formats: "
+        "GeoTIFF, PNG, JPEG, BMP (GIF decode-only); convert other "
+        "containers (e.g. with gdal_translate) before ingestion.")
+
+
 def _is_png(data: bytes) -> bool:
     return data[:8] == b"\x89PNG\r\n\x1a\n"
 
@@ -98,7 +145,7 @@ def decode_image_bytes(data: bytes) -> GeoTIFF:
         info = RasterInfo(width=arr.shape[1], height=arr.shape[0],
                           count=arr.shape[2], dtype=arr.dtype.name)
         return GeoTIFF(arr, info)
-    raise ValueError("unrecognised image container")
+    raise _unsupported(data)
 
 
 def decode_image(data: bytes) -> np.ndarray:
@@ -160,4 +207,8 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         (bpp,) = struct.unpack("<H", data[28:30])
         return RasterInfo(width=w, height=abs(h), count=max(1, bpp // 8),
                           dtype="uint8")
-    raise ValueError("unrecognised image container")
+    if _is_gif(data):
+        raise UnsupportedFormatError(
+            "GIF is decode-only (no header-only sniff); use "
+            "store_as_array mode or convert to PNG")
+    raise _unsupported(data)
