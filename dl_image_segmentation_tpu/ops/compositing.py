@@ -160,6 +160,26 @@ def masked_median_pallas(stack, valid, block: int = 128,
     return med, cnt > 0
 
 
+def masked_median_composite(stack, valid, backend: str = "auto"
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-dispatching masked median (same contract as
+    ``masked_median``): the Pallas kernel on TPU, the jnp path
+    elsewhere -- mirroring ``rasterize``'s dispatch.
+
+    Measured on a v5e at the reference-shaped (10, 260, 260, 13)
+    composite (fresh on-device inputs, 16 composites per dispatch via
+    lax.scan): Pallas 2.31 ms/composite vs jnp sort-based 54.2 ms --
+    23x, outputs bit-identical. The jnp path's jnp.sort over the scene
+    axis materialises the sorted stack in HBM; the Pallas kernel keeps
+    each (S, bh, bw) column in VMEM through mask+sort-network+select.
+    """
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        return masked_median_pallas(stack, valid)
+    return masked_median(stack, valid)
+
+
 @jax.jit
 def nearest_valid_mosaic(stack: jnp.ndarray, valid: jnp.ndarray,
                          date_dist: jnp.ndarray

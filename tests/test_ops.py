@@ -276,3 +276,31 @@ class TestGeoref:
         from dl_image_segmentation_tpu.geo.georef import (
             georef_from_identifier)
         assert georef_from_identifier("whatever.png") == (None, None)
+
+
+class TestMaskedMedianDispatch:
+    def test_auto_matches_jnp_on_cpu(self):
+        from dl_image_segmentation_tpu.ops.compositing import (
+            masked_median_composite)
+        rng = np.random.RandomState(3)
+        stack = rng.randint(0, 4096, (7, 40, 40, 3)).astype(np.float32)
+        valid = rng.rand(7, 40, 40) > 0.4
+        m_auto, a_auto = masked_median_composite(stack, valid)
+        m_jnp, a_jnp = masked_median(jnp.asarray(stack),
+                                     jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(m_auto),
+                                      np.asarray(m_jnp))
+        np.testing.assert_array_equal(np.asarray(a_auto),
+                                      np.asarray(a_jnp))
+
+    def test_pallas_backend_forced(self):
+        from dl_image_segmentation_tpu.ops.compositing import (
+            masked_median_composite)
+        rng = np.random.RandomState(4)
+        stack = rng.randint(0, 4096, (5, 32, 32, 2)).astype(np.float32)
+        valid = rng.rand(5, 32, 32) > 0.4
+        m_p, a_p = masked_median_composite(stack, valid,
+                                           backend="pallas")
+        m_j, a_j = masked_median_composite(stack, valid, backend="jnp")
+        np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_j))
+        np.testing.assert_array_equal(np.asarray(a_p), np.asarray(a_j))
