@@ -290,20 +290,30 @@ def lzw_encode(data: bytes) -> Optional[bytes]:
         cap *= 2  # pathological expansion; retry with more room
 
 
+_lzw_buf = threading.local()
+
+
 def lzw_decode(data: bytes, max_size: Optional[int] = None) -> Optional[bytes]:
     lib = get_lib()
     if lib is None:
         return None
     cap = max_size if max_size is not None else max(len(data) * 8, 1 << 16)
     while True:
-        out = ctypes.create_string_buffer(cap)
-        n = lib.fc_lzw_decode(data, len(data), out, cap)
+        # thread-local scratch (create_string_buffer would memset `cap`
+        # bytes on every call -- measurable on the decode hot path)
+        buf = getattr(_lzw_buf, "buf", None)
+        if buf is None or len(buf) < cap:
+            buf = bytearray(max(cap, 1 << 20))
+            _lzw_buf.buf = buf
+        cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+        n = lib.fc_lzw_decode(data, len(data), cbuf, len(buf))
+        del cbuf
         if n == (1 << 64) - 1:
             raise ValueError("corrupt LZW stream")
         if n == (1 << 64) - 2:
-            cap *= 4
+            cap = len(buf) * 4
             continue
         n = int(n)
         if max_size is not None:
             n = min(n, max_size)
-        return out.raw[:n]
+        return bytes(memoryview(buf)[:n])

@@ -696,12 +696,12 @@ uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
 // for empty payloads.
 uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
                        uint8_t* dst, uint64_t cap) {
-    static thread_local uint64_t* off = nullptr;   // output start per code
-    static thread_local uint32_t* len = nullptr;   // length per code
-    if (!off) {
-        off = (uint64_t*)malloc(4096 * sizeof(uint64_t));
-        len = (uint32_t*)malloc(4096 * sizeof(uint32_t));
-    }
+    // one 8-byte entry per code: (output start << 16) | length -- a
+    // single load on the table-hit path. Output offsets are < 2^48
+    // (strip payloads are far below that) and string lengths < 2^16
+    // (table resets at 4094 codes, so max string length ~3840).
+    static thread_local uint64_t* tab = nullptr;
+    if (!tab) tab = (uint64_t*)malloc(4096 * sizeof(uint64_t));
 
     uint64_t pos = 0;          // byte position in src
     uint64_t bitbuf = 0;
@@ -713,10 +713,23 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
     uint64_t out = 0;
 
     for (;;) {
-        while (bitcnt < bits) {
-            if (pos >= n) goto done;
-            bitbuf = (bitbuf << 8) | src[pos++];
-            bitcnt += 8;
+        if (bitcnt < bits) {
+            // bulk refill: 4 bytes at a time (bitcnt <= 11 here, so
+            // 32 more bits always fit the 64-bit buffer)
+            if (pos + 4 <= n) {
+                uint32_t be;
+                memcpy(&be, src + pos, 4);
+                be = __builtin_bswap32(be);
+                bitbuf = (bitbuf << 32) | be;
+                bitcnt += 32;
+                pos += 4;
+            } else {
+                while (bitcnt < bits) {
+                    if (pos >= n) goto done;
+                    bitbuf = (bitbuf << 8) | src[pos++];
+                    bitcnt += 8;
+                }
+            }
         }
         bitcnt -= bits;
         uint32_t code = (uint32_t)((bitbuf >> bitcnt) & ((1u << bits) - 1));
@@ -734,9 +747,23 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
             dst[out++] = (uint8_t)code;
             emit_len = 1;
         } else if ((int)code < next_code) {
-            emit_len = len[code];
+            uint64_t e = tab[code];
+            emit_len = (uint32_t)(e & 0xFFFF);
+            uint64_t src_off = e >> 16;
             if (out + emit_len > cap) return (uint64_t)-2;
-            memcpy(dst + out, dst + off[code], emit_len);
+            if (emit_len <= 16 && out + 16 <= cap) {
+                // constant-size copy (two unaligned 8-byte moves, both
+                // loaded before storing so the tail over-read past
+                // emit_len is harmless even right at the write point);
+                // the over-write past emit_len lands in output slack
+                uint64_t a, b;
+                memcpy(&a, dst + src_off, 8);
+                memcpy(&b, dst + src_off + 8, 8);
+                memcpy(dst + out, &a, 8);
+                memcpy(dst + out + 8, &b, 8);
+            } else {
+                memcpy(dst + out, dst + src_off, emit_len);
+            }
             out += emit_len;
         } else if ((int)code == next_code && prev_len > 0) {
             // KwKwK: prev string + its first char; source overlaps
@@ -751,8 +778,7 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
             return (uint64_t)-1;
         }
         if (prev_len > 0 && next_code < 4096) {
-            off[next_code] = prev_start;
-            len[next_code] = prev_len + 1;
+            tab[next_code] = (prev_start << 16) | (prev_len + 1);
             next_code++;
             if (next_code == (1 << bits) - 1 && bits < 12) bits++;
         }
