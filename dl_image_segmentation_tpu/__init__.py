@@ -38,6 +38,16 @@ _LAZY = {
     "parse_encoded_gdal_proto_eager": "dl_image_segmentation_tpu.records.parsers",
     "parse_encoded_gdal_proto_wrapped": "dl_image_segmentation_tpu.records.parsers",
     "parse_higher_dtype_array_proto": "dl_image_segmentation_tpu.records.parsers",
+    # graph-mode tf.data variants (drop-ins for the reference's
+    # ds.map(parse_fn, 8) call sites, parse nb cells 30-33)
+    "parse_encoded_rgb_img_proto_tf":
+        "dl_image_segmentation_tpu.records.parsers_tf",
+    "parse_8bit_array_proto_tf":
+        "dl_image_segmentation_tpu.records.parsers_tf",
+    "parse_higher_dtype_array_proto_tf":
+        "dl_image_segmentation_tpu.records.parsers_tf",
+    "parse_encoded_gdal_proto_wrapped_tf":
+        "dl_image_segmentation_tpu.records.parsers_tf",
 }
 
 

@@ -177,3 +177,14 @@ parse_gdal_example_tf = parse_encoded_gdal_proto_wrapped
 parse_8bit_array_example = parse_8bit_array_proto
 parse_encoded_rgb_img_example = parse_encoded_rgb_img_proto
 parse_higher_example = parse_higher_dtype_array_proto
+
+
+def __getattr__(name):
+    """Graph-mode tf.data variants (``*_tf`` suffix) live in
+    parsers_tf.py and are re-exported here lazily so ``from ...parsers
+    import parse_8bit_array_proto_tf`` works without importing TF until
+    the function is actually used."""
+    if name.startswith("parse_") and name.endswith("_tf"):
+        from . import parsers_tf
+        return getattr(parsers_tf, name)
+    raise AttributeError(name)

@@ -1,9 +1,10 @@
 """Feeding a tf.data pipeline from our shards (TF-user migration path).
 
 Our TFRecords are bit-identical to TF-written ones, and the exported
-feature templates are genuine tf.io specs when TF is importable -- so
-the reference's downstream tf.data training flow (parse nb cells 4,
-30-36) works unchanged against this framework's output:
+``parse_*_proto_tf`` functions are graph-mode drop-ins for the
+reference's parse functions -- so its downstream tf.data training flow
+(parse nb cells 4, 30-36) works unchanged against this framework's
+output:
 
     python examples/tf_data_pipeline.py --records '/tmp/records_demo/demo_arr-*'
 """
@@ -16,39 +17,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--records", required=True)
     ap.add_argument("--mode", default="tifarr",
-                    choices=["rgbraw", "tifarr"])
+                    choices=["rgbraw", "rgbarr", "tifraw", "tifarr"])
     args = ap.parse_args()
 
     import tensorflow as tf
 
-    from dl_image_segmentation_tpu.records.parsers import (
-        featuretemplate_bytestring_imagechip,
-        featuretemplate_ndarray_imagechip)
+    from dl_image_segmentation_tpu.records.parsers_tf import (
+        parse_8bit_array_proto_tf, parse_encoded_gdal_proto_wrapped_tf,
+        parse_encoded_rgb_img_proto_tf, parse_higher_dtype_array_proto_tf)
+
+    parse_fn = {
+        "rgbraw": parse_encoded_rgb_img_proto_tf,
+        "rgbarr": parse_8bit_array_proto_tf,
+        "tifraw": parse_encoded_gdal_proto_wrapped_tf,
+        "tifarr": parse_higher_dtype_array_proto_tf,
+    }[args.mode]
 
     files = sorted(glob.glob(args.records))
     ds = tf.data.TFRecordDataset(files)
-
-    if args.mode == "rgbraw":
-        def parse(raw):
-            f = tf.io.parse_single_example(
-                raw, featuretemplate_bytestring_imagechip)
-            img = tf.io.decode_image(f["image/image_data"],
-                                     expand_animations=False)
-            lbl = tf.io.decode_image(f["target/target_data"],
-                                     expand_animations=False)
-            return img, lbl
-    else:
-        def parse(raw):
-            f = tf.io.parse_single_example(
-                raw, featuretemplate_ndarray_imagechip)
-            h = tf.cast(f["image/height"], tf.int32)
-            w = tf.cast(f["image/width"], tf.int32)
-            c = tf.cast(f["image/channels"], tf.int32)
-            img = tf.reshape(f["image/image_data"], tf.stack([h, w, c]))
-            lbl = tf.reshape(f["target/target_data"], tf.stack([h, w]))
-            return img, lbl
-
-    ds = ds.map(parse, num_parallel_calls=8).batch(4).prefetch(2)
+    # identifier dropped for batching (shapes vary); the reference's
+    # ds.map(parse_fn, 8) pattern, parse nb cells 30/33
+    ds = ds.map(lambda raw: parse_fn(raw)[:2], num_parallel_calls=8)
+    ds = ds.batch(4).prefetch(2)
     for imgs, lbls in ds.take(2):
         print("batch:", imgs.shape, imgs.dtype, "labels:", lbls.shape)
 

@@ -329,3 +329,71 @@ class TestFormatGuardrails:
         out = capsys.readouterr().out
         assert "1 file(s) skipped" in out
         assert "JPEG 2000" in out
+
+
+class TestGraphModeParsers:
+    """The exported *_proto_tf graph-mode parse functions are drop-ins
+    for the reference's ds.map(parse_fn, 8) flow (parse nb cells 30-33)
+    and match the numpy parsers byte-for-byte."""
+
+    def _map_and_compare(self, tmp_path, writer_kwargs, mode, tf_fn_name,
+                         np_fn, dataset=make_png_dataset, cast=None):
+        tf = pytest.importorskip("tensorflow")
+        from dl_image_segmentation_tpu.records import parsers_tf
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        dataset(root)
+        images_to_tfrecords_mt("t", root, out, num_shards=1,
+                               num_threads=1, **writer_kwargs) \
+            if "mt" == mode else images_to_tfrecords_mp(
+                "t", root, out, num_shards=1, num_proc=1, **writer_kwargs)
+        files = sorted(glob.glob(os.path.join(out, "t-*")))
+        tf_fn = getattr(parsers_tf, tf_fn_name)
+        ds = tf.data.TFRecordDataset(files).map(tf_fn,
+                                                num_parallel_calls=8)
+        tf_out = list(ds)
+        np_out = [np_fn(r) for f in files for r in read_records(f)]
+        assert len(tf_out) == len(np_out)
+        for (ti, tt, tid), (ni, nt, nid) in zip(tf_out, np_out):
+            np.testing.assert_array_equal(ti.numpy(),
+                                          np.asarray(ni, ti.numpy().dtype))
+            tgt = tt.numpy()
+            ntgt = np.asarray(nt, tgt.dtype)
+            if ntgt.ndim == 3 and ntgt.shape[2] == 1 and tgt.ndim == 3:
+                pass
+            np.testing.assert_array_equal(tgt.squeeze(), ntgt.squeeze())
+            assert tid.numpy() == nid
+
+    def test_rgbraw_graph_mode(self, tmp_path):
+        self._map_and_compare(
+            tmp_path, {}, "mt", "parse_encoded_rgb_img_proto_tf",
+            parsers.parse_encoded_rgb_img_proto)
+
+    def test_rgbarr_graph_mode(self, tmp_path):
+        self._map_and_compare(
+            tmp_path, {"store_as_array": True}, "mt",
+            "parse_8bit_array_proto_tf", parsers.parse_8bit_array_proto)
+
+    def test_tifarr_graph_mode(self, tmp_path):
+        self._map_and_compare(
+            tmp_path, {"store_as_array": True}, "mp",
+            "parse_higher_dtype_array_proto_tf",
+            parsers.parse_higher_dtype_array_proto,
+            dataset=make_tif_dataset)
+
+    def test_tifraw_graph_mode_numpy_function(self, tmp_path):
+        self._map_and_compare(
+            tmp_path, {"store_as_array": False}, "mp",
+            "parse_encoded_gdal_proto_wrapped_tf",
+            parsers.parse_encoded_gdal_proto_wrapped,
+            dataset=make_tif_dataset)
+
+    def test_facade_exports(self):
+        import dl_image_segmentation_tpu as pkg
+        for n in ("parse_encoded_rgb_img_proto_tf",
+                  "parse_8bit_array_proto_tf",
+                  "parse_higher_dtype_array_proto_tf",
+                  "parse_encoded_gdal_proto_wrapped_tf"):
+            assert callable(getattr(pkg, n))
+            from dl_image_segmentation_tpu.records import parsers as P
+            assert callable(getattr(P, n))
