@@ -206,6 +206,16 @@ def cmd_stitch(args) -> int:
     return 0
 
 
+def cmd_map(args) -> int:
+    """Interactive HTML map of chip-tile footprints + labels (the
+    reference's folium notebook maps, create nb cells 30-41)."""
+    from .utils.webmap import write_html_map_for_folder
+    out = write_html_map_for_folder(args.out, args.chips,
+                                    labels=args.labels)
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     import glob
     from .records.tfrecord import read_records
@@ -340,6 +350,14 @@ def main(argv=None) -> int:
     stp.add_argument("--out", required=True)
     stp.add_argument("--fill", type=float, default=0)
     stp.set_defaults(fn=cmd_stitch)
+
+    m = sub.add_parser("map", help="chips -> interactive HTML map")
+    m.add_argument("--chips", required=True,
+                   help="folder of tile-key-named chips (e.g. .../images)")
+    m.add_argument("--labels", default=None,
+                   help="optional vector label dataset to overlay")
+    m.add_argument("--out", default="map.html")
+    m.set_defaults(fn=cmd_map)
 
     i = sub.add_parser("inspect", help="summarize TFRecord shards")
     i.add_argument("--records", required=True)

@@ -106,3 +106,45 @@ class TestTilePlanPersistence:
             lon, lat = t.center_lonlat
             b = f.geometry.bounds
             assert b[0] <= lon <= b[2] and b[1] <= lat <= b[3]
+
+
+class TestMapCommand:
+    def test_map_writes_selfcontained_html(self, tmp_path):
+        import json as _json
+
+        from dl_image_segmentation_tpu.cli import main
+        from dl_image_segmentation_tpu.geo import crs
+        from dl_image_segmentation_tpu.raster.image import encode_png
+
+        chips = tmp_path / "images"
+        chips.mkdir()
+        for i in range(3):
+            fn = f"60#2#10.0#43#{-380 + i}#3491.png"
+            (chips / fn).write_bytes(encode_png(
+                np.zeros((8, 8, 3), np.uint8)))
+        # label polygon near the tiles
+        e0, n0 = crs.lonlat_to_utm(72.85, 19.05, 43)
+        ring = [[e0, n0], [e0 + 500, n0], [e0 + 500, n0 + 500],
+                [e0, n0 + 500], [e0, n0]]
+        lonlat = [list(map(float, crs.utm_to_lonlat(x, y, 43)))
+                  for x, y in ring]
+        lbl = tmp_path / "labels.geojson"
+        lbl.write_text(_json.dumps({
+            "type": "FeatureCollection",
+            "features": [{"type": "Feature",
+                          "geometry": {"type": "Polygon",
+                                       "coordinates": [lonlat]},
+                          "properties": {"cls": 1}}]}))
+        out = tmp_path / "map.html"
+        rc = main(["map", "--chips", str(chips), "--labels", str(lbl),
+                   "--out", str(out)])
+        assert rc == 0
+        html = out.read_text()
+        assert "leaflet" in html
+        gj = html.split("var tiles = ")[1].split(";\n")[0]
+        tiles = _json.loads(gj)
+        assert len(tiles["features"]) == 3
+        assert tiles["features"][0]["properties"]["key"].startswith("60:")
+        lj = html.split("var labels = ")[1].split(";\n")[0]
+        labels = _json.loads(lj)
+        assert labels["features"][0]["properties"]["cls"] == 1

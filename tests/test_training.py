@@ -383,3 +383,22 @@ class TestDevicePrefetcher:
         with DevicePrefetcher(endless(), lambda a, b: (a, b)) as pf:
             next(iter(pf))
         assert not pf.thread.is_alive()
+
+
+class TestAsyncStep:
+    def test_train_step_async_defers_sync(self):
+        """train_step_async returns device metrics without host sync;
+        values are fetched only when read (duty-friendly stepping for
+        directly-attached chips)."""
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=8)
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        imgs, lbls = tr.place_batch(
+            rng.rand(8, 32, 32, 3).astype(np.float32),
+            rng.randint(0, 2, (8, 32, 32)).astype(np.int32))
+        m1 = tr.train_step_async(imgs, lbls)
+        m2 = tr.train_step_async(imgs, lbls)
+        assert float(m2["loss"]) <= float(m1["loss"]) * 5  # finite, sane
+        assert int(tr.state.step) == 2
+        assert tr.examples_seen == 16
