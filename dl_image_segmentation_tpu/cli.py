@@ -206,6 +206,15 @@ def cmd_stitch(args) -> int:
     return 0
 
 
+def cmd_push(args) -> int:
+    """Push finished shards to a records sink (the reference's WIP
+    DL-Storage upload flow, parse nb cells 39-46)."""
+    from .records.sink import push_shards, sink_from_dest
+    push_shards(args.records, sink_from_dest(args.dest),
+                resume=not args.no_resume)
+    return 0
+
+
 def cmd_map(args) -> int:
     """Interactive HTML map of chip-tile footprints + labels (the
     reference's folium notebook maps, create nb cells 30-41)."""
@@ -350,6 +359,15 @@ def main(argv=None) -> int:
     stp.add_argument("--out", required=True)
     stp.add_argument("--fill", type=float, default=0)
     stp.set_defaults(fn=cmd_stitch)
+
+    pu = sub.add_parser("push", help="shards -> records sink (dir or "
+                                     "signed-URL manifest)")
+    pu.add_argument("--records", required=True, help="shard glob")
+    pu.add_argument("--dest", required=True,
+                    help="destination dir, or .json of {shard: signed URL}")
+    pu.add_argument("--no-resume", action="store_true",
+                    help="re-push shards the sink already has")
+    pu.set_defaults(fn=cmd_push)
 
     m = sub.add_parser("map", help="chips -> interactive HTML map")
     m.add_argument("--chips", required=True,

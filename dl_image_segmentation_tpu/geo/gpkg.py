@@ -97,10 +97,14 @@ def _parse_gpkg_geom(blob: bytes) -> Optional[Geometry]:
     if blob is None or len(blob) < 8 or blob[:2] != b"GP":
         return None
     flags = blob[3]
+    if flags & 0x20:  # bit 5: extension (non-WKB) geometry encoding
+        raise ValueError(
+            "GeoPackage extension-encoded geometry (flags bit 5) is "
+            "not supported; re-export with standard WKB encoding")
     envelope_code = (flags >> 1) & 0x7
     env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(envelope_code, 0)
     wkb_off = 8 + env_len
-    if flags & 0x20:  # empty geometry flag
+    if flags & 0x10:  # bit 4: empty geometry (GeoPackage spec 2.1.3)
         return None
     geom, _ = _parse_wkb(blob, wkb_off)
     return geom

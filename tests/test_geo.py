@@ -387,3 +387,18 @@ class TestShapefileWriter:
         lyr = open_vector(p).get_layer(0)
         keys = [f.properties["key"].strip() for f in lyr.features]
         assert keys == [t.key for t in tiles]
+
+
+class TestGPKGFlags:
+    def test_empty_flag_bit4(self, tmp_path):
+        """Spec bit 4 (0x10) marks empty geometry; bit 5 (0x20) is the
+        extension-encoding flag and must be rejected, not treated as
+        empty (ADVICE r1)."""
+        from dl_image_segmentation_tpu.geo.gpkg import _parse_gpkg_geom
+        import struct
+        # header: magic GP, version 0, flags, srs_id
+        empty = b"GP\x00" + bytes([0x10 | 0x01]) + struct.pack("<i", 4326)
+        assert _parse_gpkg_geom(empty) is None
+        ext = b"GP\x00" + bytes([0x20 | 0x01]) + struct.pack("<i", 4326)
+        with pytest.raises(ValueError, match="extension"):
+            _parse_gpkg_geom(ext)
