@@ -95,6 +95,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p]
+        lib.fc_write_shard_tifarr.restype = ctypes.c_uint64
+        lib.fc_write_shard_tifarr.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_char_p, ctypes.c_uint64]
@@ -245,15 +252,8 @@ def encode_pair_to_fd(img_path: str, lbl_path: str, ident: bytes,
     return int(n)
 
 
-def write_shard(img_paths, lbl_paths, idents, fd: int,
-                scratch_bytes: int = 32 << 20):
-    """Write a whole shard natively. Returns (written, failed_indices)
-    or None when the extension is unavailable. Pairs too large for the
-    scratch buffer are reported failed (caller's Python path handles
-    them)."""
-    lib = get_lib()
-    if lib is None:
-        return None
+def _write_shard_common(fn, img_paths, lbl_paths, idents, fd: int,
+                        scratch_bytes: int):
     n = len(img_paths)
     ArrP = ctypes.c_char_p * n
     imgs = ArrP(*[p.encode() for p in img_paths])
@@ -266,8 +266,7 @@ def write_shard(img_paths, lbl_paths, idents, fd: int,
         _framed_buf.buf = buf
     cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
     failed = ctypes.create_string_buffer(n)
-    written = lib.fc_write_shard(imgs, lbls, ids, lens, n, fd,
-                                 cbuf, len(buf), failed)
+    written = fn(imgs, lbls, ids, lens, n, fd, cbuf, len(buf), failed)
     del cbuf
     if written == _FD_CORRUPT:
         raise IOError(
@@ -275,6 +274,33 @@ def write_shard(img_paths, lbl_paths, idents, fd: int,
             "back; shard must be aborted (torn frame would corrupt it)")
     failed_idx = [i for i in range(n) if failed.raw[i]]
     return int(written), failed_idx
+
+
+def write_shard(img_paths, lbl_paths, idents, fd: int,
+                scratch_bytes: int = 32 << 20):
+    """Write a whole raw-bytes shard natively. Returns (written,
+    failed_indices) or None when the extension is unavailable. Pairs
+    too large for the scratch buffer are reported failed (caller's
+    Python path handles them)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return _write_shard_common(lib.fc_write_shard, img_paths, lbl_paths,
+                               idents, fd, scratch_bytes)
+
+
+def write_shard_tifarr(img_paths, lbl_paths, idents, fd: int,
+                       scratch_bytes: int = 48 << 20):
+    """Write a whole decoded-array GeoTIFF shard natively: TIFF parse +
+    LZW decode + predictor undo + dtype conversion land directly in
+    each framed Example's payload (no raster materialisation). Returns
+    (written, failed_indices) or None when unavailable; unsupported
+    containers are reported failed (Python path decodes them)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return _write_shard_common(lib.fc_write_shard_tifarr, img_paths,
+                               lbl_paths, idents, fd, scratch_bytes)
 
 
 def lzw_encode(data: bytes) -> Optional[bytes]:

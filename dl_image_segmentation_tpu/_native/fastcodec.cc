@@ -789,4 +789,370 @@ done:
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// Fused GeoTIFF pair -> framed FloatList/BytesList Example (tifarr mode).
+//
+// Decodes the chip-contract subset of classic TIFF -- chunky planar,
+// compression none(1)/LZW(5), predictor 1/2, uint8/uint16 samples,
+// strips or tiles, little-endian -- with LZW-decode + predictor-undo +
+// dtype conversion landing DIRECTLY in the Example's payload hole (no
+// intermediate raster materialisation, no Python glue). Anything
+// outside the subset returns 0 and the caller falls back to the
+// Python path (raster/geotiff.py, the correctness oracle). Matches
+// records/example.py's promotion rule: both payloads are raw bytes
+// when BOTH rasters are uint8, else both little-endian float32.
+// ---------------------------------------------------------------------------
+
+struct TiffMeta {
+    int64_t w, h;
+    int spp, bps, comp, predictor;
+    int tiled;
+    int64_t tw, th;           // tile dims (tiled) or width/rps (striped)
+    uint32_t nchunks;
+    uint64_t offs[4096];
+    uint64_t cnts[4096];
+};
+
+static inline uint32_t rd16le(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8);
+}
+static inline uint32_t rd32le(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+         | ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+// Read IFD entry values (SHORT/LONG) into out[max]; returns count read.
+static uint32_t tiff_values(const uint8_t* d, uint64_t n,
+                            const uint8_t* entry, uint64_t* out,
+                            uint32_t maxv) {
+    uint32_t type = rd16le(entry + 2);
+    uint32_t count = rd32le(entry + 4);
+    uint32_t size = (type == 3) ? 2 : (type == 4) ? 4 : 0;
+    if (!size || count == 0) return 0;
+    if (count > maxv) return 0;
+    uint64_t total = (uint64_t)count * size;
+    const uint8_t* src;
+    if (total <= 4) {
+        src = entry + 8;
+    } else {
+        uint64_t off = rd32le(entry + 8);
+        if (off + total > n) return 0;
+        src = d + off;
+    }
+    for (uint32_t i = 0; i < count; i++)
+        out[i] = (size == 2) ? rd16le(src + 2 * i) : rd32le(src + 4 * i);
+    return count;
+}
+
+static bool tiff_parse(const uint8_t* d, uint64_t n, TiffMeta* m) {
+    if (n < 16 || d[0] != 'I' || d[1] != 'I' || d[2] != 42 || d[3] != 0)
+        return false;  // little-endian classic TIFF only (our writer's)
+    uint64_t ifd = rd32le(d + 4);
+    if (ifd + 2 > n) return false;
+    uint32_t nent = rd16le(d + ifd);
+    if (ifd + 2 + 12ull * nent > n) return false;
+    m->w = m->h = 0;
+    m->spp = 1; m->bps = 8; m->comp = 1; m->predictor = 1;
+    m->tiled = 0; m->tw = m->th = 0; m->nchunks = 0;
+    int sfmt = 1, planar = 1;
+    uint64_t rps = 0;
+    uint64_t v[4096];
+    uint32_t noffs = 0, ncnts = 0;
+    for (uint32_t i = 0; i < nent; i++) {
+        const uint8_t* e = d + ifd + 2 + 12ull * i;
+        uint32_t tag = rd16le(e);
+        switch (tag) {
+            case 256: if (tiff_values(d, n, e, v, 1)) m->w = v[0]; break;
+            case 257: if (tiff_values(d, n, e, v, 1)) m->h = v[0]; break;
+            case 258:  // count == samples-per-pixel; all equal for us
+                if (tiff_values(d, n, e, v, 64)) m->bps = (int)v[0];
+                break;
+            case 259: if (tiff_values(d, n, e, v, 1)) m->comp = (int)v[0];
+                break;
+            case 277: if (tiff_values(d, n, e, v, 1)) m->spp = (int)v[0];
+                break;
+            case 278: if (tiff_values(d, n, e, v, 1)) rps = v[0]; break;
+            case 284: if (tiff_values(d, n, e, v, 1)) planar = (int)v[0];
+                break;
+            case 317: if (tiff_values(d, n, e, v, 1))
+                m->predictor = (int)v[0]; break;
+            case 339:  // count == samples-per-pixel; all equal for us
+                if (tiff_values(d, n, e, v, 64)) sfmt = (int)v[0];
+                break;
+            case 273: case 324:
+                noffs = tiff_values(d, n, e, v, 4096);
+                for (uint32_t k = 0; k < noffs; k++) m->offs[k] = v[k];
+                if (tag == 324) m->tiled = 1;
+                break;
+            case 279: case 325:
+                ncnts = tiff_values(d, n, e, v, 4096);
+                for (uint32_t k = 0; k < ncnts; k++) m->cnts[k] = v[k];
+                break;
+            case 322: if (tiff_values(d, n, e, v, 1)) m->tw = v[0]; break;
+            case 323: if (tiff_values(d, n, e, v, 1)) m->th = v[0]; break;
+        }
+    }
+    if (m->w <= 0 || m->h <= 0 || noffs == 0 || noffs != ncnts)
+        return false;
+    m->nchunks = noffs;
+    if (planar != 1 || sfmt != 1) return false;       // chunky uint only
+    if (m->bps != 8 && m->bps != 16) return false;
+    if (m->comp != 1 && m->comp != 5) return false;
+    if (m->predictor != 1 && m->predictor != 2) return false;
+    if (m->tiled) {
+        if (m->tw <= 0 || m->th <= 0) return false;
+    } else {
+        if (rps == 0 || rps > (uint64_t)m->h) rps = (uint64_t)m->h;
+        m->tw = m->w;
+        m->th = (int64_t)rps;
+    }
+    // chunk bounds sanity
+    for (uint32_t k = 0; k < m->nchunks; k++)
+        if (m->offs[k] + m->cnts[k] > n) return false;
+    return true;
+}
+
+// Decode one chunk's raw (post-LZW) samples: undo predictor in place,
+// then scatter into the payload hole (float32 or raw uint8), clipping
+// to the image bounds. raw is the decoded chunk (row-major th x tw x
+// spp samples of bps bits).
+static void tiff_scatter(uint8_t* raw, const TiffMeta* m,
+                         int64_t y0, int64_t x0, uint8_t* payload,
+                         int as_float) {
+    int64_t rows = m->th, cols = m->tw;
+    int spp = m->spp;
+    int64_t vis_rows = m->h - y0 < rows ? m->h - y0 : rows;
+    int64_t vis_cols = m->w - x0 < cols ? m->w - x0 : cols;
+    if (m->bps == 16) {
+        uint16_t* s = (uint16_t*)raw;
+        if (m->predictor == 2) {
+            for (int64_t r = 0; r < vis_rows; r++) {
+                uint16_t* row = s + r * cols * spp;
+                for (int64_t x = 1; x < cols; x++)
+                    for (int c = 0; c < spp; c++)
+                        row[x * spp + c] = (uint16_t)(
+                            row[x * spp + c] + row[(x - 1) * spp + c]);
+            }
+        }
+        if (as_float) {
+            float* dst = (float*)payload;
+            for (int64_t r = 0; r < vis_rows; r++) {
+                const uint16_t* row = s + r * cols * spp;
+                float* drow = dst + ((y0 + r) * m->w + x0) * spp;
+                for (int64_t k = 0; k < vis_cols * spp; k++)
+                    drow[k] = (float)row[k];
+            }
+        } else {
+            // uint16 never stores as bytes (promotion rule)
+        }
+    } else {
+        uint8_t* s = raw;
+        if (m->predictor == 2) {
+            for (int64_t r = 0; r < vis_rows; r++) {
+                uint8_t* row = s + r * cols * spp;
+                for (int64_t x = 1; x < cols; x++)
+                    for (int c = 0; c < spp; c++)
+                        row[x * spp + c] = (uint8_t)(
+                            row[x * spp + c] + row[(x - 1) * spp + c]);
+            }
+        }
+        if (as_float) {
+            float* dst = (float*)payload;
+            for (int64_t r = 0; r < vis_rows; r++) {
+                const uint8_t* row = s + r * cols * spp;
+                float* drow = dst + ((y0 + r) * m->w + x0) * spp;
+                for (int64_t k = 0; k < vis_cols * spp; k++)
+                    drow[k] = (float)row[k];
+            }
+        } else {
+            uint8_t* dst = payload;
+            for (int64_t r = 0; r < vis_rows; r++)
+                memcpy(dst + ((y0 + r) * m->w + x0) * spp,
+                       s + r * cols * spp, vis_cols * spp);
+        }
+    }
+}
+
+// Decode the whole raster into the payload hole. chunk_scratch must
+// hold th*tw*spp*(bps/8) bytes. Returns true on success.
+static bool tiff_decode_into(const uint8_t* d, const TiffMeta* m,
+                             uint8_t* payload, int as_float,
+                             uint8_t* chunk_scratch,
+                             uint64_t chunk_cap) {
+    uint64_t chunk_bytes = (uint64_t)m->th * m->tw * m->spp * (m->bps / 8);
+    if (chunk_bytes > chunk_cap) return false;
+    int64_t across = m->tiled ? (m->w + m->tw - 1) / m->tw : 1;
+    uint32_t idx = 0;
+    for (int64_t y0 = 0; y0 < m->h; y0 += m->th) {
+        for (int64_t t = 0; t < across; t++) {
+            if (idx >= m->nchunks) return false;
+            const uint8_t* src = d + m->offs[idx];
+            uint64_t cnt = m->cnts[idx];
+            idx++;
+            uint8_t* raw;
+            uint64_t need = chunk_bytes;
+            if (!m->tiled) {
+                int64_t nrows = m->h - y0 < m->th ? m->h - y0 : m->th;
+                need = (uint64_t)nrows * m->tw * m->spp * (m->bps / 8);
+            }
+            if (m->comp == 1) {
+                if (cnt < need) return false;
+                memcpy(chunk_scratch, src, need);
+                raw = chunk_scratch;
+            } else {
+                uint64_t got = fc_lzw_decode(src, cnt, chunk_scratch,
+                                             chunk_cap);
+                if (got == (uint64_t)-1 || got == (uint64_t)-2
+                    || got < need)
+                    return false;
+                raw = chunk_scratch;
+            }
+            TiffMeta mm = *m;
+            if (!m->tiled) {
+                int64_t nrows = m->h - y0 < m->th ? m->h - y0 : m->th;
+                mm.th = nrows;
+            }
+            tiff_scatter(raw, &mm, y0, (int64_t)(t * m->tw), payload,
+                         as_float);
+        }
+    }
+    return true;
+}
+
+// Encode one GeoTIFF chip pair as a framed Example with the decoded
+// arrays as payloads (the reference's store_as_array=True MP engine,
+// _img_to_tf_mp.py:123-143). Returns frame length in `out`, 0 on
+// fallback-needed. file_scratch/chunk_scratch are thread-reused.
+static uint64_t encode_tiff_pair(
+    const uint8_t* img_data, uint64_t img_n,
+    const uint8_t* lbl_data, uint64_t lbl_n,
+    const uint8_t* ident, uint64_t ident_len,
+    uint8_t* out, uint64_t cap, uint8_t* chunk_scratch,
+    uint64_t chunk_cap) {
+    TiffMeta im, lm;
+    if (!tiff_parse(img_data, img_n, &im)) return 0;
+    if (!tiff_parse(lbl_data, lbl_n, &lm)) return 0;
+    if (lm.spp != 1) return 0;  // labels are single-band (h, w)
+    int bytes_mode = (im.bps == 8 && lm.bps == 8);
+    uint64_t img_len = (uint64_t)im.h * im.w * im.spp
+                       * (bytes_mode ? 1 : 4);
+    uint64_t tgt_len = (uint64_t)lm.h * lm.w * (bytes_mode ? 1 : 4);
+
+    uint64_t f_ident = data_feature_size(ident_len);
+    uint64_t f_ic = int64_feature_size(im.spp);
+    uint64_t f_ih = int64_feature_size(im.h);
+    uint64_t f_img = data_feature_size(img_len);
+    uint64_t f_iw = int64_feature_size(im.w);
+    uint64_t f_th = int64_feature_size(lm.h);
+    uint64_t f_tgt = data_feature_size(tgt_len);
+    uint64_t f_tw = int64_feature_size(lm.w);
+    uint64_t body = entry_size(10, f_ident)
+                  + entry_size(14, f_ic) + entry_size(12, f_ih)
+                  + entry_size(16, f_img) + entry_size(11, f_iw)
+                  + entry_size(13, f_th) + entry_size(18, f_tgt)
+                  + entry_size(12, f_tw);
+    uint64_t example_len = 1 + varint_size(body) + body;
+    if (example_len + 16 > cap) return 0;
+
+    uint8_t kind = bytes_mode ? 0x0A : 0x12;
+    uint8_t* base = out + 12;
+    uint8_t* p = base;
+    *p++ = 0x0A;
+    p = put_varint(p, body);
+    p = put_entry_header(p, "identifier", 10, f_ident);
+    p = put_data_feature(p, 0x0A, ident, ident_len);
+    p = put_entry_header(p, "image/channels", 14, f_ic);
+    p = put_int64_feature(p, im.spp);
+    p = put_entry_header(p, "image/height", 12, f_ih);
+    p = put_int64_feature(p, im.h);
+    p = put_entry_header(p, "image/image_data", 16, f_img);
+    {
+        uint64_t inner = 1 + varint_size(img_len) + img_len;
+        *p++ = kind;
+        p = put_varint(p, inner);
+        *p++ = 0x0A;
+        p = put_varint(p, img_len);
+        if (!tiff_decode_into(img_data, &im, p, !bytes_mode,
+                              chunk_scratch, chunk_cap))
+            return 0;
+        p += img_len;
+    }
+    p = put_entry_header(p, "image/width", 11, f_iw);
+    p = put_int64_feature(p, im.w);
+    p = put_entry_header(p, "target/height", 13, f_th);
+    p = put_int64_feature(p, lm.h);
+    p = put_entry_header(p, "target/target_data", 18, f_tgt);
+    {
+        uint64_t inner = 1 + varint_size(tgt_len) + tgt_len;
+        *p++ = kind;
+        p = put_varint(p, inner);
+        *p++ = 0x0A;
+        p = put_varint(p, tgt_len);
+        if (!tiff_decode_into(lbl_data, &lm, p, !bytes_mode,
+                              chunk_scratch, chunk_cap))
+            return 0;
+        p += tgt_len;
+    }
+    p = put_entry_header(p, "target/width", 12, f_tw);
+    p = put_int64_feature(p, lm.w);
+
+    memcpy(out, &example_len, 8);
+    uint32_t hcrc = fc_masked_crc32c(out, 8);
+    memcpy(out + 8, &hcrc, 4);
+    uint32_t dcrc = fc_masked_crc32c(base, example_len);
+    memcpy(out + 12 + example_len, &dcrc, 4);
+    return example_len + 16;
+}
+
+// Whole-shard decoded-array loop: the tifarr counterpart of
+// fc_write_shard. Same failure/rollback protocol.
+uint64_t fc_write_shard_tifarr(const char* const* img_paths,
+                               const char* const* lbl_paths,
+                               const char* const* idents,
+                               const uint64_t* ident_lens,
+                               uint64_t count, int fd,
+                               uint8_t* scratch, uint64_t cap,
+                               uint8_t* failed) {
+    static thread_local uint8_t* filebuf = nullptr;
+    static thread_local uint64_t filecap = 0;
+    static thread_local uint8_t* chunkbuf = nullptr;
+    static thread_local uint64_t chunkcap = 0;
+
+    uint64_t written = 0;
+    for (uint64_t i = 0; i < count; i++) {
+        failed[i] = 1;
+        int64_t isz = file_size(img_paths[i]);
+        int64_t lsz = file_size(lbl_paths[i]);
+        if (isz <= 0 || lsz <= 0) continue;
+        uint64_t need = (uint64_t)isz + (uint64_t)lsz;
+        if (need > filecap) {
+            free(filebuf);
+            filecap = need < (8u << 20) ? (8u << 20) : need * 2;
+            filebuf = (uint8_t*)malloc(filecap);
+            if (!filebuf) { filecap = 0; continue; }
+        }
+        if (!read_file_into(img_paths[i], filebuf, (uint64_t)isz))
+            continue;
+        if (!read_file_into(lbl_paths[i], filebuf + isz, (uint64_t)lsz))
+            continue;
+        if (chunkcap < (16u << 20)) {
+            free(chunkbuf);
+            chunkcap = 16u << 20;  // 16 MB: a 2k x 2k x 4 u16 tile
+            chunkbuf = (uint8_t*)malloc(chunkcap);
+            if (!chunkbuf) { chunkcap = 0; continue; }
+        }
+        uint64_t n = encode_tiff_pair(
+            filebuf, (uint64_t)isz, filebuf + isz, (uint64_t)lsz,
+            (const uint8_t*)idents[i], ident_lens[i], scratch, cap,
+            chunkbuf, chunkcap);
+        if (n == 0) continue;
+        uint64_t r = write_frame_or_rollback(fd, scratch, n);
+        if (r == FC_FD_CORRUPT) return FC_FD_CORRUPT;
+        if (r == 0) continue;
+        failed[i] = 0;
+        written++;
+    }
+    return written;
+}
+
 }  // extern "C"

@@ -179,6 +179,11 @@ def _worker(worker_index: int, ranges, name: str,
     from .. import _native
     use_native_pair = (loader is _load_mt and not store_as_array
                        and not loader_args[1] and _native.available())
+    # decoded-array GeoTIFF mode: fused TIFF-decode + Example-encode in
+    # C++ (per-pair fallback to the Python codecs for anything outside
+    # the chip-contract TIFF subset)
+    use_native_tifarr = (loader is _load_any and store_as_array
+                         and loader_args[0] and _native.available())
 
     counter = 0
     skipped: dict = {}  # reason -> count, surfaced in the run summary
@@ -192,13 +197,15 @@ def _worker(worker_index: int, ranges, name: str,
             print(f"{datetime.now()} [worker {worker_index}]: shard "
                   f"{output_file} exists, skipping (resume)")
             continue
+        native_mode = ("pair" if use_native_pair
+                       else "tifarr" if use_native_tifarr else None)
         writer = TFRecordWriter(output_file,
-                                buffering=0 if use_native_pair else -1)
+                                buffering=0 if native_mode else -1)
         try:
             shard_counter, shard_skips = _write_one_shard(
                 writer, worker_index, img_files, lbl_files,
                 list(range(shard_ranges[s], shard_ranges[s + 1])),
-                loader, loader_args, store_as_array, use_native_pair,
+                loader, loader_args, store_as_array, native_mode,
                 progress_every, counter, files_in_worker)
         except BaseException:
             # leave the .tmp in place (never renamed): an existing
@@ -217,7 +224,7 @@ def _worker(worker_index: int, ranges, name: str,
 
 def _write_one_shard(writer, worker_index: int, img_files, lbl_files,
                      indices, loader, loader_args: tuple,
-                     store_as_array: bool, use_native_pair: bool,
+                     store_as_array: bool, native_mode,
                      progress_every: int, counter_base: int,
                      files_in_worker: int) -> int:
     """Write one shard's records; returns (count written, {skip reason:
@@ -230,7 +237,7 @@ def _write_one_shard(writer, worker_index: int, img_files, lbl_files,
     shard_counter = 0
     skipped: dict = {}
     counter = counter_base
-    if use_native_pair and indices:
+    if native_mode and indices:
         # whole shard in native code (no per-record Python); pairs the
         # native path can't handle are retried below through the Python
         # path (which produces the reference's SKIPPED diagnostics for
@@ -243,7 +250,9 @@ def _write_one_shard(writer, worker_index: int, img_files, lbl_files,
              if loader_args[0]
              else os.path.basename(img_files[i])).encode()
             for i in indices]
-        result = _native.write_shard(
+        native_fn = (_native.write_shard if native_mode == "pair"
+                     else _native.write_shard_tifarr)
+        result = native_fn(
             [img_files[i] for i in indices],
             [lbl_files[i] for i in indices],
             keys, writer.fileobj.fileno())
