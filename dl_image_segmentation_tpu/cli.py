@@ -90,6 +90,7 @@ def cmd_train(args) -> int:
                       learning_rate=args.lr,
                       label_nodata=args.nodata,
                       n_model=args.n_model,
+                      spatial=args.spatial,
                       model=args.model)
     trainer = Trainer(cfg)
     if args.restore:
@@ -311,6 +312,10 @@ def main(argv=None) -> int:
     tr.add_argument("--steps", type=int, default=100)
     tr.add_argument("--nodata", type=int, default=255)
     tr.add_argument("--n-model", type=int, default=1)
+    tr.add_argument("--spatial", action="store_true",
+                    help="shard image height over the model axis "
+                         "(GSPMD spatially-partitioned convs) instead "
+                         "of conv channels")
     tr.add_argument("--scan-steps", type=int, default=0,
                     help="steps per dispatch via a device-resident pool "
                          "(0 = classic per-step feed)")

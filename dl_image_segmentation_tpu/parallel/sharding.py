@@ -37,8 +37,15 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over "data"."""
+def batch_sharding(mesh: Mesh, ndim: int = 4,
+                   spatial: bool = False) -> NamedSharding:
+    """Shard the leading (batch) axis over "data"; with ``spatial``,
+    additionally shard axis 1 (image height) over "model" -- GSPMD
+    spatially partitions the convolutions (halo exchange over ICI),
+    the sequence-parallelism analogue for dense 2-D vision models."""
+    if spatial and ndim >= 2:
+        return NamedSharding(mesh, P("data", "model",
+                                     *([None] * (ndim - 2))))
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
@@ -63,13 +70,14 @@ def param_shardings(mesh: Mesh, params, tp_min_features: int = 256):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_batch_local(mesh: Mesh, batch):
+def shard_batch_local(mesh: Mesh, batch, spatial: bool = False):
     """Place a host-local numpy batch onto the mesh, sharded over
-    "data". Single-process: device_put with the batch sharding;
-    multi-host: make_array_from_process_local_data (each host feeds its
-    own shard range -- per-host shard ownership, SURVEY.md section 2.4)."""
+    "data" (and, with ``spatial``, height over "model"). Single-process:
+    device_put with the batch sharding; multi-host:
+    make_array_from_process_local_data (each host feeds its own shard
+    range -- per-host shard ownership, SURVEY.md section 2.4)."""
     def put(x):
-        sh = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        sh = batch_sharding(mesh, x.ndim, spatial=spatial)
         if jax.process_count() == 1:
             return jax.device_put(x, sh)
         return jax.make_array_from_process_local_data(sh, x)

@@ -44,7 +44,12 @@ class TrainConfig:
     learning_rate: float = 1e-3
     weight_decay: float = 1e-4
     label_nodata: int = 255
-    n_model: int = 1  # model-axis size (channel sharding)
+    n_model: int = 1  # model-axis size (channel or spatial sharding)
+    # spatial=True shards the image HEIGHT over the "model" axis
+    # instead of conv channels: GSPMD spatially partitions every conv
+    # (halo exchanges over ICI), so tiles too large for one chip's HBM
+    # train across the mesh. image_size must divide by n_model.
+    spatial: bool = False
     seed: int = 0
     model: str = "unet"  # "unet" | "deeplab"
     # schedule: "constant" or "cosine" (with linear warmup)
@@ -154,7 +159,12 @@ class Trainer:
         dummy = jnp.zeros((1, cfg.image_size, cfg.image_size,
                            cfg.in_channels), jnp.float32)
         params = jax.jit(self.model.init)(rng, dummy)["params"]
-        p_sh = param_shardings(self.mesh, params)
+        # spatial mode: the "model" axis shards the IMAGE height, so
+        # params stay replicated (channel sharding would contend for
+        # the same axis)
+        p_sh = param_shardings(
+            self.mesh, params,
+            tp_min_features=(1 << 30) if cfg.spatial else 256)
         params = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, s), params, p_sh)
         opt_state = jax.jit(self.tx.init)(params)
@@ -276,7 +286,8 @@ class Trainer:
 
     # -- public API ---------------------------------------------------------
     def place_batch(self, images: np.ndarray, labels: np.ndarray):
-        return shard_batch_local(self.mesh, (images, labels))
+        return shard_batch_local(self.mesh, (images, labels),
+                                 spatial=self.config.spatial)
 
     def train_step(self, images, labels) -> Dict[str, float]:
         """One step on already-placed (or host numpy) batch."""

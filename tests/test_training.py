@@ -2,6 +2,7 @@
 end-to-end TFRecords -> feed -> sharded train step, loss decrease on a
 learnable toy task, checkpoint round-trip, mesh shardings."""
 
+import dataclasses
 import glob
 import os
 
@@ -402,3 +403,42 @@ class TestAsyncStep:
         assert float(m2["loss"]) <= float(m1["loss"]) * 5  # finite, sane
         assert int(tr.state.step) == 2
         assert tr.examples_seen == 16
+
+
+class TestSpatialPartitioning:
+    def test_spatial_sharded_training_runs(self):
+        """dp=2 x sp=4 mesh: the image height is sharded over the
+        model axis and GSPMD spatially partitions the convs (halo
+        exchange); one step executes and the loss is finite."""
+        from dl_image_segmentation_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(n_data=2, n_model=4)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=64, batch_size=4,
+                          n_model=4, spatial=True)
+        tr = Trainer(cfg, mesh=mesh)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(4, 64, 64, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (4, 64, 64)).astype(np.int32)
+        m = tr.train_step(imgs, lbls)
+        assert np.isfinite(m["loss"])
+        # params are replicated; the placed batch is height-sharded
+        pi, _ = tr.place_batch(imgs, lbls)
+        spec = pi.sharding.spec
+        assert spec[0] == "data" and spec[1] == "model"
+
+    def test_spatial_matches_unsharded_loss(self):
+        """The spatially partitioned step computes the SAME numbers as
+        plain DP (GSPMD partitioning is an implementation detail)."""
+        rng = np.random.RandomState(1)
+        imgs = rng.rand(4, 32, 32, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (4, 32, 32)).astype(np.int32)
+        from dl_image_segmentation_tpu.parallel.sharding import make_mesh
+        cfg_a = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                            levels=2, image_size=32, batch_size=4,
+                            n_model=2, spatial=True)
+        tr_a = Trainer(cfg_a, mesh=make_mesh(n_data=2, n_model=2))
+        cfg_b = dataclasses.replace(cfg_a, n_model=1, spatial=False)
+        tr_b = Trainer(cfg_b, mesh=make_mesh(n_data=4, n_model=1))
+        la = tr_a.train_step(imgs, lbls)["loss"]
+        lb = tr_b.train_step(imgs, lbls)["loss"]
+        np.testing.assert_allclose(la, lb, rtol=2e-5)
