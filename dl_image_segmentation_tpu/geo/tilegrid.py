@@ -248,32 +248,52 @@ def tiles_from_shape(
     _descartes_img_chips.py:421-425).
 
     ``shape`` may be a Geometry, a GeoJSON-like mapping, or anything with
-    ``__geo_interface__``. The UTM zone is chosen from the geometry's
-    bbox centre (documented deviation from DL: DL may split a shape
-    across zones; geometries spanning a whole zone should be split by
-    the caller first).
+    ``__geo_interface__``. Geometries spanning multiple UTM zones are
+    split automatically (the DL service did this server-side): tiles
+    come from every overlapped zone, each tile assigned to the zone
+    containing its centre longitude, so the union covers the AOI with
+    no double coverage at the seam. Single-zone AOIs use the bbox
+    centre's zone, tiles overhanging the zone edge included (unchanged
+    pre-split behavior).
 
     Returns tiles whose unpadded extent intersects the geometry (exact
     polygon-rectangle test, not just bbox).
     """
     geom = Geometry.coerce(shape)
     lon_min, lat_min, lon_max, lat_max = geom.bounds
-    zone = _crs.utm_zone_from_lonlat((lon_min + lon_max) / 2.0,
-                                     (lat_min + lat_max) / 2.0)
+    z_lo = _crs.utm_zone_from_lonlat(lon_min, (lat_min + lat_max) / 2.0)
+    z_hi = _crs.utm_zone_from_lonlat(
+        min(lon_max, 179.999999), (lat_min + lat_max) / 2.0)
+    if z_lo == z_hi:
+        zones = [z_lo]
+    else:
+        zones = list(range(z_lo, z_hi + 1))
 
     out: List[Tile] = []
-    for ring_set in geom.polygons():  # list of (exterior, holes) rings in lonlat
-        exterior = ring_set[0]
-        ex, ey = _crs.lonlat_to_utm(exterior[:, 0], exterior[:, 1], zone)
-        poly_utm = np.stack([ex, ey], axis=1)
-        holes_utm = []
-        for hole in ring_set[1:]:
-            hx, hy = _crs.lonlat_to_utm(hole[:, 0], hole[:, 1], zone)
-            holes_utm.append(np.stack([hx, hy], axis=1))
-        bb = bounds_of_coords(poly_utm)
-        for tile in tiles_from_bounds_utm(bb, zone, resolution, tilesize, pad):
-            x0, y0, x1, y1 = tile.bounds_unpadded
-            if polygon_intersects_rect(poly_utm, holes_utm, x0, y0, x1, y1):
+    for zone in zones:
+        # tiles belong to the zone containing their centre longitude
+        # (only enforced when the AOI spans multiple zones)
+        zone_lon0 = (zone - 1) * 6.0 - 180.0
+        for ring_set in geom.polygons():  # (exterior, holes) in lonlat
+            exterior = ring_set[0]
+            ex, ey = _crs.lonlat_to_utm(exterior[:, 0], exterior[:, 1],
+                                        zone)
+            poly_utm = np.stack([ex, ey], axis=1)
+            holes_utm = []
+            for hole in ring_set[1:]:
+                hx, hy = _crs.lonlat_to_utm(hole[:, 0], hole[:, 1], zone)
+                holes_utm.append(np.stack([hx, hy], axis=1))
+            bb = bounds_of_coords(poly_utm)
+            for tile in tiles_from_bounds_utm(bb, zone, resolution,
+                                              tilesize, pad):
+                x0, y0, x1, y1 = tile.bounds_unpadded
+                if not polygon_intersects_rect(poly_utm, holes_utm,
+                                               x0, y0, x1, y1):
+                    continue
+                if len(zones) > 1:
+                    clon, _ = tile.center_lonlat
+                    if not (zone_lon0 <= clon < zone_lon0 + 6.0):
+                        continue
                 out.append(tile)
     # dedup preserving order (same client-side key-set pattern as
     # _descartes_img_chips.py:448-457)

@@ -402,3 +402,46 @@ class TestGPKGFlags:
         ext = b"GP\x00" + bytes([0x20 | 0x01]) + struct.pack("<i", 4326)
         with pytest.raises(ValueError, match="extension"):
             _parse_gpkg_geom(ext)
+
+
+class TestZoneSplitting:
+    def test_aoi_spanning_zone_boundary(self):
+        """An AOI straddling the zone 43/44 boundary (lon 78) yields
+        tiles from BOTH zones, assigned by centre longitude, jointly
+        covering the AOI (the DL service's server-side splitting,
+        _descartes_img_chips.py:421-425)."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        ring = [[77.95, 19.0], [78.05, 19.0], [78.05, 19.05],
+                [77.95, 19.05], [77.95, 19.0]]
+        shape = {"type": "Polygon", "coordinates": [ring]}
+        tiles = tiles_from_shape(shape, resolution=10.0, tilesize=200,
+                                 pad=0)
+        zones = {t.zone for t in tiles}
+        assert zones == {43, 44}
+        # each tile's centre lies inside its own zone
+        for t in tiles:
+            lon, _ = t.center_lonlat
+            lon0 = (t.zone - 1) * 6.0 - 180.0
+            assert lon0 <= lon < lon0 + 6.0
+        # joint coverage: sample AOI points, each inside some tile
+        import numpy as np
+        from dl_image_segmentation_tpu.geo import crs
+        for lon in np.linspace(77.951, 78.049, 15):
+            for lat in (19.001, 19.025, 19.049):
+                hit = False
+                for t in tiles:
+                    e, n = crs.lonlat_to_utm(lon, lat, t.zone)
+                    x0, y0, x1, y1 = t.bounds_unpadded
+                    if x0 <= e <= x1 and y0 <= n <= y1:
+                        hit = True
+                        break
+                assert hit, (lon, lat)
+
+    def test_single_zone_unchanged(self):
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        ring = [[72.85, 19.0], [72.90, 19.0], [72.90, 19.05],
+                [72.85, 19.05], [72.85, 19.0]]
+        tiles = tiles_from_shape({"type": "Polygon",
+                                  "coordinates": [ring]},
+                                 resolution=10.0, tilesize=200, pad=0)
+        assert {t.zone for t in tiles} == {43}
