@@ -301,7 +301,8 @@ def main(argv=None) -> int:
     tr.add_argument("--records", required=True, help="shard glob")
     tr.add_argument("--mode", default="rgbraw",
                     choices=["rgbraw", "rgbarr", "tifraw", "tifarr"])
-    tr.add_argument("--model", default="unet", choices=["unet", "deeplab"])
+    tr.add_argument("--model", default="unet",
+                choices=["unet", "deeplab", "segformer"])
     tr.add_argument("--classes", type=int, default=2)
     tr.add_argument("--channels", type=int, default=3)
     tr.add_argument("--features", type=int, default=32)
@@ -346,7 +347,7 @@ def main(argv=None) -> int:
     ev.add_argument("--mode", default="tifarr",
                     choices=["rgbraw", "rgbarr", "tifraw", "tifarr"])
     ev.add_argument("--model", default="unet",
-                    choices=["unet", "deeplab"])
+                    choices=["unet", "deeplab", "segformer"])
     ev.add_argument("--classes", type=int, default=2)
     ev.add_argument("--channels", type=int, default=3)
     ev.add_argument("--features", type=int, default=32)

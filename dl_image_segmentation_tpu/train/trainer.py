@@ -51,7 +51,7 @@ class TrainConfig:
     # train across the mesh. image_size must divide by n_model.
     spatial: bool = False
     seed: int = 0
-    model: str = "unet"  # "unet" | "deeplab"
+    model: str = "unet"  # "unet" | "deeplab" | "segformer"
     # schedule: "constant" or "cosine" (with linear warmup)
     schedule: str = "constant"
     warmup_steps: int = 0
@@ -123,13 +123,18 @@ class Trainer:
             from ..models.deeplab import DeepLabLite
             self.model = DeepLabLite(num_classes=config.num_classes,
                                      base_features=config.base_features)
+        elif config.model == "segformer":
+            from ..models.segformer import SegFormerLite
+            self.model = SegFormerLite(num_classes=config.num_classes,
+                                       base_features=config.base_features)
         elif config.model == "unet":
             self.model = UNet(num_classes=config.num_classes,
                               base_features=config.base_features,
                               levels=config.levels)
         else:
             raise ValueError(f"unknown model {config.model!r} "
-                             "(expected 'unet' or 'deeplab')")
+                             "(expected 'unet', 'deeplab' or "
+                             "'segformer')")
         if config.schedule == "cosine":
             lr = optax.warmup_cosine_decay_schedule(
                 init_value=0.0, peak_value=config.learning_rate,

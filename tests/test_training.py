@@ -442,3 +442,38 @@ class TestSpatialPartitioning:
         la = tr_a.train_step(imgs, lbls)["loss"]
         lb = tr_b.train_step(imgs, lbls)["loss"]
         np.testing.assert_allclose(la, lb, rtol=2e-5)
+
+
+class TestSegFormer:
+    def test_forward_shapes(self):
+        from dl_image_segmentation_tpu.models.segformer import SegFormerLite
+        m = SegFormerLite(num_classes=3, base_features=8,
+                          decoder_dim=32)
+        x = jnp.zeros((2, 64, 64, 4))
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        y = m.apply({"params": params}, x)
+        assert y.shape == (2, 64, 64, 3)
+        assert y.dtype == jnp.float32
+
+    def test_learns_toy_task(self):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          image_size=64, batch_size=8, model="segformer",
+                          learning_rate=3e-3)
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 64, 64, 3).astype(np.float32)
+        lbls = (imgs[:, :, :, 0] > 0.5).astype(np.int32)
+        losses = [tr.train_step(imgs, lbls)["loss"] for _ in range(20)]
+        assert losses[-1] < losses[0]
+
+    def test_sharded_step_runs(self):
+        from dl_image_segmentation_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = TrainConfig(num_classes=2, in_channels=3,
+                          base_features=16, image_size=64, batch_size=8,
+                          model="segformer", n_model=2)
+        tr = Trainer(cfg, mesh=mesh)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 64, 64, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 64, 64)).astype(np.int32)
+        assert np.isfinite(tr.train_step(imgs, lbls)["loss"])
