@@ -109,3 +109,19 @@ def random_rotate_pairs(key: jax.Array, images: jnp.ndarray,
     rot_l = jax.vmap(lambda lb, a: _rotate_one(
         lb.astype(jnp.float32), a, 0, float(fill_label)))(labels, angles)
     return rot_i, rot_l.astype(labels.dtype)
+
+
+def random_invert_pairs(key: jax.Array, images: jnp.ndarray,
+                        labels: jnp.ndarray, prob: float = 0.5,
+                        max_value: float = 1.0
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-example random intensity inversion (the reference's custom
+    Keras RandomInvert layer, parse_tfrecords.ipynb cells 50-56), on
+    device. Labels pass through unchanged. ``max_value`` is the
+    intensity ceiling (1.0 for [0,1]-scaled feeds, 255 for raw uint8
+    ranges)."""
+    n = images.shape[0]
+    flip = jax.random.uniform(key, (n,)) < prob
+    inverted = max_value - images
+    out = jnp.where(flip[:, None, None, None], inverted, images)
+    return out, labels

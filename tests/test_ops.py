@@ -304,3 +304,31 @@ class TestMaskedMedianDispatch:
         m_j, a_j = masked_median_composite(stack, valid, backend="jnp")
         np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_j))
         np.testing.assert_array_equal(np.asarray(a_p), np.asarray(a_j))
+
+
+class TestRandomInvert:
+    def test_inverts_some_not_labels(self):
+        from dl_image_segmentation_tpu.ops.augment import (
+            random_invert_pairs)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.rand(16, 8, 8, 3).astype(np.float32))
+        lbls = jnp.asarray(rng.randint(0, 2, (16, 8, 8)))
+        out, lo = random_invert_pairs(jax.random.PRNGKey(0), imgs, lbls,
+                                      prob=0.5)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(lbls))
+        same = np.array([np.allclose(out[i], imgs[i]) for i in range(16)])
+        inv = np.array([np.allclose(out[i], 1.0 - imgs[i])
+                        for i in range(16)])
+        assert (same | inv).all() and same.any() and inv.any()
+
+    def test_prob_extremes(self):
+        from dl_image_segmentation_tpu.ops.augment import (
+            random_invert_pairs)
+        imgs = jnp.ones((4, 4, 4, 1)) * 0.25
+        lbls = jnp.zeros((4, 4, 4), jnp.int32)
+        out, _ = random_invert_pairs(jax.random.PRNGKey(1), imgs, lbls,
+                                     prob=0.0)
+        np.testing.assert_allclose(np.asarray(out), 0.25)
+        out, _ = random_invert_pairs(jax.random.PRNGKey(1), imgs, lbls,
+                                     prob=1.0)
+        np.testing.assert_allclose(np.asarray(out), 0.75)
