@@ -50,7 +50,8 @@ def cmd_create_chips(args) -> int:
     print(f"{len(jobs)} tiles to export into "
           f"{cfg.images_dir_name(args.loc, args.year)}")
     report = run_export(jobs, n_workers=args.workers,
-                        max_attempts=args.max_attempts)
+                        max_attempts=args.max_attempts,
+                        low_priority=args.low_priority)
     return 0 if report.ok else 1
 
 
@@ -278,6 +279,9 @@ def main(argv=None) -> int:
     c.add_argument("--catalog", required=True,
                    help="local catalog root, or 'synthetic'")
     c.add_argument("--workers", type=int, default=8)
+    c.add_argument("--low-priority", action="store_true",
+                   help="renice the export so it doesn't starve the "
+                        "machine (notebook cell 78 behavior)")
     c.add_argument("--max-attempts", type=int, default=20)
     c.set_defaults(fn=cmd_create_chips)
 

@@ -37,17 +37,26 @@ class ExportReport:
 def run_export(jobs: Sequence[DLTileJobConfig],
                n_workers: int = 8,
                max_attempts: int = 20,
-               progress: Optional[Callable[[str], None]] = print
+               progress: Optional[Callable[[str], None]] = print,
+               low_priority: bool = False
                ) -> ExportReport:
     """Run chip creation for all jobs with resume + retry.
 
     Mirrors the notebook protocol: each attempt runs every not-yet-done
     job; failures (None results or exceptions) are retried up to
-    ``max_attempts`` times (create nb cells 82-83)."""
+    ``max_attempts`` times (create nb cells 82-83). ``low_priority``
+    renices the process so a big oversubscribed export doesn't starve
+    an interactive machine (the notebook's psutil priority drop,
+    create nb cell 78)."""
     t0 = time.perf_counter()
     report = ExportReport(total_jobs=len(jobs))
     if not jobs:
         return report
+    if low_priority:
+        try:
+            os.nice(10)
+        except OSError:
+            pass  # already at/below priority, or not permitted
 
     # pre-create directories once (notebook cell 76: avoids the
     # parallel-makedirs race in workers)

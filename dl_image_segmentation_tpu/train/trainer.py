@@ -173,8 +173,17 @@ class Trainer:
         params = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, s), params, p_sh)
         opt_state = jax.jit(self.tx.init)(params)
-        self.state = TrainState(params, opt_state,
-                                jnp.zeros((), jnp.int32))
+        # place the optimizer state on the MESH (jit(tx.init) leaves it
+        # committed to a single device, which conflicts with sharded
+        # params after a checkpoint restore); replicated is a correct
+        # starting point -- the first step's output shardings (GSPMD
+        # propagation from the param shardings) take over via donation
+        rep = replicated_sharding(self.mesh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), opt_state)
+        self.state = TrainState(
+            params, opt_state,
+            jax.device_put(jnp.zeros((), jnp.int32), rep))
         self.param_shardings = p_sh
 
     # -- compiled step -----------------------------------------------------
@@ -434,9 +443,15 @@ class Trainer:
         import orbax.checkpoint as ocp
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        target = {"params": self.state.params,
-                  "opt_state": self.state.opt_state,
-                  "step": self.state.step}
-        restored = ckptr.restore(path, target)
+        current = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": self.state.step}
+        restored = ckptr.restore(path, current)
+        # re-place every restored leaf onto the LIVE state's sharding:
+        # orbax's concrete-target restore loses mesh shardings (params
+        # came back replicated, silently defeating n_model>1 restores)
+        restored = jax.tree_util.tree_map(
+            lambda r, cur: jax.device_put(r, cur.sharding),
+            restored, current)
         self.state = TrainState(restored["params"], restored["opt_state"],
                                 restored["step"])

@@ -477,3 +477,37 @@ class TestSegFormer:
         imgs = rng.rand(8, 64, 64, 3).astype(np.float32)
         lbls = rng.randint(0, 2, (8, 64, 64)).astype(np.int32)
         assert np.isfinite(tr.train_step(imgs, lbls)["loss"])
+
+
+class TestShardedCheckpoint:
+    def test_sharded_save_restore_preserves_values_and_shardings(
+            self, tmp_path):
+        """Checkpoint round-trip with model-sharded params: values
+        identical and the restored arrays carry the mesh shardings."""
+        from dl_image_segmentation_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(n_data=4, n_model=2)
+        # base_features=128, levels=2 -> widest stage 256 channels,
+        # which crosses the tp_min_features=256 sharding threshold
+        cfg = TrainConfig(num_classes=2, in_channels=3,
+                          base_features=128, levels=2, image_size=32,
+                          batch_size=8, n_model=2)
+        tr = Trainer(cfg, mesh=mesh)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 32, 32)).astype(np.int32)
+        tr.train_step(imgs, lbls)
+        ck = str(tmp_path / "ck")
+        tr.save_checkpoint(ck)
+        tr2 = Trainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
+        tr2.restore_checkpoint(ck)
+        a = jax.tree_util.tree_leaves(tr.state.params)
+        b = jax.tree_util.tree_leaves(tr2.state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # restored params keep their MESH shardings (restoring into
+        # concrete arrays used to silently replicate everything): the
+        # wide conv kernels must come back model-sharded
+        assert any("model" in str(x.sharding.spec) for x in b)
+        # restored trainer keeps training
+        m = tr2.train_step(imgs, lbls)
+        assert np.isfinite(m["loss"])

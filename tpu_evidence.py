@@ -105,7 +105,53 @@ def _timed(f):
     return time.perf_counter() - t0
 
 
-def duty_cycle(k_small: int = 20, k_big: int = 100, k_long: int = 1500):
+def rasterize_timing(K: int = 32, reps: int = 3):
+    """jnp vs Pallas label burn at the padded-tile size, fresh
+    per-iteration polygon geometry generated on device."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dl_image_segmentation_tpu.ops.rasterize import (_rasterize_jnp,
+                                                         _rasterize_pallas,
+                                                         pack_features)
+
+    ring = np.array([[10.3, 12.7], [200.2, 30.5], [150.9, 220.1],
+                     [30.4, 180.8], [10.3, 12.7]])
+    edges0, values0 = pack_features([([ring], 3.0)])
+    interp = jax.default_backend() != "tpu"
+
+    def scanned(fn):
+        @jax.jit
+        def run(key):
+            def body(c, k):
+                jitter = jax.random.uniform(k, (1,), jnp.float32, 0, 4)
+                e = jnp.asarray(edges0) + jitter[0]  # fresh geometry
+                out = fn(e, jnp.asarray(values0))
+                return c + jnp.sum(out.astype(jnp.int32)), None
+            o, _ = lax.scan(body, jnp.int32(0), jax.random.split(key, K))
+            return o
+        return run
+
+    runs = {
+        "jnp": scanned(lambda e, v: _rasterize_jnp(
+            e, v, jnp.float32(255), 260, 260, True)),
+        "pallas": scanned(lambda e, v: _rasterize_pallas(
+            e, v, jnp.float32(255), 260, 260, True, interpret=interp)),
+    }
+    out = {}
+    for name, run in runs.items():
+        int(run(jax.random.PRNGKey(99)))  # warm compile, force exec
+        best = min(_timed(lambda r=r: int(run(jax.random.PRNGKey(r))))
+                   for r in range(reps))
+        out[f"rasterize_{name}_ms_per_burn"] = round(best / K * 1e3, 2)
+    out["rasterize_pallas_speedup"] = round(
+        out["rasterize_jnp_ms_per_burn"]
+        / out["rasterize_pallas_ms_per_burn"], 1)
+    return out
+
+
+def duty_cycle(k_small: int = 50, k_big: int = 400, k_long: int = 1500):
     """Scanned U-Net training on a device-resident pool: duty cycle +
     imgs/s (north star: >95% duty).
 
@@ -166,6 +212,7 @@ def main():
                 "device": str(jax.devices()[0])}
     evidence.update(kernel_smoke())
     evidence.update(median_timing())
+    evidence.update(rasterize_timing())
     evidence.update(duty_cycle())
     with open("TPU_EVIDENCE.json", "w") as f:
         json.dump(evidence, f, indent=1)
