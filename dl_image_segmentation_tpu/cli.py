@@ -145,7 +145,7 @@ def cmd_predict(args) -> int:
     cfg = TrainConfig(num_classes=args.classes, in_channels=args.channels,
                       base_features=args.features, levels=args.levels,
                       image_size=args.image_size,
-                      batch_size=args.batch_size)
+                      batch_size=args.batch_size, model=args.model)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     os.makedirs(args.out, exist_ok=True)
@@ -343,6 +343,8 @@ def main(argv=None) -> int:
     pr.add_argument("--levels", type=int, default=4)
     pr.add_argument("--image-size", type=int, default=256)
     pr.add_argument("--batch-size", type=int, default=8)
+    pr.add_argument("--model", default="unet",
+                    choices=["unet", "deeplab", "segformer"])
     pr.set_defaults(fn=cmd_predict)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint on shards")

@@ -38,7 +38,8 @@ def run_export(jobs: Sequence[DLTileJobConfig],
                n_workers: int = 8,
                max_attempts: int = 20,
                progress: Optional[Callable[[str], None]] = print,
-               low_priority: bool = False
+               low_priority: bool = False,
+               host_index: int = 0, host_count: int = 1
                ) -> ExportReport:
     """Run chip creation for all jobs with resume + retry.
 
@@ -47,7 +48,14 @@ def run_export(jobs: Sequence[DLTileJobConfig],
     ``max_attempts`` times (create nb cells 82-83). ``low_priority``
     renices the process so a big oversubscribed export doesn't starve
     an interactive machine (the notebook's psutil priority drop,
-    create nb cell 78)."""
+    create nb cell 78).
+
+    host_index/host_count partition the job list round-robin across
+    hosts (same per-host ownership as the TFRecord writers); exports
+    are idempotent per output file, so overlapping runs are safe and
+    the union equals a single-host run."""
+    if host_count > 1:
+        jobs = [j for k, j in enumerate(jobs) if k % host_count == host_index]
     t0 = time.perf_counter()
     report = ExportReport(total_jobs=len(jobs))
     if not jobs:

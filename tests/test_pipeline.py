@@ -604,3 +604,34 @@ class TestCloudScenePairing:
         arr = create_cloudmasked_s2_array(TILE, bands="red green",
                                           catalog=cat)
         assert arr is not None and arr.shape == (64, 64, 2)
+
+
+class TestMultiHostExport:
+    def test_partitioned_export_union_equals_single_host(self, tmp_path,
+                                                         catalog):
+        """Two hosts each export their round-robin slice; the union of
+        outputs equals a single-host run (idempotent per file)."""
+        labels = write_labels_geojson(str(tmp_path / "l.geojson"))
+        t2 = Tile(60, 2, 10.0, ZONE, -379, 3491)
+        jobs = [DLTileJobConfig(
+            dltile=t, out_folder_base=str(tmp_path / "multi"),
+            dl_product="sentinel-2:L1C", bands="red",
+            ref_date=dt.date(2020, 11, 1), labels_data=labels,
+            label_attr="cls", catalog=catalog) for t in (TILE, t2)]
+        r0 = run_export(jobs, n_workers=1, host_index=0, host_count=2,
+                        progress=None)
+        r1 = run_export(jobs, n_workers=1, host_index=1, host_count=2,
+                        progress=None)
+        assert r0.completed == 1 and r1.completed == 1
+        import glob as _glob
+        multi = sorted(os.path.basename(f) for f in _glob.glob(
+            str(tmp_path / "multi" / "images" / "*.tif")))
+        jobs_s = [DLTileJobConfig(
+            dltile=t, out_folder_base=str(tmp_path / "single"),
+            dl_product="sentinel-2:L1C", bands="red",
+            ref_date=dt.date(2020, 11, 1), labels_data=labels,
+            label_attr="cls", catalog=catalog) for t in (TILE, t2)]
+        run_export(jobs_s, n_workers=1, progress=None)
+        single = sorted(os.path.basename(f) for f in _glob.glob(
+            str(tmp_path / "single" / "images" / "*.tif")))
+        assert multi == single and len(multi) == 2

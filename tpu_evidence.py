@@ -151,7 +151,7 @@ def rasterize_timing(K: int = 32, reps: int = 3):
     return out
 
 
-def duty_cycle(k_small: int = 50, k_big: int = 400, k_long: int = 1500):
+def duty_cycle(k_small: int = 50, k_long: int = 1500):
     """Scanned U-Net training on a device-resident pool: duty cycle +
     imgs/s (north star: >95% duty).
 
@@ -189,11 +189,13 @@ def duty_cycle(k_small: int = 50, k_big: int = 400, k_long: int = 1500):
             for _ in range(reps))
 
     t1 = t_of(k_small)
-    t2 = t_of(k_big)
-    s = (t2 - t1) / (k_big - k_small)   # device seconds / step
-    h = t1 - k_small * s                # tunnel overhead / dispatch
     t_long = t_of(k_long, reps=1)
-    duty_long = k_long * s / t_long
+    # fit over the two most-separated points (T = h + K*s); the long
+    # dispatch dominates the slope so transient host noise in the
+    # small run cannot flip the estimate
+    s = (t_long - t1) / (k_long - k_small)  # device seconds / step
+    h = max(t1 - k_small * s, 0.0)          # tunnel overhead / dispatch
+    duty_long = min(k_long * s / t_long, 1.0)
     duty_native = k_long * s / (0.005 + k_long * s)
     return {"train_ms_per_step_device": round(s * 1e3, 2),
             "relay_overhead_s_per_dispatch": round(h, 2),
