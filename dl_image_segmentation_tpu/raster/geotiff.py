@@ -101,13 +101,14 @@ class GeoTIFF:
 # Reader
 # ---------------------------------------------------------------------------
 
-def _read_ifd_values(buf, fmt, ttype, count, val_bytes):
+def _read_ifd_values(buf, fmt, ttype, count, val_bytes, big=False):
     ch, size = _FIELD_TYPES.get(ttype, ("B", 1))
     total = size * count
-    if total <= 4:
+    inline = 8 if big else 4
+    if total <= inline:
         raw = val_bytes[:total]
     else:
-        (off,) = struct.unpack(fmt + "I", val_bytes)
+        (off,) = struct.unpack(fmt + ("Q" if big else "I"), val_bytes)
         raw = buf[off:off + total]
     if ttype == 2:  # ASCII
         return raw.split(b"\x00")[0].decode("latin-1")
@@ -135,23 +136,38 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 def _parse_ifd(data: bytes):
+    """Parse the first IFD of a classic TIFF (version 42) or BigTIFF
+    (version 43: 8-byte offsets, 20-byte IFD entries)."""
     if data[:4] == b"II*\x00":
-        fmt = "<"
+        fmt, big = "<", False
     elif data[:4] == b"MM\x00*":
-        fmt = ">"
+        fmt, big = ">", False
     elif data[:4] in (b"II+\x00", b"MM\x00+"):
-        raise ValueError("BigTIFF is not supported (chips are far below "
-                         "the 4 GiB classic-TIFF limit)")
+        fmt = "<" if data[0:1] == b"I" else ">"
+        big = True
+        offsize, zero = struct.unpack(fmt + "HH", data[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header "
+                             f"(offset size {offsize})")
     else:
-        raise ValueError("not a classic TIFF")
-    (ifd_off,) = struct.unpack(fmt + "I", data[4:8])
-    (ntags,) = struct.unpack(fmt + "H", data[ifd_off:ifd_off + 2])
+        raise ValueError("not a TIFF")
     tags: Dict[int, list] = {}
-    for i in range(ntags):
-        p = ifd_off + 2 + i * 12
-        tid, ttype, cnt = struct.unpack(fmt + "HHI", data[p:p + 8])
-        tags[tid] = _read_ifd_values(data, fmt, ttype, cnt,
-                                     data[p + 8:p + 12])
+    if big:
+        (ifd_off,) = struct.unpack(fmt + "Q", data[8:16])
+        (ntags,) = struct.unpack(fmt + "Q", data[ifd_off:ifd_off + 8])
+        for i in range(ntags):
+            p = ifd_off + 8 + i * 20
+            tid, ttype, cnt = struct.unpack(fmt + "HHQ", data[p:p + 12])
+            tags[tid] = _read_ifd_values(data, fmt, ttype, cnt,
+                                         data[p + 12:p + 20], big=True)
+    else:
+        (ifd_off,) = struct.unpack(fmt + "I", data[4:8])
+        (ntags,) = struct.unpack(fmt + "H", data[ifd_off:ifd_off + 2])
+        for i in range(ntags):
+            p = ifd_off + 2 + i * 12
+            tid, ttype, cnt = struct.unpack(fmt + "HHI", data[p:p + 8])
+            tags[tid] = _read_ifd_values(data, fmt, ttype, cnt,
+                                         data[p + 8:p + 12])
     return fmt, tags
 
 
@@ -342,12 +358,15 @@ def encode_geotiff(
     compress: str = "lzw",
     tiled: bool = True,
     tile_size: int = 256,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode (H, W) or (H, W, B) array to GeoTIFF bytes.
 
     Default layout matches the reference chip contract: LZW, tiled
     (COMPRESS=LZW TILED=TRUE, _descartes_img_chips.py:784), chunky
-    planar config, little-endian classic TIFF.
+    planar config, little-endian classic TIFF. ``bigtiff=True`` emits
+    the BigTIFF (version 43) container with 64-bit offsets -- for
+    mosaics past the 4 GiB classic limit (e.g. stitch output).
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -400,17 +419,18 @@ def encode_geotiff(
     ]
     if b > implied:
         tags.append((338, 3, b - implied, [0] * (b - implied)))
+    off_type = 16 if bigtiff else 4  # LONG8 in BigTIFF
     if tiled:
         tags += [
             (_T_TILE_WIDTH, 3, 1, ts),
             (_T_TILE_LENGTH, 3, 1, ts),
-            (_T_TILE_OFFSETS, 4, len(chunks), "OFFSETS"),
+            (_T_TILE_OFFSETS, off_type, len(chunks), "OFFSETS"),
             (_T_TILE_BYTE_COUNTS, 4, len(chunks), [len(c) for c in chunks]),
         ]
     else:
         tags += [
             (_T_ROWS_PER_STRIP, 3, 1, h),
-            (_T_STRIP_OFFSETS, 4, 1, "OFFSETS"),
+            (_T_STRIP_OFFSETS, off_type, 1, "OFFSETS"),
             (_T_STRIP_BYTE_COUNTS, 4, 1, [len(chunks[0])]),
         ]
     if geotransform is not None:
@@ -431,20 +451,26 @@ def encode_geotiff(
 
     tags.sort(key=lambda t: t[0])
 
-    # layout: header(8) + IFD + overflow values + chunk data
+    # layout: header + IFD + overflow values + chunk data
+    # (classic: 8-byte header, 12-byte entries, 4-byte inline values;
+    #  BigTIFF: 16-byte header, 20-byte entries, 8-byte inline values)
     n = len(tags)
-    ifd_size = 2 + n * 12 + 4
+    head_size = 16 if bigtiff else 8
+    entry_size = 20 if bigtiff else 12
+    count_size = 8 if bigtiff else 2
+    next_size = 8 if bigtiff else 4
+    inline = 8 if bigtiff else 4
+    ifd_size = count_size + n * entry_size + next_size
     overflow = bytearray()
     entries = bytearray()
-    data_start_guess = 8 + ifd_size
     # first pass to size overflow
     sized = []
     for tid, ttype, cnt, val in tags:
         ch, unit = _FIELD_TYPES[ttype]
         total = unit * cnt
         sized.append(total)
-    overflow_total = sum(t for t in sized if t > 4)
-    chunk_start = 8 + ifd_size + overflow_total
+    overflow_total = sum(t for t in sized if t > inline)
+    chunk_start = head_size + ifd_size + overflow_total
     # word-align chunk data
     if chunk_start % 2:
         chunk_start += 1
@@ -454,7 +480,7 @@ def encode_geotiff(
         chunk_offsets.append(pos)
         pos += len(c)
 
-    over_pos = 8 + ifd_size
+    over_pos = head_size + ifd_size
     for (tid, ttype, cnt, val), total in zip(tags, sized):
         ch, unit = _FIELD_TYPES[ttype]
         if val == "OFFSETS":
@@ -465,17 +491,24 @@ def encode_geotiff(
             raw = struct.pack("<" + ch * cnt, *val)
         else:
             raw = struct.pack("<" + ch, val)
-        entries += struct.pack("<HHI", tid, ttype, cnt)
-        if total <= 4:
-            entries += raw.ljust(4, b"\x00")
+        if bigtiff:
+            entries += struct.pack("<HHQ", tid, ttype, cnt)
         else:
-            entries += struct.pack("<I", over_pos)
+            entries += struct.pack("<HHI", tid, ttype, cnt)
+        if total <= inline:
+            entries += raw.ljust(inline, b"\x00")
+        else:
+            entries += struct.pack("<Q" if bigtiff else "<I", over_pos)
             overflow += raw
             over_pos += total
 
     out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", 8)
-    out += struct.pack("<H", n) + entries + struct.pack("<I", 0)
+    if bigtiff:
+        out += b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+        out += struct.pack("<Q", n) + entries + struct.pack("<Q", 0)
+    else:
+        out += b"II*\x00" + struct.pack("<I", 8)
+        out += struct.pack("<H", n) + entries + struct.pack("<I", 0)
     out += overflow
     out += b"\x00" * (chunk_start - len(out))
     for c in chunks:

@@ -23,9 +23,10 @@ class UnsupportedFormatError(ValueError):
     detected format so a user hits an actionable error instead of the
     silent skip-every-file path.
 
-    Supported matrix: GeoTIFF (LZW/Deflate/PackBits/uncompressed,
-    tiled + striped, uint8/uint16/int16/uint32/float32/float64),
-    PNG, JPEG, BMP; GIF decode-only.
+    Supported matrix: GeoTIFF incl. BigTIFF (LZW/Deflate/PackBits/
+    uncompressed, tiled + striped,
+    uint8/uint16/int16/uint32/float32/float64), PNG, JPEG, BMP; GIF
+    decode-only.
     """
 
 
@@ -37,8 +38,6 @@ _KNOWN_MAGICS = (
     (b"CDF\x01", "NetCDF classic"),
     (b"CDF\x02", "NetCDF 64-bit"),
     (b"GRIB", "GRIB"),
-    (b"MM\x00\x2b", "BigTIFF (big-endian)"),
-    (b"II\x2b\x00", "BigTIFF (little-endian)"),
 )
 
 
@@ -72,7 +71,8 @@ def _is_jpeg(data: bytes) -> bool:
 
 
 def _is_tiff(data: bytes) -> bool:
-    return data[:4] in (b"II*\x00", b"MM\x00*")
+    # classic TIFF (version 42) or BigTIFF (version 43)
+    return data[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+")
 
 
 def _is_bmp(data: bytes) -> bool:

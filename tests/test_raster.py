@@ -181,3 +181,49 @@ class TestLZWFuzz:
         from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
         with pytest.raises(ValueError, match="BigTIFF"):
             decode_geotiff(b"II+\x00" + b"\x00" * 32)
+
+
+class TestBigTIFF:
+    def test_roundtrip_all_layouts(self, tmp_path):
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            decode_geotiff, encode_geotiff)
+        rng = np.random.RandomState(0)
+        for dtype, tiled, comp in [(np.uint16, True, "lzw"),
+                                   (np.uint8, False, "none"),
+                                   (np.float32, True, "deflate")]:
+            arr = (rng.rand(70, 50, 3) * 1000).astype(dtype)
+            data = encode_geotiff(arr, geotransform=(5, 10, 0, 900, 0, -10),
+                                  epsg=32643, nodata=7, tiled=tiled,
+                                  compress=comp, bigtiff=True)
+            assert data[:4] == b"II+\x00"
+            g = decode_geotiff(data)
+            np.testing.assert_array_equal(g.array, arr)
+            assert g.info.epsg == 32643
+            assert g.info.geotransform[0] == 5
+            assert g.info.nodata == 7
+
+    def test_pil_reads_our_bigtiff(self, tmp_path):
+        """External-convention check: Pillow decodes our BigTIFF."""
+        from PIL import Image
+        import io as _io
+        from dl_image_segmentation_tpu.raster.geotiff import encode_geotiff
+        rng = np.random.RandomState(1)
+        arr = rng.randint(0, 255, (40, 30), np.uint8)
+        data = encode_geotiff(arr, tiled=False, compress="none",
+                              bigtiff=True)
+        try:
+            ext = np.asarray(Image.open(_io.BytesIO(data)))
+        except Exception:
+            pytest.skip("Pillow build lacks BigTIFF read support")
+        np.testing.assert_array_equal(ext, arr)
+
+    def test_dispatch_through_decode_image_bytes(self):
+        from dl_image_segmentation_tpu.raster.geotiff import encode_geotiff
+        from dl_image_segmentation_tpu.raster.image import (
+            decode_image_bytes, sniff_image_info)
+        rng = np.random.RandomState(2)
+        arr = (rng.rand(20, 20, 4) * 4000).astype(np.uint16)
+        data = encode_geotiff(arr, bigtiff=True)
+        info = sniff_image_info(data)
+        assert (info.height, info.width, info.count) == (20, 20, 4)
+        np.testing.assert_array_equal(decode_image_bytes(data).array, arr)

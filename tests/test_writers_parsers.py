@@ -296,8 +296,6 @@ class TestFormatGuardrails:
             sniff_image_info(self.JP2)
         with pytest.raises(UnsupportedFormatError, match="NetCDF"):
             sniff_image_info(b"CDF\x01" + b"\x00" * 32)
-        with pytest.raises(UnsupportedFormatError, match="BigTIFF"):
-            sniff_image_info(b"II\x2b\x00" + b"\x00" * 32)
         with pytest.raises(UnsupportedFormatError, match="VRT"):
             sniff_image_info(b"<VRTDataset rasterXSize='4'>")
 
