@@ -24,7 +24,7 @@ import hashlib
 import json
 import os
 import shutil
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 class RecordsSink:

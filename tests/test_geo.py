@@ -276,7 +276,7 @@ class TestShapefile:
 
 class TestGeoPackage:
     def test_write_read_roundtrip(self, tmp_path):
-        from dl_image_segmentation_tpu.geo.gpkg import read_gpkg, write_gpkg
+        from dl_image_segmentation_tpu.geo.gpkg import write_gpkg
         from dl_image_segmentation_tpu.geo.vector import (Feature,
                                                           VectorLayer,
                                                           open_vector)

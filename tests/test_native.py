@@ -127,7 +127,6 @@ class TestNativePairPath:
         """The fully-native pair encoder must produce byte-identical
         frames to the Python loader + encoder path."""
         import io as _io
-        import os as _os
         from dl_image_segmentation_tpu.raster.image import encode_png
         from dl_image_segmentation_tpu.records.writers import _load_mt
         from dl_image_segmentation_tpu.records.example import (

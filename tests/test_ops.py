@@ -17,7 +17,6 @@ from dl_image_segmentation_tpu.ops.augment import augment_pairs
 def brute_force_burn(features, shape, background, all_touched):
     """Slow geometric oracle: even-odd interior + exact
     segment-vs-pixel-square intersection, feature emit order."""
-    from dl_image_segmentation_tpu.geo.geometry import points_in_ring
     h, w = shape
     out = np.full(shape, background, np.float64)
     ys, xs = np.mgrid[0:h, 0:w]

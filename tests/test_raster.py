@@ -3,7 +3,6 @@ round-trips across dtypes/band-counts, geo tags, nodata, third-party
 interop (PIL + cv2 read our files; we read theirs)."""
 
 import io
-import struct
 
 import numpy as np
 import pytest

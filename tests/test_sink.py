@@ -5,7 +5,6 @@ import json
 import os
 import threading
 
-import numpy as np
 import pytest
 
 from dl_image_segmentation_tpu.records.sink import (LocalDirSink,

@@ -3,7 +3,6 @@ end-to-end TFRecords -> feed -> sharded train step, loss decrease on a
 learnable toy task, checkpoint round-trip, mesh shardings."""
 
 import dataclasses
-import glob
 import os
 
 import numpy as np
@@ -14,7 +13,7 @@ import jax.numpy as jnp
 
 from dl_image_segmentation_tpu.models.unet import UNet
 from dl_image_segmentation_tpu.parallel.sharding import (
-    batch_sharding, make_mesh, param_shardings)
+    make_mesh, param_shardings)
 from dl_image_segmentation_tpu.pipeline.input import (DevicePrefetcher,
                                                       TFRecordFeed)
 from dl_image_segmentation_tpu.train.trainer import (TrainConfig, Trainer,
