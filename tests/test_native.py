@@ -365,3 +365,61 @@ class TestFusedTiffPair:
         a = (tmp_path / "rn" / "a-00000-of-00001").read_bytes()
         b = (tmp_path / "rp" / "a-00000-of-00001").read_bytes()
         assert a == b
+
+    def test_multitile_raster_identical(self, tmp_path):
+        """A 300x300 chip spans a 2x2 tile grid: the fused decoder's
+        multi-chunk scatter path must stay byte-identical."""
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        rng = np.random.RandomState(11)
+        img = (rng.rand(300, 300, 4) * 4000).astype(np.uint16)
+        lbl = rng.randint(0, 3, (300, 300)).astype(np.uint8)
+        ip = str(tmp_path / "296#2#10.0#43#-5#6.tif")
+        lp = str(tmp_path / "lbl.tif")
+        write_geotiff(ip, img, geotransform=(0, 10, 0, 0, 0, -10),
+                      epsg=32643)
+        write_geotiff(lp, lbl, geotransform=(0, 10, 0, 0, 0, -10),
+                      epsg=32643, nodata=255)
+        written, failed, nat = self._native_record(
+            tmp_path, ip, lp, ident=b"296:2:10.0:43:-5:6")
+        assert written == 1 and failed == []
+        assert nat == self._python_record(ip, lp,
+                                          ident="296:2:10.0:43:-5:6")
+
+    def test_striped_raster_identical(self, tmp_path):
+        """Striped (non-tiled) layout through the fused decoder."""
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        rng = np.random.RandomState(12)
+        img = (rng.rand(64, 48, 2) * 4000).astype(np.uint16)
+        lbl = rng.randint(0, 2, (64, 48)).astype(np.uint8)
+        ip = str(tmp_path / "60#2#10.0#43#-6#7.tif")
+        lp = str(tmp_path / "lbl.tif")
+        write_geotiff(ip, img, geotransform=(0, 10, 0, 0, 0, -10),
+                      epsg=32643, tiled=False)
+        write_geotiff(lp, lbl, geotransform=(0, 10, 0, 0, 0, -10),
+                      epsg=32643, nodata=255, tiled=False)
+        written, failed, nat = self._native_record(
+            tmp_path, ip, lp, ident=b"60:2:10.0:43:-6:7")
+        assert written == 1 and failed == []
+        assert nat == self._python_record(ip, lp,
+                                          ident="60:2:10.0:43:-6:7")
+
+    def test_bigtiff_falls_back(self, tmp_path):
+        """BigTIFF pairs fall back to the Python codec (which decodes
+        them) instead of being mis-parsed by the fused path."""
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            encode_geotiff)
+        rng = np.random.RandomState(13)
+        img = (rng.rand(16, 16, 2) * 4000).astype(np.uint16)
+        lbl = rng.randint(0, 2, (16, 16)).astype(np.uint8)
+        ip = str(tmp_path / "a.tif")
+        lp = str(tmp_path / "b.tif")
+        open(ip, "wb").write(encode_geotiff(img, bigtiff=True))
+        open(lp, "wb").write(encode_geotiff(lbl, bigtiff=True))
+        written, failed, _ = self._native_record(tmp_path, ip, lp)
+        assert written == 0 and failed == [0]
