@@ -92,6 +92,7 @@ def cmd_train(args) -> int:
                       label_nodata=args.nodata,
                       n_model=args.n_model,
                       spatial=args.spatial,
+                      remat=args.remat,
                       model=args.model)
     trainer = Trainer(cfg)
     if args.restore:
@@ -321,6 +322,9 @@ def main(argv=None) -> int:
                     help="shard image height over the model axis "
                          "(GSPMD spatially-partitioned convs) instead "
                          "of conv channels")
+    tr.add_argument("--remat", action="store_true",
+                    help="rematerialise activations in the backward "
+                         "pass (more FLOPs, much less HBM)")
     tr.add_argument("--scan-steps", type=int, default=0,
                     help="steps per dispatch via a device-resident pool "
                          "(0 = classic per-step feed)")

@@ -50,6 +50,10 @@ class TrainConfig:
     # (halo exchanges over ICI), so tiles too large for one chip's HBM
     # train across the mesh. image_size must divide by n_model.
     spatial: bool = False
+    # remat=True rematerialises activations in the backward pass
+    # (jax.checkpoint around the forward): ~30% more FLOPs for a large
+    # cut in peak HBM, the standard trade for bigger batches/tiles
+    remat: bool = False
     seed: int = 0
     model: str = "unet"  # "unet" | "deeplab" | "segformer"
     # schedule: "constant" or "cosine" (with linear warmup)
@@ -186,17 +190,25 @@ class Trainer:
             jax.device_put(jnp.zeros((), jnp.int32), rep))
         self.param_shardings = p_sh
 
+    def _apply_fn(self):
+        """model.apply, optionally under jax.checkpoint (remat)."""
+        model = self.model
+        if self.config.remat:
+            return jax.checkpoint(
+                lambda params, x: model.apply({"params": params}, x))
+        return lambda params, x: model.apply({"params": params}, x)
+
     # -- compiled step -----------------------------------------------------
     def _build_step(self):
         cfg = self.config
-        model = self.model
+        apply_fn = self._apply_fn()
         tx = self.tx
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
             def loss_fn(params):
-                logits = model.apply({"params": params}, images)
+                logits = apply_fn(params, images)
                 loss, acc = masked_xent_loss(logits, labels,
                                              cfg.label_nodata)
                 return loss, acc
@@ -221,7 +233,7 @@ class Trainer:
         from .pool import sample_batch
         from ..ops.augment import augment_pairs
         cfg = self.config
-        model = self.model
+        apply_fn = self._apply_fn()
         tx = self.tx
 
         @functools.partial(jax.jit, donate_argnums=(0,),
@@ -237,7 +249,7 @@ class Trainer:
                     images, labels = augment_pairs(asub, images, labels)
 
                 def loss_fn(params):
-                    logits = model.apply({"params": params}, images)
+                    logits = apply_fn(params, images)
                     return masked_xent_loss(logits, labels,
                                             cfg.label_nodata)
 

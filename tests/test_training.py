@@ -510,3 +510,30 @@ class TestShardedCheckpoint:
         # restored trainer keeps training
         m = tr2.train_step(imgs, lbls)
         assert np.isfinite(m["loss"])
+
+
+class TestRemat:
+    def test_remat_matches_plain_loss(self):
+        """jax.checkpoint changes memory, not math: identical loss."""
+        rng = np.random.RandomState(5)
+        imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 32, 32)).astype(np.int32)
+        base = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                           levels=2, image_size=32, batch_size=8)
+        la = Trainer(base).train_step(imgs, lbls)["loss"]
+        lb = Trainer(dataclasses.replace(base, remat=True)).train_step(
+            imgs, lbls)["loss"]
+        np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+    def test_remat_scanned_runs(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 255, (16, 32, 32, 3), np.uint8)
+        lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=4,
+                          remat=True)
+        out = Trainer(cfg).train_scanned(pool, total_steps=4,
+                                         steps_per_dispatch=4)
+        assert np.isfinite(out["loss"])
