@@ -51,7 +51,8 @@ def cmd_create_chips(args) -> int:
           f"{cfg.images_dir_name(args.loc, args.year)}")
     report = run_export(jobs, n_workers=args.workers,
                         max_attempts=args.max_attempts,
-                        low_priority=args.low_priority)
+                        low_priority=args.low_priority,
+                        batch_tiles=args.batch_tiles)
     return 0 if report.ok else 1
 
 
@@ -280,6 +281,9 @@ def main(argv=None) -> int:
     c.add_argument("--catalog", required=True,
                    help="local catalog root, or 'synthetic'")
     c.add_argument("--workers", type=int, default=8)
+    c.add_argument("--batch-tiles", type=int, default=0,
+                   help="composite+burn K tiles per device dispatch "
+                        "(0 = per-tile); byte-identical outputs")
     c.add_argument("--low-priority", action="store_true",
                    help="renice the export so it doesn't starve the "
                         "machine (notebook cell 78 behavior)")

@@ -187,7 +187,10 @@ def nearest_valid_mosaic(stack: jnp.ndarray, valid: jnp.ndarray,
     """Per-pixel select the valid scene minimising ``date_dist``.
 
     stack: (S, H, W, B); valid: (S, H, W) or (S, H, W, B);
-    date_dist: (S,) absolute days from the reference date.
+    date_dist: (S,) absolute days from the reference date -- or
+    (S, H, W) per-pixel distances (used by the batched multi-tile
+    compositor, where tiles concatenated along H carry different
+    scene dates per row band).
 
     Exactly reproduces sorted-descending last-wins mosaicking
     (_descartes_img_chips.py:617-627): ties broken toward the LATER
@@ -202,8 +205,10 @@ def nearest_valid_mosaic(stack: jnp.ndarray, valid: jnp.ndarray,
     # score = date distance, invalid -> +inf; tie-break: later index wins
     idx = jnp.arange(S, dtype=jnp.float32)
     eps_tiebreak = (S - idx) * 1e-6  # earlier scenes get a tiny penalty...
-    score = date_dist.astype(jnp.float32)[:, None, None, None] \
-        + eps_tiebreak[:, None, None, None]
+    dd = date_dist.astype(jnp.float32)
+    if dd.ndim == 1:
+        dd = dd[:, None, None]
+    score = dd[..., None] + eps_tiebreak[:, None, None, None]
     score = jnp.where(valid, score, _INF)
     sel = jnp.argmin(score, axis=0)  # (H, W, B)
     mosaic = jnp.take_along_axis(stack, sel[None], axis=0)[0]

@@ -46,16 +46,22 @@ _FAR = -1.0e9
 # ---------------------------------------------------------------------------
 
 def pack_features(
-    features_px: Sequence[Tuple[Sequence[np.ndarray], float]],
+    features_px: Sequence[Tuple],
     max_edges: Optional[int] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack [(rings, value), ...] (rings in PIXEL coordinates, (N,2)
-    x=col, y=row, unclosed or closed) into dense arrays:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack [(rings, value), ...] or [(rings, value, (row_lo, row_hi)),
+    ...] (rings in PIXEL coordinates, (N,2) x=col, y=row, unclosed or
+    closed) into dense arrays. The optional per-feature ROW WINDOW
+    restricts the feature's burn to rows [row_lo, row_hi) -- used by
+    the batched multi-tile compositor to keep each tile's features
+    inside its own row band of a shared canvas.
 
-    returns (edges[F, E, 4] float32, values[F] float32)
+    returns (edges[F, E, 4] f32, values[F] f32, windows[F, 2] f32)
     """
     feats = []
-    for rings, value in features_px:
+    for item in features_px:
+        rings, value = item[0], item[1]
+        win = item[2] if len(item) > 2 else (-1.0e9, 1.0e9)
         segs = []
         for ring in rings:
             r = np.asarray(ring, dtype=np.float32)
@@ -67,18 +73,22 @@ def pack_features(
             b = r[1:]
             segs.append(np.concatenate([a, b], axis=1))  # (n,4) x0 y0 x1 y1
         if segs:
-            feats.append((np.concatenate(segs, axis=0), float(value)))
+            feats.append((np.concatenate(segs, axis=0), float(value),
+                          (float(win[0]), float(win[1]))))
     if not feats:
         return (np.full((1, 1, 4), _FAR, np.float32),
-                np.zeros((1,), np.float32))
-    e_max = max_edges or max(len(e) for e, _ in feats)
+                np.zeros((1,), np.float32),
+                np.array([[-1.0e9, 1.0e9]], np.float32))
+    e_max = max_edges or max(len(e) for e, _, _ in feats)
     F = len(feats)
     edges = np.full((F, e_max, 4), _FAR, dtype=np.float32)
     values = np.zeros((F,), dtype=np.float32)
-    for i, (e, v) in enumerate(feats):
+    windows = np.zeros((F, 2), dtype=np.float32)
+    for i, (e, v, w) in enumerate(feats):
         edges[i, : len(e)] = e[:e_max]
         values[i] = v
-    return edges, values
+        windows[i] = w
+    return edges, values, windows
 
 
 # ---------------------------------------------------------------------------
@@ -132,19 +142,25 @@ def _feature_masks(edges: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
                                              "all_touched"))
 def _rasterize_jnp(edges: jnp.ndarray, values: jnp.ndarray,
                    background: jnp.ndarray, height: int, width: int,
-                   all_touched: bool) -> jnp.ndarray:
+                   all_touched: bool,
+                   windows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     cy, cx = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32) + 0.5,
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij")
     init = jnp.full((height, width), background, dtype=jnp.float32)
+    if windows is None:
+        windows = jnp.broadcast_to(
+            jnp.asarray([-1.0e9, 1.0e9], jnp.float32),
+            (edges.shape[0], 2))
 
     def body(canvas, feat):
-        e, v = feat
+        e, v, w = feat
         mask = _feature_masks(e, cx, cy, all_touched)
+        mask = mask & (cy >= w[0]) & (cy < w[1])
         return jnp.where(mask, v, canvas), None
 
-    out, _ = jax.lax.scan(body, init, (edges, values))
+    out, _ = jax.lax.scan(body, init, (edges, values, windows))
     return out
 
 
@@ -153,7 +169,7 @@ def _rasterize_jnp(edges: jnp.ndarray, values: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _rasterize_pallas(edges, values, background, height, width, all_touched,
-                      block=256, interpret=False):
+                      block=256, interpret=False, windows=None):
     """Pallas burn kernel.
 
     Grid = (row blocks, col blocks, features) with the FEATURE axis
@@ -168,11 +184,15 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
     from jax.experimental.pallas import tpu as pltpu
 
     F, E, _ = edges.shape
+    if windows is None:
+        windows = jnp.broadcast_to(
+            jnp.asarray([-1.0e9, 1.0e9], jnp.float32), (F, 2))
+    windows = jnp.asarray(windows, jnp.float32)
     bh = min(block, height)
     bw = min(block, width)
     grid = (-(-height // bh), -(-width // bw), F)
 
-    def kernel(values_ref, bg_ref, edges_ref, out_ref):
+    def kernel(values_ref, bg_ref, windows_ref, edges_ref, out_ref):
         f = pl.program_id(2)
 
         @pl.when(f == 0)
@@ -216,10 +236,13 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
         parity, touch = jax.lax.fori_loop(0, E, edge_body,
                                           (parity0, touch0))
         mask = (parity | touch if all_touched else parity) > 0
+        # per-feature row window (batched multi-tile canvases)
+        mask = mask & (cy >= windows_ref[f, 0]) & (cy < windows_ref[f, 1])
         out_ref[:, :] = jnp.where(mask, values_ref[f], out_ref[:, :])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # values (F,), background (1,) in SMEM
+        num_scalar_prefetch=3,  # values (F,), background (1,), windows
+                                # (F, 2) in SMEM
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, E, 4), lambda i, j, f, *_: (f, 0, 0),
@@ -233,7 +256,7 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
             (grid[0] * bh, grid[1] * bw), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(values, background.reshape(1), edges)
+    )(values, background.reshape(1), windows, edges)
     return out[:height, :width]
 
 
@@ -251,13 +274,16 @@ def rasterize(
 ) -> np.ndarray:
     """Burn polygon features onto a raster.
 
-    features_px: [(rings, value), ...] in pixel coordinates (x=col,
-    y=row, origin at the top-left corner of pixel (0,0)); later
-    features overwrite earlier ones where they overlap (GDAL emit-order
-    semantics). Returns (H, W) array of ``dtype``.
+    features_px: [(rings, value), ...] or [(rings, value, (row_lo,
+    row_hi)), ...] in pixel coordinates (x=col, y=row, origin at the
+    top-left corner of pixel (0,0)); later features overwrite earlier
+    ones where they overlap (GDAL emit-order semantics). The optional
+    per-feature row window restricts the burn to rows [row_lo, row_hi)
+    (used by the batched multi-tile compositor). Returns (H, W) array
+    of ``dtype``.
     """
     height, width = shape
-    edges_np, values_np = pack_features(features_px)
+    edges_np, values_np, windows_np = pack_features(features_px)
     background_arr = jnp.float32(background)
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu")
@@ -265,8 +291,10 @@ def rasterize(
         out = _rasterize_pallas(
             jnp.asarray(edges_np), jnp.asarray(values_np), background_arr,
             height, width, all_touched,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            windows=jnp.asarray(windows_np))
     else:
         out = _rasterize_jnp(jnp.asarray(edges_np), jnp.asarray(values_np),
-                             background_arr, height, width, all_touched)
+                             background_arr, height, width, all_touched,
+                             windows=jnp.asarray(windows_np))
     return np.asarray(out).astype(dtype)

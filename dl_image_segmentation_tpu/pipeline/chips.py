@@ -276,6 +276,22 @@ def _resolve_catalog(catalog) -> Catalog:
     return catalog if catalog is not None else get_default_catalog()
 
 
+def _gather_nearest(ctx, product, reference_date, min_date, max_date,
+                    max_cloud_fraction, band_list, cat):
+    """Host-side gather for the nearest-to-date mosaic: returns
+    (stack (S,H,W,B), valid (S,H,W), dist (S,)) or None when no
+    scenes match."""
+    scenes = cat.search(ctx, product, start=min_date, end=max_date,
+                        max_cloud_fraction=max_cloud_fraction)
+    if len(scenes) == 0:
+        return None
+    stack, valid = cat.load(scenes, ctx, band_list)
+    dist = np.array(
+        [abs((m.date - reference_date).days) for m in scenes],
+        np.float32)
+    return stack, valid, dist
+
+
 def create_img_array_for_tile(ctx, product, reference_date, min_date=None,
                               max_date=None, bands="red green blue",
                               max_cloud_fraction=None, catalog=None
@@ -285,14 +301,12 @@ def create_img_array_for_tile(ctx, product, reference_date, min_date=None,
     cat = _resolve_catalog(catalog)
     band_list = bands.split() if isinstance(bands, str) else list(bands)
     try:
-        scenes = cat.search(ctx, product, start=min_date, end=max_date,
-                            max_cloud_fraction=max_cloud_fraction)
-        if len(scenes) == 0:
+        gathered = _gather_nearest(ctx, product, reference_date,
+                                   min_date, max_date,
+                                   max_cloud_fraction, band_list, cat)
+        if gathered is None:
             return None
-        stack, valid = cat.load(scenes, ctx, band_list)
-        dist = np.array(
-            [abs((m.date - reference_date).days) for m in scenes],
-            np.float32)
+        stack, valid, dist = gathered
         mosaic, any_valid = nearest_valid_mosaic(stack, valid, dist)
         out = np.asarray(mosaic).astype(stack.dtype)
         return out
@@ -315,40 +329,11 @@ def create_cloudmasked_s2_array(ctx, min_date=None, max_date=None,
     cat = _resolve_catalog(catalog)
     band_list = bands.split() if isinstance(bands, str) else list(bands)
     try:
-        s2_scenes = cat.search(ctx, S2_PRODUCT, start=min_date, end=max_date)
-        if len(s2_scenes) == 0:
+        gathered = _gather_s2_masked(ctx, min_date, max_date, band_list,
+                                     cat)
+        if gathered is None:
             return None
-        stack, coverage = cat.load(s2_scenes, ctx, band_list)
-        cloud_scenes = cat.search(ctx, S2_CLOUD_PRODUCT, start=min_date,
-                                  end=max_date)
-        if cloud_scenes:
-            # pair cloud scenes to S2 scenes by acquisition DATE, not
-            # list position: positional pairing silently applies masks
-            # to the wrong dates when one search is missing a scene (a
-            # latent assumption in the reference,
-            # _descartes_img_chips.py:557-563, deliberately improved).
-            by_date = {}
-            for cs in cloud_scenes:
-                by_date.setdefault(cs.date, cs)
-            matched = [by_date.get(m.date) for m in s2_scenes]
-            unmatched = [m.scene_id for m, c in zip(s2_scenes, matched)
-                         if c is None]
-            if unmatched:
-                print(f"WARNING: {len(unmatched)} S2 scene(s) have no "
-                      f"same-date {S2_CLOUD_PRODUCT} scene (e.g. "
-                      f"{unmatched[0]}); using coverage-only validity "
-                      "for those scenes.")
-            present = [c for c in matched if c is not None]
-            valid = coverage.copy()
-            if present:
-                cmask, _ = cat.load(present, ctx, ["valid_cloudfree"])
-                j = 0
-                for i, c in enumerate(matched):
-                    if c is not None:
-                        valid[i] &= cmask[j, :, :, 0] > 0
-                        j += 1
-        else:
-            valid = coverage
+        stack, valid = gathered
         med, any_valid = masked_median_composite(stack, valid)
         med = np.asarray(med)
         mask = ~np.asarray(any_valid)
@@ -357,6 +342,46 @@ def create_cloudmasked_s2_array(ctx, min_date=None, max_date=None,
         if _debug_errors():
             raise
         return None
+
+
+def _gather_s2_masked(ctx, min_date, max_date, band_list, cat):
+    """Host-side gather for the cloud-masked median: returns
+    (stack (S,H,W,B), valid (S,H,W)) or None when no scenes match."""
+    s2_scenes = cat.search(ctx, S2_PRODUCT, start=min_date, end=max_date)
+    if len(s2_scenes) == 0:
+        return None
+    stack, coverage = cat.load(s2_scenes, ctx, band_list)
+    cloud_scenes = cat.search(ctx, S2_CLOUD_PRODUCT, start=min_date,
+                              end=max_date)
+    if cloud_scenes:
+        # pair cloud scenes to S2 scenes by acquisition DATE, not
+        # list position: positional pairing silently applies masks
+        # to the wrong dates when one search is missing a scene (a
+        # latent assumption in the reference,
+        # _descartes_img_chips.py:557-563, deliberately improved).
+        by_date = {}
+        for cs in cloud_scenes:
+            by_date.setdefault(cs.date, cs)
+        matched = [by_date.get(m.date) for m in s2_scenes]
+        unmatched = [m.scene_id for m, c in zip(s2_scenes, matched)
+                     if c is None]
+        if unmatched:
+            print(f"WARNING: {len(unmatched)} S2 scene(s) have no "
+                  f"same-date {S2_CLOUD_PRODUCT} scene (e.g. "
+                  f"{unmatched[0]}); using coverage-only validity "
+                  "for those scenes.")
+        present = [c for c in matched if c is not None]
+        valid = coverage.copy()
+        if present:
+            cmask, _ = cat.load(present, ctx, ["valid_cloudfree"])
+            j = 0
+            for i, c in enumerate(matched):
+                if c is not None:
+                    valid[i] &= cmask[j, :, :, 0] > 0
+                    j += 1
+    else:
+        valid = coverage
+    return stack, valid
 
 
 def stack_products_for_tile(ctx, products, bands_per_product,
@@ -384,14 +409,9 @@ def stack_products_for_tile(ctx, products, bands_per_product,
 # label burning (reference :633-689)
 # ---------------------------------------------------------------------------
 
-def create_label_array_for_tile(ctx, label_data, attrib_to_burn=None,
-                                layer_idx=0, background_value=255
-                                ) -> np.ndarray:
-    """Rasterise an OGR-style dataset onto the tile's padded grid with
-    ALL_TOUCHED semantics (reference :633-689), as a device kernel
-    (ops/rasterize). Returns uint8 (H, W)."""
-    ds = open_vector(label_data)
-    layer = ds.get_layer(layer_idx).to_wgs84()
+def _label_features_px(ctx, layer, attrib_to_burn):
+    """Project a WGS84 vector layer into the tile's pixel space:
+    [(rings_px, value), ...] ready for ops.rasterize."""
     # equator-referenced frame: lonlat_to_utm below returns negative
     # northings south of the equator (no false northing)
     gt = ctx.geotrans_equator
@@ -414,6 +434,18 @@ def create_label_array_for_tile(ctx, label_data, attrib_to_burn=None,
                 rings_px.append(np.stack([px, py], axis=1))
         if rings_px:
             feats.append((rings_px, value))
+    return feats
+
+
+def create_label_array_for_tile(ctx, label_data, attrib_to_burn=None,
+                                layer_idx=0, background_value=255
+                                ) -> np.ndarray:
+    """Rasterise an OGR-style dataset onto the tile's padded grid with
+    ALL_TOUCHED semantics (reference :633-689), as a device kernel
+    (ops/rasterize). Returns uint8 (H, W)."""
+    ds = open_vector(label_data)
+    layer = ds.get_layer(layer_idx).to_wgs84()
+    feats = _label_features_px(ctx, layer, attrib_to_burn)
     size = ctx.raster_size
     return rasterize(feats, (size, size), background=background_value,
                      all_touched=True, dtype=np.uint8)

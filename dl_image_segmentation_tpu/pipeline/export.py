@@ -39,7 +39,8 @@ def run_export(jobs: Sequence[DLTileJobConfig],
                max_attempts: int = 20,
                progress: Optional[Callable[[str], None]] = print,
                low_priority: bool = False,
-               host_index: int = 0, host_count: int = 1
+               host_index: int = 0, host_count: int = 1,
+               batch_tiles: int = 0
                ) -> ExportReport:
     """Run chip creation for all jobs with resume + retry.
 
@@ -53,7 +54,12 @@ def run_export(jobs: Sequence[DLTileJobConfig],
     host_index/host_count partition the job list round-robin across
     hosts (same per-host ownership as the TFRecord writers); exports
     are idempotent per output file, so overlapping runs are safe and
-    the union equals a single-host run."""
+    the union equals a single-host run.
+
+    batch_tiles > 0 switches to the BATCHED compositor
+    (pipeline/batch.py): K tiles composited + burned per device
+    dispatch instead of one, byte-identical outputs -- amortizes
+    dispatch overhead and fills the VPU with small tiles."""
     if host_count > 1:
         jobs = [j for k, j in enumerate(jobs) if k % host_count == host_index]
     t0 = time.perf_counter()
@@ -91,7 +97,19 @@ def run_export(jobs: Sequence[DLTileJobConfig],
         if progress:
             progress(f"attempt {attempt + 1}: {len(pending)} tiles")
             sys.stdout.flush()
-        if n_workers <= 1 or len(pending) == 1:
+        if batch_tiles > 0:
+            from .batch import create_chips_for_tiles_batched
+            try:
+                outs = create_chips_for_tiles_batched(
+                    pending, batch_tiles=batch_tiles,
+                    gather_workers=n_workers)
+                results = [(j, img is not None) for j, img, _ in outs]
+            except Exception as e:  # noqa: BLE001 -- retry protocol
+                if progress:
+                    progress(f"batched attempt failed ({e}); "
+                             "falling back to per-tile")
+                results = [attempt_one(j) for j in pending]
+        elif n_workers <= 1 or len(pending) == 1:
             results = [attempt_one(j) for j in pending]
         else:
             with ThreadPoolExecutor(max_workers=n_workers) as ex:

@@ -46,7 +46,7 @@ def kernel_smoke():
     # rasterize burn
     ring = np.array([[10.3, 12.7], [200.2, 30.5], [150.9, 220.1],
                      [30.4, 180.8], [10.3, 12.7]])
-    edges, values = pack_features([([ring], 3.0)])
+    edges, values, _win = pack_features([([ring], 3.0)])
     interp = jax.default_backend() != "tpu"
     r_p = _rasterize_pallas(jnp.asarray(edges), jnp.asarray(values),
                             jnp.float32(255), 260, 260, True,
@@ -118,7 +118,7 @@ def rasterize_timing(K: int = 32, reps: int = 3):
 
     ring = np.array([[10.3, 12.7], [200.2, 30.5], [150.9, 220.1],
                      [30.4, 180.8], [10.3, 12.7]])
-    edges0, values0 = pack_features([([ring], 3.0)])
+    edges0, values0, _w0 = pack_features([([ring], 3.0)])
     interp = jax.default_backend() != "tpu"
 
     def scanned(fn):
