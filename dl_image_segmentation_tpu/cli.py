@@ -281,9 +281,10 @@ def main(argv=None) -> int:
     c.add_argument("--catalog", required=True,
                    help="local catalog root, or 'synthetic'")
     c.add_argument("--workers", type=int, default=8)
-    c.add_argument("--batch-tiles", type=int, default=0,
+    c.add_argument("--batch-tiles", type=int, default=16,
                    help="composite+burn K tiles per device dispatch "
-                        "(0 = per-tile); byte-identical outputs")
+                        "(0 = per-tile); byte-identical outputs, ~4x "
+                        "faster on TPU")
     c.add_argument("--low-priority", action="store_true",
                    help="renice the export so it doesn't starve the "
                         "machine (notebook cell 78 behavior)")
