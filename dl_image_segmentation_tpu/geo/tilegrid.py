@@ -249,12 +249,16 @@ def tiles_from_shape(
 
     ``shape`` may be a Geometry, a GeoJSON-like mapping, or anything with
     ``__geo_interface__``. Geometries spanning multiple UTM zones are
-    split automatically (the DL service did this server-side): tiles
-    come from every overlapped zone, each tile assigned to the zone
-    containing its centre longitude, so the union covers the AOI with
-    no double coverage at the seam. Single-zone AOIs use the bbox
-    centre's zone, tiles overhanging the zone edge included (unchanged
-    pre-split behavior).
+    split automatically (the DL service did this server-side): every
+    overlapped zone contributes the tiles of ITS grid whose longitude
+    range overlaps that zone's 6-degree band, so the union always
+    covers the AOI (a centre-based assignment was found to leave
+    boundary slivers uncovered when tiles from both grids hang across
+    the seam in opposite directions); tiles straddling the seam may
+    appear from both zones' grids, giving slight double coverage there
+    rather than gaps. Single-zone AOIs use the bbox centre's zone,
+    tiles overhanging the zone edge included (unchanged pre-split
+    behavior).
 
     Returns tiles whose unpadded extent intersects the geometry (exact
     polygon-rectangle test, not just bbox).
@@ -291,8 +295,9 @@ def tiles_from_shape(
                                                x0, y0, x1, y1):
                     continue
                 if len(zones) > 1:
-                    clon, _ = tile.center_lonlat
-                    if not (zone_lon0 <= clon < zone_lon0 + 6.0):
+                    t_lon_min, _, t_lon_max, _ = tile.lonlat_bounds
+                    if (t_lon_max <= zone_lon0
+                            or t_lon_min >= zone_lon0 + 6.0):
                         continue
                 out.append(tile)
     # dedup preserving order (same client-side key-set pattern as

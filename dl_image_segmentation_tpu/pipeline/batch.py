@@ -166,12 +166,10 @@ def create_chips_for_tiles_batched(
         for c0 in range(0, len(idxs), batch_tiles):
             chunk = idxs[c0:c0 + batch_tiles]
             chunk_jobs = [jobs[i] for i in chunk]
-            cat0 = _resolve_catalog(chunk_jobs[0].CATALOG)
             with ThreadPoolExecutor(max_workers=gather_workers) as ex:
                 gathered = list(ex.map(
                     lambda j: _gather_one(j, _resolve_catalog(j.CATALOG)),
                     chunk_jobs))
-            del cat0
             ok = [(i, j, g) for i, j, g in
                   zip(chunk, chunk_jobs, gathered) if g is not None]
             for i, j, g in zip(chunk, chunk_jobs, gathered):

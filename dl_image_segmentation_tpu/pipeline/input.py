@@ -66,6 +66,8 @@ class TFRecordFeed:
             files = sorted(_glob.glob(shard_pattern))
         else:
             files = sorted(shard_pattern)
+        # aborted writers deliberately leave .tmp shards; never read them
+        files = [f for f in files if not f.endswith(".tmp")]
         if not files:
             raise FileNotFoundError(f"no shards match {shard_pattern!r}")
         self.files = host_shard_files(files) if per_host else list(files)
@@ -179,7 +181,7 @@ class TFRecordFeed:
                 if item is None:
                     finished += 1
                     continue
-                if isinstance(item, Exception):
+                if isinstance(item, BaseException):
                     raise item
                 self.records_read += 1
                 if self.shuffle_buffer > 1:

@@ -24,6 +24,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 from typing import Dict, List
 
 
@@ -55,6 +56,7 @@ class LocalDirSink(RecordsSink):
 
     def __init__(self, root: str):
         self.root = root
+        self._lock = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         if os.path.exists(self._manifest_path):
@@ -78,10 +80,12 @@ class LocalDirSink(RecordsSink):
         except OSError:
             shutil.copyfile(path, tmp)
         os.replace(tmp, dest)
-        self.manifest[name] = {"sha256": _sha256(dest),
-                               "bytes": os.path.getsize(dest)}
-        with open(self._manifest_path, "w", encoding="utf-8") as f:
-            json.dump(self.manifest, f, indent=1, sort_keys=True)
+        entry = {"sha256": _sha256(dest),
+                 "bytes": os.path.getsize(dest)}
+        with self._lock:  # thread-safety contract of RecordsSink
+            self.manifest[name] = entry
+            with open(self._manifest_path, "w", encoding="utf-8") as f:
+                json.dump(self.manifest, f, indent=1, sort_keys=True)
         return dest
 
 
@@ -123,6 +127,8 @@ def push_shards(pattern, sink: RecordsSink,
         files = sorted(_glob.glob(pattern))
     else:
         files = sorted(pattern)
+    # aborted writers deliberately leave .tmp files; never push them
+    files = [f for f in files if not f.endswith(".tmp")]
     if not files:
         raise FileNotFoundError(f"no shards match {pattern!r}")
     out = []

@@ -85,11 +85,18 @@ class TFRecordWriter:
 
     def abort(self) -> None:
         """Close WITHOUT renaming into place: the shard stays a .tmp
-        (ignored by readers and by resume), preserving the
+        (ignored by readers, resume, and push), preserving the
         "existing shard == complete shard" invariant after a write
-        failure that can't be rolled back."""
+        failure that can't be rolled back. With atomic=False there is
+        no .tmp indirection, so the torn file at the final path is
+        REMOVED instead."""
         if not self._f.closed:
             self._f.close()
+            if not self._atomic:
+                try:
+                    os.unlink(self._path)
+                except OSError:
+                    pass
 
     def __enter__(self):
         return self

@@ -159,9 +159,9 @@ def _worker(worker_index: int, ranges, name: str,
             out_dir: str, num_shards: int, loader, loader_args: tuple,
             store_as_array: bool, progress_every: int,
             shard_base: int = 0, total_shards: Optional[int] = None,
-            resume: bool = False) -> int:
-    """Writes this worker's contiguous range of shards. Returns the
-    number of examples written. ``num_shards`` is this host's shard
+            resume: bool = False) -> Tuple[int, dict]:
+    """Writes this worker's contiguous range of shards. Returns
+    (examples written, {skip reason: count}). ``num_shards`` is this host's shard
     count; ``shard_base``/``total_shards`` keep shard numbering global
     in multi-host runs."""
     if total_shards is None:
@@ -226,7 +226,7 @@ def _write_one_shard(writer, worker_index: int, img_files, lbl_files,
                      indices, loader, loader_args: tuple,
                      store_as_array: bool, native_mode,
                      progress_every: int, counter_base: int,
-                     files_in_worker: int) -> int:
+                     files_in_worker: int) -> Tuple[int, dict]:
     """Write one shard's records; returns (count written, {skip reason:
     count}). Raises on unrecoverable write errors (caller aborts the
     shard, leaving the .tmp so the atomic-rename resume invariant

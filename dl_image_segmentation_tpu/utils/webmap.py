@@ -50,9 +50,10 @@ var labelLayer = L.geoJSON(labels, {{
 }}).addTo(map);
 L.control.layers(null, {{'tiles': tileLayer, 'labels': labelLayer}})
   .addTo(map);
-var b = tileLayer.getBounds();
+var b = tiles.features.length ? tileLayer.getBounds()
+                              : labelLayer.getBounds();
 if (labels.features.length) b = b.extend(labelLayer.getBounds());
-map.fitBounds(b);
+if (b.isValid()) map.fitBounds(b); else map.setView([0, 0], 2);
 </script>
 </body>
 </html>
@@ -92,7 +93,12 @@ def write_html_map(out_path: str, tiles: Sequence = (),
     (footprints drawn in blue with key popups); ``labels_layer``:
     optional geo.vector.VectorLayer in WGS84 (red overlay with
     property popups). Returns out_path."""
-    tiles_gj = _tiles_to_geojson(list(tiles)) if tiles else \
+    tiles = list(tiles)
+    if not tiles and labels_layer is None:
+        raise ValueError(
+            "nothing to map: no tile-key-named chips found and no "
+            "labels layer given")
+    tiles_gj = _tiles_to_geojson(tiles) if tiles else \
         {"type": "FeatureCollection", "features": []}
     if labels_layer is not None:
         labels_gj = _layer_to_geojson(labels_layer.to_wgs84())

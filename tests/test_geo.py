@@ -418,11 +418,12 @@ class TestZoneSplitting:
                                  pad=0)
         zones = {t.zone for t in tiles}
         assert zones == {43, 44}
-        # each tile's centre lies inside its own zone
+        # each tile's longitude range overlaps its own zone band
+        # (band-overlap assignment: no coverage gaps at the seam)
         for t in tiles:
-            lon, _ = t.center_lonlat
+            lon_min, _, lon_max, _ = t.lonlat_bounds
             lon0 = (t.zone - 1) * 6.0 - 180.0
-            assert lon0 <= lon < lon0 + 6.0
+            assert lon_max > lon0 and lon_min < lon0 + 6.0
         # joint coverage: sample AOI points, each inside some tile
         import numpy as np
         from dl_image_segmentation_tpu.geo import crs
