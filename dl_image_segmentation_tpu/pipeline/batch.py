@@ -162,36 +162,64 @@ def create_chips_for_tiles_batched(
                job.LABEL_NODATA_VALUE)
         groups.setdefault(key, []).append(i)
 
+    # two-stage pipeline: a producer thread gathers chunk N+1 (host,
+    # network/IO-bound, GIL-free codecs) while the main thread
+    # composites/burns/writes chunk N -- the batched equivalent of
+    # DevicePrefetcher's host/device overlap
+    chunks = []
     for key, idxs in groups.items():
         for c0 in range(0, len(idxs), batch_tiles):
-            chunk = idxs[c0:c0 + batch_tiles]
-            chunk_jobs = [jobs[i] for i in chunk]
-            with ThreadPoolExecutor(max_workers=gather_workers) as ex:
-                gathered = list(ex.map(
-                    lambda j: _gather_one(j, _resolve_catalog(j.CATALOG)),
-                    chunk_jobs))
-            ok = [(i, j, g) for i, j, g in
-                  zip(chunk, chunk_jobs, gathered) if g is not None]
-            for i, j, g in zip(chunk, chunk_jobs, gathered):
-                if g is None:
-                    results[i] = (j, None, None)
-            if not ok:
-                continue
-            imgs = _composite_group([g for _, _, g in ok])
-            lbls = _burn_group([j for _, j, _ in ok])
-            for (i, job, _), img_arr, lbl_arr in zip(ok, imgs, lbls):
-                tile = job.DLTILE
-                fn = tile.key.replace(":", "#")
-                img_dir = os.path.join(job.OUTFOLDER, "images")
-                lbl_dir = os.path.join(job.OUTFOLDER, "labels")
-                os.makedirs(img_dir, exist_ok=True)
-                os.makedirs(lbl_dir, exist_ok=True)
-                img_file = os.path.join(img_dir, fn) + ".tif"
-                lbl_file = os.path.join(lbl_dir, fn) + ".tif"
-                write_geotiff(img_file, np.asarray(img_arr),
-                              geotransform=tile.geotrans, epsg=tile.epsg)
-                write_geotiff(lbl_file, lbl_arr,
-                              geotransform=tile.geotrans, epsg=tile.epsg,
-                              nodata=job.LABEL_NODATA_VALUE)
-                results[i] = (job, img_file, lbl_file)
+            chunks.append(idxs[c0:c0 + batch_tiles])
+
+    import queue as _queue
+    gathered_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def producer():
+        try:
+            for chunk in chunks:
+                chunk_jobs = [jobs[i] for i in chunk]
+                with ThreadPoolExecutor(max_workers=gather_workers) as ex:
+                    gathered = list(ex.map(
+                        lambda j: _gather_one(
+                            j, _resolve_catalog(j.CATALOG)),
+                        chunk_jobs))
+                gathered_q.put((chunk, chunk_jobs, gathered))
+            gathered_q.put(None)
+        except BaseException as e:  # surface in the consumer
+            gathered_q.put(e)
+
+    import threading
+    threading.Thread(target=producer, daemon=True).start()
+
+    while True:
+        item = gathered_q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        chunk, chunk_jobs, gathered = item
+        ok = [(i, j, g) for i, j, g in
+              zip(chunk, chunk_jobs, gathered) if g is not None]
+        for i, j, g in zip(chunk, chunk_jobs, gathered):
+            if g is None:
+                results[i] = (j, None, None)
+        if not ok:
+            continue
+        imgs = _composite_group([g for _, _, g in ok])
+        lbls = _burn_group([j for _, j, _ in ok])
+        for (i, job, _), img_arr, lbl_arr in zip(ok, imgs, lbls):
+            tile = job.DLTILE
+            fn = tile.key.replace(":", "#")
+            img_dir = os.path.join(job.OUTFOLDER, "images")
+            lbl_dir = os.path.join(job.OUTFOLDER, "labels")
+            os.makedirs(img_dir, exist_ok=True)
+            os.makedirs(lbl_dir, exist_ok=True)
+            img_file = os.path.join(img_dir, fn) + ".tif"
+            lbl_file = os.path.join(lbl_dir, fn) + ".tif"
+            write_geotiff(img_file, np.asarray(img_arr),
+                          geotransform=tile.geotrans, epsg=tile.epsg)
+            write_geotiff(lbl_file, lbl_arr,
+                          geotransform=tile.geotrans, epsg=tile.epsg,
+                          nodata=job.LABEL_NODATA_VALUE)
+            results[i] = (job, img_file, lbl_file)
     return results
