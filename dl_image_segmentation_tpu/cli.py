@@ -251,6 +251,17 @@ def cmd_inspect(args) -> int:
                           else len(v.float_list)))
                 for k, v in sorted(d.items())}
         print(json.dumps({k: str(v) for k, v in info.items()}, indent=2))
+        # georeferencing reconstruction from the identifier (the
+        # lookup the reference promises but never ships,
+        # _tfrecord_image_translation.py:70-74)
+        from .geo.georef import georef_from_identifier
+        ident = d["identifier"].bytes_list[0]
+        gt, crs = georef_from_identifier(ident)
+        if gt is not None:
+            print(f"identifier {ident.decode()} -> geotransform "
+                  f"{tuple(round(v, 6) for v in gt)} crs {crs}")
+        else:
+            print(f"identifier {ident.decode()!r} (no georeferencing)")
     return 0
 
 
