@@ -423,3 +423,32 @@ class TestFusedTiffPair:
         open(lp, "wb").write(encode_geotiff(lbl, bigtiff=True))
         written, failed, _ = self._native_record(tmp_path, ip, lp)
         assert written == 0 and failed == [0]
+
+
+class TestLZWFuzz:
+    def test_roundtrip_fuzz(self):
+        """Random buffers across entropy regimes: native encode ->
+        native decode == identity, and native decode == the pure-Python
+        oracle on the same stream."""
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        from dl_image_segmentation_tpu.raster.lzw import (
+            lzw_decode as py_decode)
+        rng = np.random.RandomState(99)
+        for trial in range(30):
+            n = int(rng.randint(0, 60000))
+            kind = trial % 4
+            if kind == 0:      # incompressible
+                raw = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+            elif kind == 1:    # highly repetitive
+                raw = (bytes(rng.randint(0, 256, max(1, n // 97))
+                             .astype(np.uint8)) * 97)[:n]
+            elif kind == 2:    # low-alphabet
+                raw = rng.choice([0, 1, 255], n).astype(np.uint8).tobytes()
+            else:              # smooth ramps (predictor-like)
+                raw = (np.arange(n) % 251).astype(np.uint8).tobytes()
+            comp = _native.lzw_encode(raw)
+            out = _native.lzw_decode(comp, max_size=len(raw))
+            assert out == raw, f"native roundtrip failed (trial {trial})"
+            assert py_decode(comp)[:len(raw)] == raw, \
+                f"python oracle disagrees (trial {trial})"

@@ -537,3 +537,20 @@ class TestRemat:
         out = Trainer(cfg).train_scanned(pool, total_steps=4,
                                          steps_per_dispatch=4)
         assert np.isfinite(out["loss"])
+
+
+class TestSpatialScanned:
+    def test_spatial_pool_scan_runs(self):
+        """Spatial sharding + the K-steps-per-dispatch pool loop."""
+        from dl_image_segmentation_tpu.parallel.sharding import make_mesh
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 255, (16, 32, 32, 3), np.uint8)
+        lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=8,
+                          n_model=2, spatial=True)
+        tr = Trainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
+        out = tr.train_scanned(pool, total_steps=4, steps_per_dispatch=4)
+        assert np.isfinite(out["loss"])
