@@ -411,11 +411,19 @@ def stack_products_for_tile(ctx, products, bands_per_product,
 
 def _label_features_px(ctx, layer, attrib_to_burn):
     """Project a WGS84 vector layer into the tile's pixel space:
-    [(rings_px, value), ...] ready for ops.rasterize."""
+    [(rings_px, value), ...] ready for ops.rasterize.
+
+    Features whose pixel-space bbox misses the padded canvas are
+    dropped here: they can never burn a pixel (the rasterizer clips to
+    the canvas), and keeping them would pad the packed edge arrays of
+    EVERY feature to the layer-wide maximum edge count -- quadratic
+    memory on large label datasets, where a 68 px tile sees only a
+    handful of its 10^5 features."""
     # equator-referenced frame: lonlat_to_utm below returns negative
     # northings south of the equator (no false northing)
     gt = ctx.geotrans_equator
     zone = ctx.zone
+    size = ctx.raster_size
     feats = []
     for f in layer.features:
         if attrib_to_burn:
@@ -426,13 +434,17 @@ def _label_features_px(ctx, layer, attrib_to_burn):
         else:
             value = 1.0
         rings_px = []
+        on_canvas = False
         for rings in f.geometry.polygons():
             for ring in rings:
                 e, n = _crs.lonlat_to_utm(ring[:, 0], ring[:, 1], zone)
                 px = (e - gt[0]) / gt[1]
                 py = (n - gt[3]) / gt[5]
                 rings_px.append(np.stack([px, py], axis=1))
-        if rings_px:
+                if (px.max() >= -0.5 and px.min() <= size + 0.5
+                        and py.max() >= -0.5 and py.min() <= size + 0.5):
+                    on_canvas = True
+        if rings_px and on_canvas:
             feats.append((rings_px, value))
     return feats
 

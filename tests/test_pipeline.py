@@ -635,3 +635,58 @@ class TestMultiHostExport:
         single = sorted(os.path.basename(f) for f in _glob.glob(
             str(tmp_path / "single" / "images" / "*.tif")))
         assert multi == single and len(multi) == 2
+
+
+class TestLabelPrefilter:
+    def test_far_features_dropped_same_burn(self, tmp_path):
+        """A label dataset with features far outside the tile burns
+        identically (the bbox prefilter only drops never-burnable
+        features) and the packed edge arrays stay small."""
+        x0, y0, x1, y1 = TILE.bounds_unpadded
+        w = x1 - x0
+        feats = []
+        # one in-tile polygon + 50 far-away many-vertex polygons
+        ring = [[x0 + 0.2 * w, y0 + 0.2 * w], [x1 - 0.2 * w, y0 + 0.2 * w],
+                [x1 - 0.2 * w, y1 - 0.2 * w], [x0 + 0.2 * w, y1 - 0.2 * w],
+                [x0 + 0.2 * w, y0 + 0.2 * w]]
+        def lonlat_ring(r):
+            return [list(map(float, crs.utm_to_lonlat(px, py, ZONE)))
+                    for px, py in r]
+        feats.append({"type": "Feature",
+                      "geometry": {"type": "Polygon",
+                                   "coordinates": [lonlat_ring(ring)]},
+                      "properties": {"cls": 2}})
+        import numpy as _np
+        th = _np.linspace(0, 2 * _np.pi, 200)
+        for k in range(50):
+            cx, cy = x0 + 100000 + k * 2000, y0 + 50000
+            far = _np.stack([cx + 500 * _np.cos(th),
+                             cy + 500 * _np.sin(th)], axis=1)
+            feats.append({"type": "Feature",
+                          "geometry": {"type": "Polygon",
+                                       "coordinates": [
+                                           lonlat_ring(far.tolist())]},
+                          "properties": {"cls": 1}})
+        import json as _json
+        p = tmp_path / "far.geojson"
+        p.write_text(_json.dumps({"type": "FeatureCollection",
+                                  "features": feats}))
+        arr = create_label_array_for_tile(TILE, str(p),
+                                          attrib_to_burn="cls",
+                                          background_value=255)
+        assert set(np.unique(arr)) == {2, 255}
+        # the giant containing polygon (vertices all outside) still burns
+        big = [[x0 - 5000, y0 - 5000], [x1 + 5000, y0 - 5000],
+               [x1 + 5000, y1 + 5000], [x0 - 5000, y1 + 5000],
+               [x0 - 5000, y0 - 5000]]
+        p2 = tmp_path / "big.geojson"
+        p2.write_text(_json.dumps({
+            "type": "FeatureCollection",
+            "features": [{"type": "Feature",
+                          "geometry": {"type": "Polygon",
+                                       "coordinates": [lonlat_ring(big)]},
+                          "properties": {"cls": 3}}]}))
+        arr2 = create_label_array_for_tile(TILE, str(p2),
+                                           attrib_to_burn="cls",
+                                           background_value=255)
+        assert set(np.unique(arr2)) == {3}
