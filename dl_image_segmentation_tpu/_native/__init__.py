@@ -95,6 +95,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p]
+        lib.fc_tiff_decode_f32.restype = ctypes.c_uint64
+        lib.fc_tiff_decode_f32.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64]
         lib.fc_write_shard_tifarr.restype = ctypes.c_uint64
         lib.fc_write_shard_tifarr.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
@@ -301,6 +305,36 @@ def write_shard_tifarr(img_paths, lbl_paths, idents, fd: int,
         return None
     return _write_shard_common(lib.fc_write_shard_tifarr, img_paths,
                                lbl_paths, idents, fd, scratch_bytes)
+
+
+_tiff_buf = threading.local()
+
+
+def tiff_decode_f32(data: bytes):
+    """Decode a chip-contract TIFF straight to a float32 (h, w, c)
+    array in C++ (LZW + predictor + conversion in one pass). Returns
+    None when the extension is unavailable or the container is outside
+    the supported subset (caller falls back to the Python codec)."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(len(data) * 16, 1 << 22)
+    buf = getattr(_tiff_buf, "buf", None)
+    if buf is None or len(buf) < cap:
+        buf = bytearray(cap)
+        _tiff_buf.buf = buf
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    r = lib.fc_tiff_decode_f32(data, len(data), cbuf, len(buf))
+    del cbuf
+    if r == 0:
+        return None
+    h = int(r >> 32)
+    w = int((r >> 16) & 0xFFFF)
+    c = int(r & 0xFFFF)
+    out = np.frombuffer(buf, dtype="<f4", count=h * w * c).reshape(
+        h, w, c).copy()
+    return out
 
 
 def lzw_encode(data: bytes) -> Optional[bytes]:

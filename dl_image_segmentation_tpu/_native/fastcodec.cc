@@ -1104,6 +1104,34 @@ static uint64_t encode_tiff_pair(
     return example_len + 16;
 }
 
+// Standalone TIFF -> float32 array decode (the training-feed parse
+// path for encoded-GeoTIFF records, records/parsers.py
+// parse_encoded_gdal_proto_wrapped). Writes (h * w * spp) f32 samples
+// row-major chunky into dst. Returns (h << 32) | (w << 16) | spp on
+// success (all fit: chips are < 65k px and < 256 bands), 0 on
+// fallback-needed (container outside the supported subset).
+uint64_t fc_tiff_decode_f32(const uint8_t* data, uint64_t n,
+                            uint8_t* dst, uint64_t cap) {
+    static thread_local uint8_t* chunkbuf = nullptr;
+    static thread_local uint64_t chunkcap = 0;
+    TiffMeta m;
+    if (!tiff_parse(data, n, &m)) return 0;
+    if (m.w >= (1 << 16) || m.h >= (1 << 16) || m.spp >= 256) return 0;
+    uint64_t need = (uint64_t)m.h * m.w * m.spp * 4;
+    if (need > cap) return 0;
+    if (chunkcap < (16u << 20)) {
+        free(chunkbuf);
+        chunkcap = 16u << 20;
+        chunkbuf = (uint8_t*)malloc(chunkcap);
+        if (!chunkbuf) { chunkcap = 0; return 0; }
+    }
+    if (!tiff_decode_into(data, &m, dst, /*as_float=*/1, chunkbuf,
+                          chunkcap))
+        return 0;
+    return ((uint64_t)m.h << 32) | ((uint64_t)m.w << 16)
+         | (uint64_t)m.spp;
+}
+
 // Whole-shard decoded-array loop: the tifarr counterpart of
 // fc_write_shard. Same failure/rollback protocol.
 uint64_t fc_write_shard_tifarr(const char* const* img_paths,

@@ -124,6 +124,18 @@ def parse_8bit_array_proto(example_proto: bytes
     return img_arr, target_arr, identifier
 
 
+def _decode_f32(data: bytes) -> np.ndarray:
+    """Raster bytes -> float32 array: single-pass C++ TIFF decode when
+    the container is in the chip-contract subset, Python codecs
+    otherwise."""
+    from .. import _native
+    if _native.available():
+        out = _native.tiff_decode_f32(data)
+        if out is not None:
+            return out
+    return decode_image_bytes(data).array.astype(np.float32)
+
+
 def parse_encoded_gdal_proto_wrapped(example_proto: bytes
                                      ) -> Tuple[np.ndarray, np.ndarray, bytes]:
     """Encoded any-format raster bytes -> float32 arrays (reference
@@ -132,8 +144,8 @@ def parse_encoded_gdal_proto_wrapped(example_proto: bytes
     codecs which release the GIL, so this is pipeline-safe."""
     img_bytes, _ishp, tgt_bytes, _tshp, identifier = (
         _parse_byteslist_proto(example_proto))
-    img_arr = decode_image_bytes(img_bytes).array.astype(np.float32)
-    target_arr = decode_image_bytes(tgt_bytes).array.astype(np.float32)
+    img_arr = _decode_f32(img_bytes)
+    target_arr = _decode_f32(tgt_bytes)
     return img_arr, target_arr, identifier
 
 

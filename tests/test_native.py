@@ -452,3 +452,28 @@ class TestLZWFuzz:
             assert out == raw, f"native roundtrip failed (trial {trial})"
             assert py_decode(comp)[:len(raw)] == raw, \
                 f"python oracle disagrees (trial {trial})"
+
+
+class TestTiffDecodeF32:
+    def test_matches_python_codec(self, tmp_path):
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            decode_geotiff, write_geotiff)
+        rng = np.random.RandomState(21)
+        for dtype, bands in [(np.uint16, 4), (np.uint8, 3),
+                             (np.uint8, 1)]:
+            arr = (rng.rand(40, 56, bands) * 4000).astype(dtype)
+            p = str(tmp_path / f"x_{bands}_{dtype.__name__}.tif")
+            write_geotiff(p, arr, geotransform=(0, 10, 0, 0, 0, -10),
+                          epsg=32643)
+            data = open(p, "rb").read()
+            nat = _native.tiff_decode_f32(data)
+            assert nat is not None and nat.dtype == np.float32
+            py = decode_geotiff(data).array.astype(np.float32)
+            np.testing.assert_array_equal(nat, py)
+
+    def test_unsupported_returns_none(self):
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        assert _native.tiff_decode_f32(b"not a tiff at all") is None
