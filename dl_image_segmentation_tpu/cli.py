@@ -219,6 +219,79 @@ def cmd_push(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment self-check: native extension, JAX backend, Pallas
+    kernels, codecs -- the preflight for a production deployment."""
+    checks = []
+
+    def check(name, fn):
+        try:
+            detail = fn()
+            checks.append((name, True, detail or ""))
+        except Exception as e:  # noqa: BLE001 -- report, don't crash
+            checks.append((name, False, f"{type(e).__name__}: {e}"))
+
+    def _native_check():
+        from . import _native
+        assert _native.available(), "build failed (g++ missing?)"
+        data = b"doctor" * 1000
+        assert _native.lzw_decode(_native.lzw_encode(data),
+                                  max_size=len(data)) == data
+        return "fastcodec built; LZW + CRC32C ok"
+
+    def _jax_check():
+        import jax
+        d = jax.devices()
+        return f"{len(d)} device(s), backend {jax.default_backend()}"
+
+    def _kernel_check():
+        import numpy as np
+        from .ops.compositing import masked_median_composite
+        from .ops.rasterize import rasterize
+        rng = np.random.RandomState(0)
+        m, _ = masked_median_composite(
+            rng.rand(4, 16, 16, 2).astype(np.float32),
+            rng.rand(4, 16, 16) > 0.5)
+        ring = np.array([[2.0, 2.0], [12.0, 2.0], [12.0, 12.0],
+                         [2.0, 2.0]])
+        r = rasterize([([ring], 1.0)], (16, 16), background=0)
+        assert r.sum() > 0
+        return "median + rasterize kernels execute"
+
+    def _codec_check():
+        import numpy as np
+        from .raster.geotiff import decode_geotiff, encode_geotiff
+        from .raster.image import encode_png, decode_png
+        a = (np.arange(96, dtype=np.uint16) % 7).reshape(4, 8, 3)
+        assert (decode_geotiff(encode_geotiff(a)).array == a).all()
+        p = (a % 5).astype(np.uint8)
+        assert (decode_png(encode_png(p)) == p).all()
+        return "GeoTIFF + PNG codecs roundtrip"
+
+    def _records_check():
+        from .records.example import convert_to_example
+        import numpy as np
+        img = np.zeros((4, 4, 3), np.uint8)
+        rec = convert_to_example(img, img[:, :, 0], 4, 4, 3, 4, 4,
+                                 "k").SerializeToString()
+        from .records.proto import decode_example
+        assert "identifier" in decode_example(rec)
+        return "Example codec bit path ok"
+
+    check("native extension", _native_check)
+    check("jax devices", _jax_check)
+    check("device kernels", _kernel_check)
+    check("raster codecs", _codec_check)
+    check("record codec", _records_check)
+    width = max(len(n) for n, _, _ in checks)
+    ok_all = True
+    for name, ok, detail in checks:
+        status = "OK " if ok else "FAIL"
+        ok_all &= ok
+        print(f"{status} {name.ljust(width)}  {detail}")
+    return 0 if ok_all else 1
+
+
 def cmd_map(args) -> int:
     """Interactive HTML map of chip-tile footprints + labels (the
     reference's folium notebook maps, create nb cells 30-41)."""
@@ -400,6 +473,9 @@ def main(argv=None) -> int:
     pu.add_argument("--no-resume", action="store_true",
                     help="re-push shards the sink already has")
     pu.set_defaults(fn=cmd_push)
+
+    doc = sub.add_parser("doctor", help="environment self-check")
+    doc.set_defaults(fn=cmd_doctor)
 
     m = sub.add_parser("map", help="chips -> interactive HTML map")
     m.add_argument("--chips", required=True,

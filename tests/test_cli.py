@@ -148,3 +148,12 @@ class TestMapCommand:
         lj = html.split("var labels = ")[1].split(";\n")[0]
         labels = _json.loads(lj)
         assert labels["features"][0]["properties"]["cls"] == 1
+
+
+class TestDoctor:
+    def test_doctor_all_ok(self, capsys):
+        from dl_image_segmentation_tpu.cli import main
+        rc = main(["doctor"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert out.count("OK ") >= 5 and "FAIL" not in out
