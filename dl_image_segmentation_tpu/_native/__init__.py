@@ -98,6 +98,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fc_tiff_decode_f32.restype = ctypes.c_uint64
         lib.fc_tiff_decode_f32.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p, ctypes.c_uint64]
         lib.fc_write_shard_tifarr.restype = ctypes.c_uint64
         lib.fc_write_shard_tifarr.argtypes = [
@@ -105,6 +106,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
@@ -298,13 +301,33 @@ def write_shard_tifarr(img_paths, lbl_paths, idents, fd: int,
     """Write a whole decoded-array GeoTIFF shard natively: TIFF parse +
     LZW decode + predictor undo + dtype conversion land directly in
     each framed Example's payload (no raster materialisation). Returns
-    (written, failed_indices) or None when unavailable; unsupported
-    containers are reported failed (Python path decodes them)."""
+    (written, failed_indices) or None when unavailable; unsupported or
+    oversized containers are reported failed (Python path handles
+    them)."""
     lib = get_lib()
     if lib is None:
         return None
-    return _write_shard_common(lib.fc_write_shard_tifarr, img_paths,
-                               lbl_paths, idents, fd, scratch_bytes)
+    filebuf = getattr(_tiff_buf, "filebuf", None)
+    if filebuf is None:
+        filebuf = bytearray(64 << 20)
+        _tiff_buf.filebuf = filebuf
+    chunk = getattr(_tiff_buf, "chunk", None)
+    if chunk is None:
+        chunk = bytearray(16 << 20)
+        _tiff_buf.chunk = chunk
+    cfile = (ctypes.c_char * len(filebuf)).from_buffer(filebuf)
+    cchunk = (ctypes.c_char * len(chunk)).from_buffer(chunk)
+
+    def fn(imgs, lbls, ids, lens, n, fd_, cbuf, cap, failed):
+        return lib.fc_write_shard_tifarr(imgs, lbls, ids, lens, n, fd_,
+                                         cbuf, cap, cfile, len(filebuf),
+                                         cchunk, len(chunk), failed)
+
+    try:
+        return _write_shard_common(fn, img_paths, lbl_paths, idents, fd,
+                                   scratch_bytes)
+    finally:
+        del cfile, cchunk
 
 
 _tiff_buf = threading.local()
@@ -319,14 +342,28 @@ def tiff_decode_f32(data: bytes):
     lib = get_lib()
     if lib is None:
         return None
-    cap = max(len(data) * 16, 1 << 22)
+    # exact output size from the container header (a heuristic based
+    # on the compressed length starved the buffer for highly
+    # compressible chips, silently losing the native path)
+    try:
+        from ..raster.geotiff import decode_geotiff_info
+        info = decode_geotiff_info(data)
+        cap = info.height * info.width * info.count * 4
+    except Exception:
+        return None
     buf = getattr(_tiff_buf, "buf", None)
     if buf is None or len(buf) < cap:
-        buf = bytearray(cap)
+        buf = bytearray(max(cap, 1 << 22))
         _tiff_buf.buf = buf
+    chunk = getattr(_tiff_buf, "chunk", None)
+    if chunk is None:
+        chunk = bytearray(16 << 20)
+        _tiff_buf.chunk = chunk
     cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
-    r = lib.fc_tiff_decode_f32(data, len(data), cbuf, len(buf))
-    del cbuf
+    cchunk = (ctypes.c_char * len(chunk)).from_buffer(chunk)
+    r = lib.fc_tiff_decode_f32(data, len(data), cbuf, len(buf),
+                               cchunk, len(chunk))
+    del cbuf, cchunk
     if r == 0:
         return None
     h = int(r >> 32)

@@ -1111,22 +1111,19 @@ static uint64_t encode_tiff_pair(
 // success (all fit: chips are < 65k px and < 256 bands), 0 on
 // fallback-needed (container outside the supported subset).
 uint64_t fc_tiff_decode_f32(const uint8_t* data, uint64_t n,
-                            uint8_t* dst, uint64_t cap) {
-    static thread_local uint8_t* chunkbuf = nullptr;
-    static thread_local uint64_t chunkcap = 0;
+                            uint8_t* dst, uint64_t cap,
+                            uint8_t* chunk_scratch, uint64_t chunk_cap) {
+    // scratch comes from the caller (a Python thread-local bytearray
+    // whose lifetime tracks the thread): a C thread_local here would
+    // leak its malloc at every worker-thread exit, and the training
+    // feed spawns fresh workers per stream.
     TiffMeta m;
     if (!tiff_parse(data, n, &m)) return 0;
     if (m.w >= (1 << 16) || m.h >= (1 << 16) || m.spp >= 256) return 0;
     uint64_t need = (uint64_t)m.h * m.w * m.spp * 4;
     if (need > cap) return 0;
-    if (chunkcap < (16u << 20)) {
-        free(chunkbuf);
-        chunkcap = 16u << 20;
-        chunkbuf = (uint8_t*)malloc(chunkcap);
-        if (!chunkbuf) { chunkcap = 0; return 0; }
-    }
-    if (!tiff_decode_into(data, &m, dst, /*as_float=*/1, chunkbuf,
-                          chunkcap))
+    if (!tiff_decode_into(data, &m, dst, /*as_float=*/1, chunk_scratch,
+                          chunk_cap))
         return 0;
     return ((uint64_t)m.h << 32) | ((uint64_t)m.w << 16)
          | (uint64_t)m.spp;
@@ -1140,12 +1137,12 @@ uint64_t fc_write_shard_tifarr(const char* const* img_paths,
                                const uint64_t* ident_lens,
                                uint64_t count, int fd,
                                uint8_t* scratch, uint64_t cap,
+                               uint8_t* filebuf, uint64_t filecap,
+                               uint8_t* chunkbuf, uint64_t chunkcap,
                                uint8_t* failed) {
-    static thread_local uint8_t* filebuf = nullptr;
-    static thread_local uint64_t filecap = 0;
-    static thread_local uint8_t* chunkbuf = nullptr;
-    static thread_local uint64_t chunkcap = 0;
-
+    // all scratch comes from the caller (Python thread-locals): C
+    // thread_locals leak their mallocs at every worker-thread exit,
+    // and the writers spin up fresh thread pools per conversion call.
     uint64_t written = 0;
     for (uint64_t i = 0; i < count; i++) {
         failed[i] = 1;
@@ -1153,22 +1150,11 @@ uint64_t fc_write_shard_tifarr(const char* const* img_paths,
         int64_t lsz = file_size(lbl_paths[i]);
         if (isz <= 0 || lsz <= 0) continue;
         uint64_t need = (uint64_t)isz + (uint64_t)lsz;
-        if (need > filecap) {
-            free(filebuf);
-            filecap = need < (8u << 20) ? (8u << 20) : need * 2;
-            filebuf = (uint8_t*)malloc(filecap);
-            if (!filebuf) { filecap = 0; continue; }
-        }
+        if (need > filecap) continue;  // oversized pair: Python path
         if (!read_file_into(img_paths[i], filebuf, (uint64_t)isz))
             continue;
         if (!read_file_into(lbl_paths[i], filebuf + isz, (uint64_t)lsz))
             continue;
-        if (chunkcap < (16u << 20)) {
-            free(chunkbuf);
-            chunkcap = 16u << 20;  // 16 MB: a 2k x 2k x 4 u16 tile
-            chunkbuf = (uint8_t*)malloc(chunkcap);
-            if (!chunkbuf) { chunkcap = 0; continue; }
-        }
         uint64_t n = encode_tiff_pair(
             filebuf, (uint64_t)isz, filebuf + isz, (uint64_t)lsz,
             (const uint8_t*)idents[i], ident_lens[i], scratch, cap,

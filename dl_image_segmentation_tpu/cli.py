@@ -328,13 +328,17 @@ def cmd_inspect(args) -> int:
         # lookup the reference promises but never ships,
         # _tfrecord_image_translation.py:70-74)
         from .geo.georef import georef_from_identifier
-        ident = d["identifier"].bytes_list[0]
-        gt, crs = georef_from_identifier(ident)
-        if gt is not None:
-            print(f"identifier {ident.decode()} -> geotransform "
-                  f"{tuple(round(v, 6) for v in gt)} crs {crs}")
-        else:
-            print(f"identifier {ident.decode()!r} (no georeferencing)")
+        try:
+            ident = d["identifier"].bytes_list[0]
+            gt, crs = georef_from_identifier(ident)
+            name = ident.decode("utf-8", errors="replace")
+            if gt is not None:
+                print(f"identifier {name} -> geotransform "
+                      f"{tuple(round(v, 6) for v in gt)} crs {crs}")
+            else:
+                print(f"identifier {name!r} (no georeferencing)")
+        except Exception:  # foreign TFRecords without our schema
+            pass
     return 0
 
 

@@ -32,7 +32,7 @@ def georef_from_identifier(identifier) -> Tuple[Optional[Tuple[float, ...]],
             try:
                 gt = tuple(float(v) for v in ast.literal_eval(gt_str))
                 return gt, crs
-            except (ValueError, SyntaxError):
+            except (ValueError, SyntaxError, TypeError):
                 return None, None
         return None, None
     try:

@@ -172,54 +172,72 @@ def create_chips_for_tiles_batched(
             chunks.append(idxs[c0:c0 + batch_tiles])
 
     import queue as _queue
+    import threading
     gathered_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Give-up put: the producer must not outlive a consumer that
+        raised (same pattern as the feed workers, pipeline/input.py)."""
+        while not stop.is_set():
+            try:
+                gathered_q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for chunk in chunks:
+                if stop.is_set():
+                    return
                 chunk_jobs = [jobs[i] for i in chunk]
                 with ThreadPoolExecutor(max_workers=gather_workers) as ex:
                     gathered = list(ex.map(
                         lambda j: _gather_one(
                             j, _resolve_catalog(j.CATALOG)),
                         chunk_jobs))
-                gathered_q.put((chunk, chunk_jobs, gathered))
-            gathered_q.put(None)
+                if not put((chunk, chunk_jobs, gathered)):
+                    return
+            put(None)
         except BaseException as e:  # surface in the consumer
-            gathered_q.put(e)
+            put(e)
 
-    import threading
     threading.Thread(target=producer, daemon=True).start()
 
-    while True:
-        item = gathered_q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        chunk, chunk_jobs, gathered = item
-        ok = [(i, j, g) for i, j, g in
-              zip(chunk, chunk_jobs, gathered) if g is not None]
-        for i, j, g in zip(chunk, chunk_jobs, gathered):
-            if g is None:
-                results[i] = (j, None, None)
-        if not ok:
-            continue
-        imgs = _composite_group([g for _, _, g in ok])
-        lbls = _burn_group([j for _, j, _ in ok])
-        for (i, job, _), img_arr, lbl_arr in zip(ok, imgs, lbls):
-            tile = job.DLTILE
-            fn = tile.key.replace(":", "#")
-            img_dir = os.path.join(job.OUTFOLDER, "images")
-            lbl_dir = os.path.join(job.OUTFOLDER, "labels")
-            os.makedirs(img_dir, exist_ok=True)
-            os.makedirs(lbl_dir, exist_ok=True)
-            img_file = os.path.join(img_dir, fn) + ".tif"
-            lbl_file = os.path.join(lbl_dir, fn) + ".tif"
-            write_geotiff(img_file, np.asarray(img_arr),
-                          geotransform=tile.geotrans, epsg=tile.epsg)
-            write_geotiff(lbl_file, lbl_arr,
-                          geotransform=tile.geotrans, epsg=tile.epsg,
-                          nodata=job.LABEL_NODATA_VALUE)
-            results[i] = (job, img_file, lbl_file)
+    try:
+        while True:
+            item = gathered_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            chunk, chunk_jobs, gathered = item
+            ok = [(i, j, g) for i, j, g in
+                  zip(chunk, chunk_jobs, gathered) if g is not None]
+            for i, j, g in zip(chunk, chunk_jobs, gathered):
+                if g is None:
+                    results[i] = (j, None, None)
+            if not ok:
+                continue
+            imgs = _composite_group([g for _, _, g in ok])
+            lbls = _burn_group([j for _, j, _ in ok])
+            for (i, job, _), img_arr, lbl_arr in zip(ok, imgs, lbls):
+                tile = job.DLTILE
+                fn = tile.key.replace(":", "#")
+                img_dir = os.path.join(job.OUTFOLDER, "images")
+                lbl_dir = os.path.join(job.OUTFOLDER, "labels")
+                os.makedirs(img_dir, exist_ok=True)
+                os.makedirs(lbl_dir, exist_ok=True)
+                img_file = os.path.join(img_dir, fn) + ".tif"
+                lbl_file = os.path.join(lbl_dir, fn) + ".tif"
+                write_geotiff(img_file, np.asarray(img_arr),
+                              geotransform=tile.geotrans, epsg=tile.epsg)
+                write_geotiff(lbl_file, lbl_arr,
+                              geotransform=tile.geotrans, epsg=tile.epsg,
+                              nodata=job.LABEL_NODATA_VALUE)
+                results[i] = (job, img_file, lbl_file)
+    finally:
+        stop.set()
     return results

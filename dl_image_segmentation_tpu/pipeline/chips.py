@@ -441,7 +441,8 @@ def _label_features_px(ctx, layer, attrib_to_burn):
                 px = (e - gt[0]) / gt[1]
                 py = (n - gt[3]) / gt[5]
                 rings_px.append(np.stack([px, py], axis=1))
-                if (px.max() >= -0.5 and px.min() <= size + 0.5
+                if (px.size  # degenerate empty rings burn nothing
+                        and px.max() >= -0.5 and px.min() <= size + 0.5
                         and py.max() >= -0.5 and py.min() <= size + 0.5):
                     on_canvas = True
         if rings_px and on_canvas:
