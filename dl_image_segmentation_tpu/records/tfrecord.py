@@ -136,12 +136,9 @@ def shard_filename(name: str, shard: int, num_shards: int) -> str:
     return "%s-%.5d-of-%.5d" % (name, shard, num_shards)
 
 
-def shard_glob(name: str, num_shards: Optional[int] = None) -> str:
-    if num_shards is None:
-        return f"{name}-?????-of-?????"
-    return f"{name}-?????-of-%.5d" % num_shards
-
-
 def list_shards(directory: str, name: str) -> List[str]:
+    """All final shards of a named dataset in a directory (never the
+    .tmp files aborted writers leave)."""
     import glob
-    return sorted(glob.glob(os.path.join(directory, shard_glob(name))))
+    return sorted(glob.glob(os.path.join(
+        directory, f"{name}-?????-of-?????")))

@@ -203,3 +203,14 @@ class TestTFRecordFraming:
 
     def test_shard_naming(self):
         assert shard_filename("train", 2, 10) == "train-00002-of-00010"
+
+
+def test_list_shards_skips_tmp(tmp_path):
+    from dl_image_segmentation_tpu.records.tfrecord import (TFRecordWriter,
+                                                            list_shards)
+    for i in range(2):
+        with TFRecordWriter(str(tmp_path / ("d-%.5d-of-00002" % i))) as w:
+            w.write(b"x")
+    (tmp_path / "d-00009-of-00002.tmp").write_bytes(b"torn")
+    out = list_shards(str(tmp_path), "d")
+    assert len(out) == 2 and not any(f.endswith(".tmp") for f in out)
