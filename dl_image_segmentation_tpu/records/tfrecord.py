@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Iterator, List, Optional, Union
+from typing import Iterator, List, Union
 
 from .crc32c import masked_crc32c as _py_masked_crc32c
 
