@@ -412,10 +412,14 @@ static bool sniff_shape(const uint8_t* d, uint64_t n,
     return false;
 }
 
-uint64_t fc_encode_pair_from_files(
+// Core pair encoder. `cap_short`, when non-null, is set to 1 if the
+// ONLY reason for failure was insufficient `cap` (the mapped shard
+// writer uses this to grow its window and retry instead of falling
+// back to Python).
+static uint64_t encode_pair_files_core(
     const char* img_path, const char* lbl_path,
     const uint8_t* ident, uint64_t ident_len,
-    uint8_t* out, uint64_t cap) {
+    uint8_t* out, uint64_t cap, int* cap_short) {
     int64_t img_len = file_size(img_path);
     int64_t lbl_len = file_size(lbl_path);
     if (img_len <= 0 || lbl_len <= 0) return 0;
@@ -458,7 +462,10 @@ uint64_t fc_encode_pair_from_files(
                   + entry_size(13, f_th) + entry_size(18, f_tgt)
                   + entry_size(12, f_tw);
     uint64_t example_len = 1 + varint_size(body) + body;
-    if (example_len + 16 > cap) return 0;
+    if (example_len + 16 > cap) {
+        if (cap_short) *cap_short = 1;
+        return 0;
+    }
 
     uint8_t* base = out + 12;
     uint8_t* p = base;
@@ -509,6 +516,14 @@ uint64_t fc_encode_pair_from_files(
     return example_len + 16;
 }
 
+uint64_t fc_encode_pair_from_files(
+    const char* img_path, const char* lbl_path,
+    const uint8_t* ident, uint64_t ident_len,
+    uint8_t* out, uint64_t cap) {
+    return encode_pair_files_core(img_path, lbl_path, ident, ident_len,
+                                  out, cap, nullptr);
+}
+
 // Same as fc_encode_pair_from_files but writes the finished frame to a
 // file descriptor (one write syscall), eliminating the Python write
 // glue from the hot loop. scratch/cap provided by the caller (reused
@@ -552,15 +567,160 @@ uint64_t fc_encode_pair_to_fd(
     return r ? n : 0;
 }
 
+// ---------------------------------------------------------------------------
+// Mapped shard assembly. Frames are encoded DIRECTLY into an mmap'd
+// window of the shard file, which removes the scratch->fd write()
+// copy and its page-cache re-allocation from the hot loop -- on this
+// class of box that copy costs ~0.4-0.6 ms per ~1.4 MB tifarr frame,
+// a third of the per-pair budget. Failure handling is also simpler
+// than the write() path: a failed encode just doesn't advance the
+// logical end, and the final ftruncate clips any partial garbage, so
+// the atomic-rename "existing shard == complete shard" invariant
+// holds with no rollback protocol at all.
+//
+// The file is extended SPARSELY (ftruncate) and pages are materialized
+// just ahead of the assembly cursor with MADV_POPULATE_WRITE, in
+// chunks sized to the running frame-size estimate. Encoders are
+// capped at the populated watermark, so stores can never fault an
+// unpopulated page: allocation failure (tmpfs full, disk full under
+// delalloc) surfaces as a clean madvise() error -- never a SIGBUS --
+// and the loop falls back to the write()-based path for the rest.
+// MAP_POPULATE/fallocate are deliberately NOT used: both materialize
+// the whole window eagerly, and the tail-window overshoot measurably
+// costs more than the write() copy they save on short shards.
+// ---------------------------------------------------------------------------
+#include <sys/mman.h>
+#include <fcntl.h>
+#include <cerrno>
+
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23  // linux 5.14+; older kernels -> EINVAL
+#endif
+
+struct FcMap {
+    int fd;
+    uint8_t* win;        // current mapped window (nullptr when inactive)
+    uint64_t win_off;    // file offset of win[0] (page-aligned)
+    uint64_t win_len;
+    uint64_t used;       // logical end of complete frames (file offset)
+    uint64_t pop;        // populate watermark (absolute file offset)
+    uint64_t est;        // last frame length (populate-ahead estimate)
+};
+
+static const uint64_t FC_MAP_WINDOW = 256ull << 20;
+static const uint64_t FC_POP_CHUNK = 8ull << 20;
+
+// (Re)position the window at `used`. Sparse ftruncate only -- no
+// eager block allocation. Returns 1 on success; on failure the old
+// window is unmapped and the caller must fall back to write() output.
+static int fcmap_window(FcMap* m) {
+    if (m->win) {
+        munmap(m->win, m->win_len);
+        m->win = nullptr;
+    }
+    uint64_t off = m->used & ~4095ull;
+    uint64_t len = FC_MAP_WINDOW;
+    if (ftruncate(m->fd, (off_t)(off + len)) != 0) return 0;
+    void* p = mmap(nullptr, (size_t)len, PROT_READ | PROT_WRITE,
+                   MAP_SHARED, m->fd, (off_t)off);
+    if (p == MAP_FAILED) return 0;
+    m->win = (uint8_t*)p;
+    m->win_off = off;
+    m->win_len = len;
+    m->pop = off;
+    return 1;
+}
+
+// Raise the populate watermark to cover at least `need` bytes past
+// `used` (clamped to the window). Returns 1 on success, 0 when pages
+// could not be materialized (caller falls back to write() output).
+static int fcmap_populate(FcMap* m, uint64_t need) {
+    uint64_t want = m->used + need;
+    if (want <= m->pop) return 1;
+    uint64_t end = m->pop + FC_POP_CHUNK;
+    if (end < want) end = want + FC_POP_CHUNK;
+    uint64_t win_end = m->win_off + m->win_len;
+    if (end > win_end) end = win_end;
+    if (end <= m->pop) return want <= m->pop;
+    if (madvise(m->win + (m->pop - m->win_off), (size_t)(end - m->pop),
+                MADV_POPULATE_WRITE) != 0)
+        return 0;
+    m->pop = end;
+    return 1;
+}
+
+// Unmap, clip the file to the logical end, and leave the fd offset
+// there so subsequent plain write()s (Python fallback records) append
+// correctly. Returns 1 on success.
+static int fcmap_finish(FcMap* m) {
+    if (m->win) {
+        munmap(m->win, m->win_len);
+        m->win = nullptr;
+    }
+    if (ftruncate(m->fd, (off_t)m->used) != 0) return 0;
+    if (lseek(m->fd, (off_t)m->used, SEEK_SET) != (off_t)m->used)
+        return 0;
+    return 1;
+}
+
 // Whole-shard loop in native code: encode + write every pair of the
 // shard with zero per-record Python involvement. Pairs that fail to
 // parse/read are flagged in `failed` (caller retries them through the
 // Python path, which produces the reference's SKIPPED diagnostics).
-// Failed frame WRITES are rolled back (ftruncate to frame start) so a
-// later append lands on a clean boundary; if rollback itself fails the
-// whole call returns FC_FD_CORRUPT and the caller must abort the shard
-// (leave the .tmp) to keep "existing shard == complete shard" true.
+// Frames are assembled straight into the mapped shard (see above);
+// when mapping is unavailable the loop falls back to scratch +
+// write(), where failed frame WRITES are rolled back (ftruncate to
+// frame start) so a later append lands on a clean boundary; if
+// rollback itself fails the whole call returns FC_FD_CORRUPT and the
+// caller must abort the shard (leave the .tmp).
 // Returns the number of records written.
+// One mapped-encode attempt loop shared by both shard writers: call
+// ENCODE_EXPR (which must use `dst` and `room`) with the cursor capped
+// at the populate watermark, widening the watermark -- and
+// repositioning the window once if it runs dry -- until the frame
+// fits or the pair genuinely fails. Leaves `n` = frame length (0 =
+// fallback pair) and may clear `mapped` (mapping broke; caller falls
+// through to the write() path). Evaluates to FC_FD_CORRUPT on an
+// unrecoverable finish failure, which the caller must return.
+#define FC_MAPPED_ENCODE(m, mapped, n, ENCODE_EXPR)                          \
+    do {                                                                     \
+        if ((m).win_off + (m).win_len - (m).used < (4ull << 20)) {           \
+            if (!fcmap_window(&(m))) {                                       \
+                if (!fcmap_finish(&(m))) return FC_FD_CORRUPT;               \
+                (mapped) = 0;                                                \
+                break;                                                       \
+            }                                                                \
+        }                                                                    \
+        uint64_t need_ = (m).est ? (m).est + (m).est / 2 + 65536             \
+                                 : (4ull << 20);                             \
+        if (!fcmap_populate(&(m), need_)) {                                  \
+            if (!fcmap_finish(&(m))) return FC_FD_CORRUPT;                   \
+            (mapped) = 0;                                                    \
+            break;                                                           \
+        }                                                                    \
+        for (;;) {                                                           \
+            int cap_short = 0;                                               \
+            uint8_t* dst = (m).win + ((m).used - (m).win_off);               \
+            uint64_t room = (m).pop - (m).used;                              \
+            (n) = (ENCODE_EXPR);                                             \
+            if ((n) || !cap_short) break;                                    \
+            uint64_t win_room = (m).win_off + (m).win_len - (m).used;        \
+            if (room >= win_room) {                                          \
+                if ((m).used - (m).win_off < 4096) break;                    \
+                if (!fcmap_window(&(m))) {                                   \
+                    if (!fcmap_finish(&(m))) return FC_FD_CORRUPT;           \
+                    (mapped) = 0;                                            \
+                    break;                                                   \
+                }                                                            \
+            }                                                                \
+            if (!fcmap_populate(&(m), room ? room * 2 : (8ull << 20))) {     \
+                if (!fcmap_finish(&(m))) return FC_FD_CORRUPT;               \
+                (mapped) = 0;                                                \
+                break;                                                       \
+            }                                                                \
+        }                                                                    \
+    } while (0)
+
 uint64_t fc_write_shard(const char* const* img_paths,
                         const char* const* lbl_paths,
                         const char* const* idents,
@@ -568,24 +728,45 @@ uint64_t fc_write_shard(const char* const* img_paths,
                         uint64_t count, int fd,
                         uint8_t* scratch, uint64_t cap,
                         uint8_t* failed) {
+    FcMap m = {fd, nullptr, 0, 0, 0, 0, 0};
+    off_t end = lseek(fd, 0, SEEK_END);
+    int mapped = end >= 0;
+    if (mapped) {
+        m.used = (uint64_t)end;
+        mapped = fcmap_window(&m);
+        if (!mapped && !fcmap_finish(&m)) return FC_FD_CORRUPT;
+    }
     uint64_t written = 0;
     for (uint64_t i = 0; i < count; i++) {
-        uint64_t n = fc_encode_pair_from_files(
+        failed[i] = 1;
+        uint64_t n = 0;
+        if (mapped) {
+            FC_MAPPED_ENCODE(m, mapped, n,
+                encode_pair_files_core(
+                    img_paths[i], lbl_paths[i],
+                    (const uint8_t*)idents[i], ident_lens[i],
+                    dst, room, &cap_short));
+            if (mapped) {
+                if (n == 0) continue;
+                m.used += n;
+                m.est = n;
+                failed[i] = 0;
+                written++;
+                continue;
+            }
+        }
+        // write()-based fallback
+        n = fc_encode_pair_from_files(
             img_paths[i], lbl_paths[i],
             (const uint8_t*)idents[i], ident_lens[i], scratch, cap);
-        if (n == 0) {
-            failed[i] = 1;
-            continue;
-        }
+        if (n == 0) continue;
         uint64_t r = write_frame_or_rollback(fd, scratch, n);
         if (r == FC_FD_CORRUPT) return FC_FD_CORRUPT;
-        if (r == 0) {
-            failed[i] = 1;
-            continue;
-        }
+        if (r == 0) continue;
         failed[i] = 0;
         written++;
     }
+    if (mapped && !fcmap_finish(&m)) return FC_FD_CORRUPT;
     return written;
 }
 
@@ -691,6 +872,15 @@ uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
 // + first char of current emit) is exactly the output range starting
 // at the previous emit with length prev_len + 1, because emissions are
 // contiguous.
+//
+// Bit reading is positional: while at least 8 source bytes remain, one
+// unaligned 64-bit load + bswap yields a window that always spans two
+// whole codes (bit offset <= 7, two 12-bit codes => 31 bits < 64), so
+// the hot loop consumes two codes per load with no running bit
+// accumulator. The last 8 bytes fall back to byte-wise assembly. On
+// chip-like noisy uint16 data (~1.07 output bytes/code, the worst
+// case) this measures ~1.1x the accumulator form.
+//
 // Returns decompressed size; (uint64_t)-1 on corrupt stream;
 // (uint64_t)-2 when dst capacity is insufficient. 0 is a legal size
 // for empty payloads.
@@ -700,92 +890,120 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
     // single load on the table-hit path. Output offsets are < 2^48
     // (strip payloads are far below that) and string lengths < 2^16
     // (table resets at 4094 codes, so max string length ~3840).
-    static thread_local uint64_t* tab = nullptr;
-    if (!tab) tab = (uint64_t*)malloc(4096 * sizeof(uint64_t));
+    static thread_local uint64_t* tab_tls = nullptr;
+    if (!tab_tls) tab_tls = (uint64_t*)malloc(4096 * sizeof(uint64_t));
+    // local copy: under -fPIC a thread_local read is a __tls_get_addr
+    // call, and the char stores into dst force a re-read per access;
+    // a local pointer never aliases and stays in a register
+    uint64_t* const tab = tab_tls;
 
-    uint64_t pos = 0;          // byte position in src
-    uint64_t bitbuf = 0;
-    int bitcnt = 0;
+    uint64_t bitpos = 0;       // absolute bit position in src
+    uint64_t total_bits = n * 8;
+    // fast 8-byte loads stay in-bounds while (bitpos>>3) + 8 <= n
+    uint64_t fast_bits = n >= 8 ? (n - 8) * 8 : 0;
     int bits = 9;
     int next_code = LZW_FIRST;
     uint64_t prev_start = 0;
     uint32_t prev_len = 0;     // 0 = no previous emit (start / post-clear)
     uint64_t out = 0;
 
+    // Handle one extracted code. Control flow: EOI exits, CLEAR resets
+    // and restarts the window loop (any second pre-extracted code is
+    // simply re-read at the new bitpos next iteration).
+#define FC_LZW_EMIT(code_)                                                   \
+    {                                                                        \
+        uint32_t code = (code_);                                             \
+        if (code == LZW_EOI) goto done;                                      \
+        if (code == LZW_CLEAR) {                                             \
+            bits = 9; next_code = LZW_FIRST; prev_len = 0;                   \
+            goto next_window;                                                \
+        }                                                                    \
+        uint64_t emit_start = out;                                           \
+        uint32_t emit_len;                                                   \
+        if (code < 256) {                                                    \
+            if (out + 1 > cap) return (uint64_t)-2;                          \
+            dst[out++] = (uint8_t)code;                                      \
+            emit_len = 1;                                                    \
+        } else if ((int)code < next_code) {                                  \
+            uint64_t e = tab[code];                                          \
+            emit_len = (uint32_t)(e & 0xFFFF);                               \
+            uint64_t src_off = e >> 16;                                      \
+            if (out + emit_len > cap) return (uint64_t)-2;                   \
+            /* constant-size copies: loads complete before stores, so  */    \
+            /* the tail over-read past emit_len is harmless; the       */    \
+            /* over-write past emit_len lands in output slack          */    \
+            if (emit_len <= 8 && out + 8 <= cap) {                           \
+                uint64_t a;                                                  \
+                memcpy(&a, dst + src_off, 8);                                \
+                memcpy(dst + out, &a, 8);                                    \
+            } else if (emit_len <= 16 && out + 16 <= cap) {                  \
+                uint64_t a, b;                                               \
+                memcpy(&a, dst + src_off, 8);                                \
+                memcpy(&b, dst + src_off + 8, 8);                            \
+                memcpy(dst + out, &a, 8);                                    \
+                memcpy(dst + out + 8, &b, 8);                                \
+            } else {                                                         \
+                memcpy(dst + out, dst + src_off, emit_len);                  \
+            }                                                                \
+            out += emit_len;                                                 \
+        } else if ((int)code == next_code && prev_len > 0) {                 \
+            /* KwKwK: prev string + its first char; source overlaps   */     \
+            /* dest by exactly the final byte -> forward byte copy    */     \
+            emit_len = prev_len + 1;                                         \
+            if (out + emit_len > cap) return (uint64_t)-2;                   \
+            const uint8_t* s = dst + prev_start;                             \
+            uint8_t* d = dst + out;                                          \
+            for (uint32_t i = 0; i < emit_len; i++) d[i] = s[i];             \
+            out += emit_len;                                                 \
+        } else {                                                             \
+            return (uint64_t)-1;                                             \
+        }                                                                    \
+        if (prev_len > 0 && next_code < 4096) {                              \
+            tab[next_code] = (prev_start << 16) | (prev_len + 1);            \
+            next_code++;                                                     \
+            if (next_code == (1 << bits) - 1 && bits < 12) bits++;           \
+        }                                                                    \
+        prev_start = emit_start;                                             \
+        prev_len = emit_len;                                                 \
+    }
+
     for (;;) {
-        if (bitcnt < bits) {
-            // bulk refill: 4 bytes at a time (bitcnt <= 11 here, so
-            // 32 more bits always fit the 64-bit buffer)
-            if (pos + 4 <= n) {
-                uint32_t be;
-                memcpy(&be, src + pos, 4);
-                be = __builtin_bswap32(be);
-                bitbuf = (bitbuf << 32) | be;
-                bitcnt += 32;
-                pos += 4;
-            } else {
-                while (bitcnt < bits) {
-                    if (pos >= n) goto done;
-                    bitbuf = (bitbuf << 8) | src[pos++];
-                    bitcnt += 8;
-                }
-            }
-        }
-        bitcnt -= bits;
-        uint32_t code = (uint32_t)((bitbuf >> bitcnt) & ((1u << bits) - 1));
-        if (code == LZW_EOI) break;
-        if (code == LZW_CLEAR) {
-            bits = 9;
-            next_code = LZW_FIRST;
-            prev_len = 0;
-            continue;
-        }
-        uint64_t emit_start = out;
-        uint32_t emit_len;
-        if (code < 256) {
-            if (out + 1 > cap) return (uint64_t)-2;
-            dst[out++] = (uint8_t)code;
-            emit_len = 1;
-        } else if ((int)code < next_code) {
-            uint64_t e = tab[code];
-            emit_len = (uint32_t)(e & 0xFFFF);
-            uint64_t src_off = e >> 16;
-            if (out + emit_len > cap) return (uint64_t)-2;
-            if (emit_len <= 16 && out + 16 <= cap) {
-                // constant-size copy (two unaligned 8-byte moves, both
-                // loaded before storing so the tail over-read past
-                // emit_len is harmless even right at the write point);
-                // the over-write past emit_len lands in output slack
-                uint64_t a, b;
-                memcpy(&a, dst + src_off, 8);
-                memcpy(&b, dst + src_off + 8, 8);
-                memcpy(dst + out, &a, 8);
-                memcpy(dst + out + 8, &b, 8);
-            } else {
-                memcpy(dst + out, dst + src_off, emit_len);
-            }
-            out += emit_len;
-        } else if ((int)code == next_code && prev_len > 0) {
-            // KwKwK: prev string + its first char; source overlaps
-            // dest by exactly the final byte -> forward byte copy
-            emit_len = prev_len + 1;
-            if (out + emit_len > cap) return (uint64_t)-2;
-            const uint8_t* s = dst + prev_start;
-            uint8_t* d = dst + out;
-            for (uint32_t i = 0; i < emit_len; i++) d[i] = s[i];
-            out += emit_len;
+        if (bitpos <= fast_bits) {
+            uint64_t w;
+            memcpy(&w, src + (bitpos >> 3), 8);
+            w = __builtin_bswap64(w);
+            unsigned off = (unsigned)(bitpos & 7);
+            uint32_t c1 = (uint32_t)((w >> (64 - off - bits))
+                                     & ((1u << bits) - 1));
+            bitpos += bits;
+            off += bits;
+            FC_LZW_EMIT(c1);
+            // second code from the same window; `bits` may have grown
+            // by one above, still off + bits <= 7 + 12 + 12 = 31 < 64
+            uint32_t c2 = (uint32_t)((w >> (64 - off - bits))
+                                     & ((1u << bits) - 1));
+            bitpos += bits;
+            FC_LZW_EMIT(c2);
         } else {
-            return (uint64_t)-1;
+            // byte-wise tail: assemble just enough bytes for one code
+            if (bitpos + (unsigned)bits > total_bits) break;
+            uint64_t v = 0;
+            uint64_t bp = bitpos >> 3;
+            int have = 0;
+            while (have < bits + (int)(bitpos & 7) && bp < n) {
+                v = (v << 8) | src[bp++];
+                have += 8;
+            }
+            int shift = have - (int)(bitpos & 7) - bits;
+            if (shift < 0) break;
+            uint32_t c = (uint32_t)((v >> shift) & ((1u << bits) - 1));
+            bitpos += bits;
+            FC_LZW_EMIT(c);
         }
-        if (prev_len > 0 && next_code < 4096) {
-            tab[next_code] = (prev_start << 16) | (prev_len + 1);
-            next_code++;
-            if (next_code == (1 << bits) - 1 && bits < 12) bits++;
-        }
-        prev_start = emit_start;
-        prev_len = emit_len;
+next_window:;
     }
 done:
+#undef FC_LZW_EMIT
     return out;
 }
 
@@ -1028,7 +1246,7 @@ static uint64_t encode_tiff_pair(
     const uint8_t* lbl_data, uint64_t lbl_n,
     const uint8_t* ident, uint64_t ident_len,
     uint8_t* out, uint64_t cap, uint8_t* chunk_scratch,
-    uint64_t chunk_cap) {
+    uint64_t chunk_cap, int* cap_short = nullptr) {
     TiffMeta im, lm;
     if (!tiff_parse(img_data, img_n, &im)) return 0;
     if (!tiff_parse(lbl_data, lbl_n, &lm)) return 0;
@@ -1052,7 +1270,10 @@ static uint64_t encode_tiff_pair(
                   + entry_size(13, f_th) + entry_size(18, f_tgt)
                   + entry_size(12, f_tw);
     uint64_t example_len = 1 + varint_size(body) + body;
-    if (example_len + 16 > cap) return 0;
+    if (example_len + 16 > cap) {
+        if (cap_short) *cap_short = 1;
+        return 0;
+    }
 
     uint8_t kind = bytes_mode ? 0x0A : 0x12;
     uint8_t* base = out + 12;
@@ -1130,7 +1351,9 @@ uint64_t fc_tiff_decode_f32(const uint8_t* data, uint64_t n,
 }
 
 // Whole-shard decoded-array loop: the tifarr counterpart of
-// fc_write_shard. Same failure/rollback protocol.
+// fc_write_shard. Frames (LZW decode + predictor undo + dtype
+// conversion included) land directly in the mapped shard; the
+// write()-with-rollback loop remains as the fallback.
 uint64_t fc_write_shard_tifarr(const char* const* img_paths,
                                const char* const* lbl_paths,
                                const char* const* idents,
@@ -1143,6 +1366,14 @@ uint64_t fc_write_shard_tifarr(const char* const* img_paths,
     // all scratch comes from the caller (Python thread-locals): C
     // thread_locals leak their mallocs at every worker-thread exit,
     // and the writers spin up fresh thread pools per conversion call.
+    FcMap m = {fd, nullptr, 0, 0, 0, 0, 0};
+    off_t end = lseek(fd, 0, SEEK_END);
+    int mapped = end >= 0;
+    if (mapped) {
+        m.used = (uint64_t)end;
+        mapped = fcmap_window(&m);
+        if (!mapped && !fcmap_finish(&m)) return FC_FD_CORRUPT;
+    }
     uint64_t written = 0;
     for (uint64_t i = 0; i < count; i++) {
         failed[i] = 1;
@@ -1155,7 +1386,25 @@ uint64_t fc_write_shard_tifarr(const char* const* img_paths,
             continue;
         if (!read_file_into(lbl_paths[i], filebuf + isz, (uint64_t)lsz))
             continue;
-        uint64_t n = encode_tiff_pair(
+        uint64_t n = 0;
+        if (mapped) {
+            FC_MAPPED_ENCODE(m, mapped, n,
+                encode_tiff_pair(
+                    filebuf, (uint64_t)isz, filebuf + isz,
+                    (uint64_t)lsz, (const uint8_t*)idents[i],
+                    ident_lens[i], dst, room, chunkbuf, chunkcap,
+                    &cap_short));
+            if (mapped) {
+                if (n == 0) continue;
+                m.used += n;
+                m.est = n;
+                failed[i] = 0;
+                written++;
+                continue;
+            }
+        }
+        // write()-based fallback
+        n = encode_tiff_pair(
             filebuf, (uint64_t)isz, filebuf + isz, (uint64_t)lsz,
             (const uint8_t*)idents[i], ident_lens[i], scratch, cap,
             chunkbuf, chunkcap);
@@ -1166,6 +1415,7 @@ uint64_t fc_write_shard_tifarr(const char* const* img_paths,
         failed[i] = 0;
         written++;
     }
+    if (mapped && !fcmap_finish(&m)) return FC_FD_CORRUPT;
     return written;
 }
 

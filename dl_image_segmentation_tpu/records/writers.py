@@ -329,6 +329,12 @@ def _process_dataset(name: str, directory: str, out_directory: str,
     ranges = [[spacing[i], spacing[i + 1]] for i in range(num_workers)]
     print(f"Launching {num_workers} workers for spacings: {ranges}")
     sys.stdout.flush()
+    # Worker COUNT fixes the shard assignment (on-disk bytes); pool
+    # WIDTH is capped at the hardware so oversubscribing a small box
+    # doesn't timeslice N compute-bound shard loops against each other
+    # (~25% throughput loss measured at 4 workers on 1 core). Same
+    # worker tasks, same outputs -- just not all in flight at once.
+    pool_width = min(num_workers, os.cpu_count() or num_workers)
     if num_workers == 1:
         results = [_worker(0, ranges, name, img_files, lbl_files,
                            out_directory, local_shards, loader, loader_args,
@@ -336,7 +342,7 @@ def _process_dataset(name: str, directory: str, out_directory: str,
                            shard_base=shard_base, total_shards=num_shards,
                            resume=resume)]
     else:
-        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        with ThreadPoolExecutor(max_workers=pool_width) as ex:
             futs = [
                 ex.submit(_worker, w, ranges, name, img_files, lbl_files,
                           out_directory, local_shards, loader, loader_args,
