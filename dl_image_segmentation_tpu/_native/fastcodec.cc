@@ -631,9 +631,13 @@ static int fcmap_window(FcMap* m) {
     return 1;
 }
 
-// Raise the populate watermark to cover at least `need` bytes past
-// `used` (clamped to the window). Returns 1 on success, 0 when pages
-// could not be materialized (caller falls back to write() output).
+// Raise the populate watermark toward `need` bytes past `used`
+// (clamped to the window -- an exhausted window is NOT a failure:
+// encoders are capped at the watermark and the shard loop repositions
+// the window when a frame doesn't fit the remaining room). Returns 0
+// only when pages could not be materialized (madvise error: kernel
+// without MADV_POPULATE_WRITE, or allocation failure on a full
+// tmpfs/disk), in which case the caller falls back to write() output.
 static int fcmap_populate(FcMap* m, uint64_t need) {
     uint64_t want = m->used + need;
     if (want <= m->pop) return 1;
@@ -641,7 +645,7 @@ static int fcmap_populate(FcMap* m, uint64_t need) {
     if (end < want) end = want + FC_POP_CHUNK;
     uint64_t win_end = m->win_off + m->win_len;
     if (end > win_end) end = win_end;
-    if (end <= m->pop) return want <= m->pop;
+    if (end <= m->pop) return 1;  // window exhausted; caller handles
     if (madvise(m->win + (m->pop - m->win_off), (size_t)(end - m->pop),
                 MADV_POPULATE_WRITE) != 0)
         return 0;

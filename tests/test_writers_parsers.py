@@ -395,3 +395,49 @@ class TestGraphModeParsers:
             assert callable(getattr(pkg, n))
             from dl_image_segmentation_tpu.records import parsers as P
             assert callable(getattr(P, n))
+
+
+class TestMappedShardAssembly:
+    """The native shard writers assemble frames directly in an mmap'd
+    window of the shard file (fastcodec.cc FC_MAPPED_ENCODE)."""
+
+    def test_large_frames_grow_the_populate_watermark(self, tmp_path):
+        """Frames far larger than the initial populate-ahead estimate
+        (4 MB) force the cap_short retry loop: watermark doubling and,
+        near a window edge, repositioning. Bytes must round-trip."""
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_tif_dataset(root, n=2, size=1024)  # ~17 MB frames
+        n = images_to_tfrecords_mp("big", root, out, num_shards=1,
+                                   num_proc=1, store_as_array=True)
+        assert n == 2
+        seen = 0
+        for s in glob.glob(os.path.join(out, "big-*")):
+            for rec in read_records(s):
+                img, lbl, ident = parsers.parse_higher_dtype_array_proto(rec)
+                exp_img, exp_lbl = truth[ident.decode()]
+                np.testing.assert_array_equal(img,
+                                              exp_img.astype(np.float32))
+                np.testing.assert_array_equal(lbl,
+                                              exp_lbl.astype(np.float32))
+                seen += 1
+        assert seen == 2
+
+    def test_worker_count_fixes_bytes_not_concurrency(self, tmp_path):
+        """num_proc sets the shard ASSIGNMENT; the execution pool is
+        capped at os.cpu_count(). 4 workers and 1 worker must produce
+        byte-identical shards (what makes the capping sound)."""
+        root = str(tmp_path / "chips")
+        make_tif_dataset(root, n=8)
+        out4 = str(tmp_path / "w4")
+        out1 = str(tmp_path / "w1")
+        images_to_tfrecords_mp("s2", root, out4, num_shards=4,
+                               num_proc=4, store_as_array=True)
+        images_to_tfrecords_mp("s2", root, out1, num_shards=4,
+                               num_proc=1, store_as_array=True)
+        files4 = sorted(os.listdir(out4))
+        assert files4 == sorted(os.listdir(out1))
+        for f in files4:
+            a = open(os.path.join(out4, f), "rb").read()
+            b = open(os.path.join(out1, f), "rb").read()
+            assert a == b, f
