@@ -888,14 +888,33 @@ uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
 // Returns decompressed size; (uint64_t)-1 on corrupt stream;
 // (uint64_t)-2 when dst capacity is insufficient. 0 is a legal size
 // for empty payloads.
+
+// Identity byte table backing literal codes (< 256): lets the emit
+// path treat literals as length-1 strings sourced from here instead of
+// branching on literal-vs-table (the one data-dependent ~50/50 branch
+// on noisy chip data). 8 bytes of slack so the constant-size 8-byte
+// copy trick may over-read from lit_table[255]. Initialized at load
+// time (no per-thread race).
+static uint8_t fc_lit_table[256 + 8];
+static const bool fc_lit_table_init = [] {
+    for (int i = 0; i < 256; i++) fc_lit_table[i] = (uint8_t)i;
+    return true;
+}();
+
 uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
                        uint8_t* dst, uint64_t cap) {
     // one 8-byte entry per code: (output start << 16) | length -- a
     // single load on the table-hit path. Output offsets are < 2^48
     // (strip payloads are far below that) and string lengths < 2^16
     // (table resets at 4094 codes, so max string length ~3840).
+    // Entries 0..255 are fixed length-1 (their bytes come from
+    // fc_lit_table, selected by code < 256 below) and survive CLEAR
+    // since next_code never drops below LZW_FIRST.
     static thread_local uint64_t* tab_tls = nullptr;
-    if (!tab_tls) tab_tls = (uint64_t*)malloc(4096 * sizeof(uint64_t));
+    if (!tab_tls) {
+        tab_tls = (uint64_t*)malloc(4096 * sizeof(uint64_t));
+        for (int i = 0; i < 256; i++) tab_tls[i] = 1;
+    }
     // local copy: under -fPIC a thread_local read is a __tls_get_addr
     // call, and the char stores into dst force a re-read per access;
     // a local pointer never aliases and stays in a register
@@ -924,30 +943,31 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
         }                                                                    \
         uint64_t emit_start = out;                                           \
         uint32_t emit_len;                                                   \
-        if (code < 256) {                                                    \
-            if (out + 1 > cap) return (uint64_t)-2;                          \
-            dst[out++] = (uint8_t)code;                                      \
-            emit_len = 1;                                                    \
-        } else if ((int)code < next_code) {                                  \
+        if ((int)code < next_code) {                                         \
+            /* literals (< 256) ride the same path: their table entry  */    \
+            /* is length 1 and the source pointer selects (cmov, not   */    \
+            /* branch) the identity byte table instead of dst --       */    \
+            /* removes the one ~50/50 data-dependent branch            */    \
             uint64_t e = tab[code];                                          \
             emit_len = (uint32_t)(e & 0xFFFF);                               \
-            uint64_t src_off = e >> 16;                                      \
+            const uint8_t* s = code < 256 ? fc_lit_table + code              \
+                                          : dst + (e >> 16);                 \
             if (out + emit_len > cap) return (uint64_t)-2;                   \
             /* constant-size copies: loads complete before stores, so  */    \
             /* the tail over-read past emit_len is harmless; the       */    \
             /* over-write past emit_len lands in output slack          */    \
             if (emit_len <= 8 && out + 8 <= cap) {                           \
                 uint64_t a;                                                  \
-                memcpy(&a, dst + src_off, 8);                                \
+                memcpy(&a, s, 8);                                            \
                 memcpy(dst + out, &a, 8);                                    \
             } else if (emit_len <= 16 && out + 16 <= cap) {                  \
                 uint64_t a, b;                                               \
-                memcpy(&a, dst + src_off, 8);                                \
-                memcpy(&b, dst + src_off + 8, 8);                            \
+                memcpy(&a, s, 8);                                            \
+                memcpy(&b, s + 8, 8);                                        \
                 memcpy(dst + out, &a, 8);                                    \
                 memcpy(dst + out + 8, &b, 8);                                \
             } else {                                                         \
-                memcpy(dst + out, dst + src_off, emit_len);                  \
+                memcpy(dst + out, s, emit_len);                              \
             }                                                                \
             out += emit_len;                                                 \
         } else if ((int)code == next_code && prev_len > 0) {                 \
