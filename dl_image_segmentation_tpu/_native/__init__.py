@@ -83,11 +83,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p, ctypes.c_uint64]
-        lib.fc_encode_pair_to_fd.restype = ctypes.c_uint64
-        lib.fc_encode_pair_to_fd.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_uint64,
-            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
         lib.fc_write_shard.restype = ctypes.c_uint64
         lib.fc_write_shard.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
@@ -151,33 +146,6 @@ def tfrecord_frame(payload: bytes) -> Optional[bytes]:
 _framed_buf = threading.local()
 
 
-def encode_example_framed(img: bytes, img_is_bytes: bool,
-                          tgt: bytes, tgt_is_bytes: bool,
-                          ih: int, iw: int, ic: int, th: int, tw: int,
-                          ident: bytes) -> Optional[bytes]:
-    """Fused Example serialization + TFRecord frame. Payloads are the
-    already-materialised feature bytes (raw encoded image / uint8 array
-    bytes for BytesList, little-endian f32 bytes for FloatList)."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    need = len(img) + len(tgt) + len(ident) + 512
-    buf = getattr(_framed_buf, "buf", None)
-    if buf is None or len(buf) < need:
-        buf = bytearray(max(need, 1 << 20))
-        _framed_buf.buf = buf
-    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
-    n = lib.fc_encode_example_framed(
-        img, len(img), int(img_is_bytes),
-        tgt, len(tgt), int(tgt_is_bytes),
-        ih, iw, ic, th, tw, ident, len(ident),
-        cbuf, len(buf))
-    del cbuf
-    if n == 0:
-        return None
-    return bytes(memoryview(buf)[:n])
-
-
 def encode_example_framed_view(img: bytes, img_is_bytes: bool,
                                tgt: bytes, tgt_is_bytes: bool,
                                ih: int, iw: int, ic: int, th: int, tw: int,
@@ -229,34 +197,6 @@ def encode_pair_from_files(img_path: str, lbl_path: str, ident: bytes):
     if n == 0:
         return None
     return memoryview(buf)[:n]
-
-
-def encode_pair_to_fd(img_path: str, lbl_path: str, ident: bytes,
-                      fd: int) -> int:
-    """Fully-native pair path writing straight to a file descriptor.
-    Returns bytes written; 0 means fall back to the Python path."""
-    lib = get_lib()
-    if lib is None:
-        return 0
-    try:
-        need = (os.path.getsize(img_path) + os.path.getsize(lbl_path)
-                + len(ident) + 512)
-    except OSError:
-        return 0
-    buf = getattr(_framed_buf, "buf", None)
-    if buf is None or len(buf) < need:
-        buf = bytearray(max(need, 1 << 20))
-        _framed_buf.buf = buf
-    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
-    n = lib.fc_encode_pair_to_fd(
-        img_path.encode(), lbl_path.encode(), ident, len(ident),
-        cbuf, len(buf), fd)
-    del cbuf
-    if n == _FD_CORRUPT:
-        raise IOError(
-            "native frame write failed and the fd could not be rolled "
-            "back; shard must be aborted (torn frame would corrupt it)")
-    return int(n)
 
 
 def _write_shard_common(fn, img_paths, lbl_paths, idents, fd: int,

@@ -524,13 +524,6 @@ uint64_t fc_encode_pair_from_files(
                                   out, cap, nullptr);
 }
 
-// Same as fc_encode_pair_from_files but writes the finished frame to a
-// file descriptor (one write syscall), eliminating the Python write
-// glue from the hot loop. scratch/cap provided by the caller (reused
-// across calls). Returns frame length written, 0 on fallback-needed,
-// FC_FD_CORRUPT if the fd could not be rolled back after a partial
-// write (shard must be aborted -- a torn frame would otherwise break
-// the atomic-rename "existence == complete" resume invariant).
 #include <unistd.h>
 
 #define FC_FD_CORRUPT ((uint64_t)-1)
@@ -553,18 +546,6 @@ static uint64_t write_frame_or_rollback(int fd, const uint8_t* buf,
         off += (uint64_t)w;
     }
     return 1;
-}
-
-uint64_t fc_encode_pair_to_fd(
-    const char* img_path, const char* lbl_path,
-    const uint8_t* ident, uint64_t ident_len,
-    uint8_t* scratch, uint64_t cap, int fd) {
-    uint64_t n = fc_encode_pair_from_files(img_path, lbl_path, ident,
-                                           ident_len, scratch, cap);
-    if (n == 0) return 0;
-    uint64_t r = write_frame_or_rollback(fd, scratch, n);
-    if (r == FC_FD_CORRUPT) return FC_FD_CORRUPT;
-    return r ? n : 0;
 }
 
 // ---------------------------------------------------------------------------
