@@ -783,15 +783,40 @@ static inline void bw_put(BitWriter* bw, uint32_t code, int bits) {
     }
 }
 
+// Per-thread LZW scratch tables, freed at thread exit via the C++
+// thread_local destructor (__cxa_thread_atexit). Bare thread_local
+// mallocs would leak at every worker-thread exit, and both the
+// training feed and the writer engines spawn fresh worker threads per
+// stream/run. Lazy accessor so the TLS-init wrapper runs once per use
+// site; callers immediately copy the raw pointers into locals.
+struct FcTls {
+    uint64_t* dec_tab = nullptr;    // decoder: 4096 x (start<<16|len)
+    uint32_t* enc_child = nullptr;  // encoder: 4096x256 children
+    uint32_t enc_epoch = 0;
+    ~FcTls() {
+        free(dec_tab);
+        free(enc_child);
+    }
+};
+
+static FcTls& fc_tls() {
+    static thread_local FcTls tls;
+    return tls;
+}
+
 // Encode: direct-mapped children table child[code][byte] -> next code,
 // epoch-stamped so table resets cost nothing (no 2 MB memset per Clear
 // -- random-ish data resets every ~4-6 KB of input).
 // Returns compressed size, or 0 on output overflow (caller grows buffer).
 uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
                        uint8_t* dst, uint64_t cap) {
-    // entry = (epoch << 16) | code; entry valid iff its epoch matches
-    static thread_local uint32_t* child = nullptr;
-    static thread_local uint32_t epoch = 0;
+    // entry = (epoch << 16) | code; entry valid iff its epoch matches.
+    // Tables live in the RAII per-thread bundle (freed at thread exit;
+    // feed/writer pools spawn fresh workers, so a bare thread_local
+    // malloc would leak 4 MB per exited worker).
+    FcTls& tls = fc_tls();
+    uint32_t*& child = tls.enc_child;
+    uint32_t& epoch = tls.enc_epoch;
     if (!child) {
         child = (uint32_t*)malloc(4096 * 256 * sizeof(uint32_t));
         memset(child, 0, 4096 * 256 * sizeof(uint32_t));
@@ -890,8 +915,9 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
     // (table resets at 4094 codes, so max string length ~3840).
     // Entries 0..255 are fixed length-1 (their bytes come from
     // fc_lit_table, selected by code < 256 below) and survive CLEAR
-    // since next_code never drops below LZW_FIRST.
-    static thread_local uint64_t* tab_tls = nullptr;
+    // since next_code never drops below LZW_FIRST. Table lives in the
+    // RAII per-thread bundle (freed at thread exit).
+    uint64_t*& tab_tls = fc_tls().dec_tab;
     if (!tab_tls) {
         tab_tls = (uint64_t*)malloc(4096 * sizeof(uint64_t));
         for (int i = 0; i < 256; i++) tab_tls[i] = 1;
@@ -903,8 +929,10 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
 
     uint64_t bitpos = 0;       // absolute bit position in src
     uint64_t total_bits = n * 8;
-    // fast 8-byte loads stay in-bounds while (bitpos>>3) + 8 <= n
-    uint64_t fast_bits = n >= 8 ? (n - 8) * 8 : 0;
+    // fast 8-byte loads stay in-bounds while (bitpos>>3) + 8 <= n;
+    // exclusive limit so that n < 8 disables the fast path entirely
+    // (0 would otherwise pass a `<=` gate at bitpos 0 and over-read)
+    uint64_t fast_lim = n >= 8 ? (n - 8) * 8 + 1 : 0;
     int bits = 9;
     int next_code = LZW_FIRST;
     uint64_t prev_start = 0;
@@ -973,7 +1001,7 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
     }
 
     for (;;) {
-        if (bitpos <= fast_bits) {
+        if (bitpos < fast_lim) {
             uint64_t w;
             memcpy(&w, src + (bitpos >> 3), 8);
             w = __builtin_bswap64(w);
@@ -1081,38 +1109,68 @@ static bool tiff_parse(const uint8_t* d, uint64_t n, TiffMeta* m) {
     uint64_t rps = 0;
     uint64_t v[4096];
     uint32_t noffs = 0, ncnts = 0;
+    // A tag we dispatch on that is PRESENT but unparseable (wrong
+    // type, zero count, count over our limit, out-of-bounds values)
+    // must fail the parse -- keeping the default would silently decode
+    // garbage (e.g. a >64-band uint16 file parsed as bps=8). Absent
+    // tags keep their spec defaults.
     for (uint32_t i = 0; i < nent; i++) {
         const uint8_t* e = d + ifd + 2 + 12ull * i;
         uint32_t tag = rd16le(e);
+        uint32_t cnt;
         switch (tag) {
-            case 256: if (tiff_values(d, n, e, v, 1)) m->w = v[0]; break;
-            case 257: if (tiff_values(d, n, e, v, 1)) m->h = v[0]; break;
-            case 258:  // count == samples-per-pixel; all equal for us
-                if (tiff_values(d, n, e, v, 64)) m->bps = (int)v[0];
+            case 256:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                m->w = v[0]; break;
+            case 257:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                m->h = v[0]; break;
+            case 258:  // count == samples-per-pixel; must be uniform
+                cnt = tiff_values(d, n, e, v, 64);
+                if (!cnt) return false;
+                for (uint32_t k = 1; k < cnt; k++)
+                    if (v[k] != v[0]) return false;
+                m->bps = (int)v[0];
                 break;
-            case 259: if (tiff_values(d, n, e, v, 1)) m->comp = (int)v[0];
-                break;
-            case 277: if (tiff_values(d, n, e, v, 1)) m->spp = (int)v[0];
-                break;
-            case 278: if (tiff_values(d, n, e, v, 1)) rps = v[0]; break;
-            case 284: if (tiff_values(d, n, e, v, 1)) planar = (int)v[0];
-                break;
-            case 317: if (tiff_values(d, n, e, v, 1))
+            case 259:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                m->comp = (int)v[0]; break;
+            case 277:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                m->spp = (int)v[0]; break;
+            case 278:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                rps = v[0]; break;
+            case 284:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                planar = (int)v[0]; break;
+            case 317:
+                if (!tiff_values(d, n, e, v, 1)) return false;
                 m->predictor = (int)v[0]; break;
-            case 339:  // count == samples-per-pixel; all equal for us
-                if (tiff_values(d, n, e, v, 64)) sfmt = (int)v[0];
+            case 339:  // count == samples-per-pixel; must be uniform
+                cnt = tiff_values(d, n, e, v, 64);
+                if (!cnt) return false;
+                for (uint32_t k = 1; k < cnt; k++)
+                    if (v[k] != v[0]) return false;
+                sfmt = (int)v[0];
                 break;
             case 273: case 324:
                 noffs = tiff_values(d, n, e, v, 4096);
+                if (!noffs) return false;
                 for (uint32_t k = 0; k < noffs; k++) m->offs[k] = v[k];
                 if (tag == 324) m->tiled = 1;
                 break;
             case 279: case 325:
                 ncnts = tiff_values(d, n, e, v, 4096);
+                if (!ncnts) return false;
                 for (uint32_t k = 0; k < ncnts; k++) m->cnts[k] = v[k];
                 break;
-            case 322: if (tiff_values(d, n, e, v, 1)) m->tw = v[0]; break;
-            case 323: if (tiff_values(d, n, e, v, 1)) m->th = v[0]; break;
+            case 322:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                m->tw = v[0]; break;
+            case 323:
+                if (!tiff_values(d, n, e, v, 1)) return false;
+                m->th = v[0]; break;
         }
     }
     if (m->w <= 0 || m->h <= 0 || noffs == 0 || noffs != ncnts)

@@ -258,28 +258,54 @@ def tiles_from_shape(
     appear from both zones' grids, giving slight double coverage there
     rather than gaps. Single-zone AOIs use the bbox centre's zone,
     tiles overhanging the zone edge included (unchanged pre-split
-    behavior).
+    behavior). AOIs touching the antimeridian work: zone spans are
+    computed per polygon part with wrap-aware longitude ranges, so a
+    Fiji-style AOI touches zones {60, 1} instead of enumerating all 60.
 
     Returns tiles whose unpadded extent intersects the geometry (exact
     polygon-rectangle test, not just bbox).
     """
     geom = Geometry.coerce(shape)
-    lon_min, lat_min, lon_max, lat_max = geom.bounds
-    z_lo = _crs.utm_zone_from_lonlat(lon_min, (lat_min + lat_max) / 2.0)
-    z_hi = _crs.utm_zone_from_lonlat(
-        min(lon_max, 179.999999), (lat_min + lat_max) / 2.0)
-    if z_lo == z_hi:
-        zones = [z_lo]
-    else:
-        zones = list(range(z_lo, z_hi + 1))
+
+    # Candidate zones are computed PER POLYGON PART (wrap-aware), and a
+    # part is only ever projected into zones its own longitude span
+    # touches: projecting geometry into a zone half a world away both
+    # diverges the transverse-Mercator series and blows the projected
+    # bbox up to an astronomically large tile enumeration. A part whose
+    # raw lon span exceeds 180 deg is treated as crossing the
+    # antimeridian (negative lons wrapped up by 360), so Fiji-style
+    # AOIs touch zones {60, 1}, not 1..60.
+    def _part_zones(lons: np.ndarray, lat_mid: float) -> List[int]:
+        lo, hi = float(lons.min()), float(lons.max())
+        if hi - lo > 180.0:
+            adj = np.where(lons < 0, lons + 360.0, lons)
+            lo, hi = float(adj.min()), float(adj.max())
+        z_lo = int(_crs.utm_zone_from_lonlat(
+            ((lo + 180.0) % 360.0) - 180.0, lat_mid))
+        z_hi = int(_crs.utm_zone_from_lonlat(
+            ((min(hi, lo + 359.999) + 180.0) % 360.0) - 180.0, lat_mid))
+        if z_lo <= z_hi:
+            return list(range(z_lo, z_hi + 1))
+        return list(range(z_lo, 61)) + list(range(1, z_hi + 1))
+
+    parts = []
+    all_zones: set = set()
+    for ring_set in geom.polygons():  # (exterior, holes) in lonlat
+        exterior = ring_set[0]
+        lat_mid = float(exterior[:, 1].min() + exterior[:, 1].max()) / 2.0
+        zs = _part_zones(exterior[:, 0], lat_mid)
+        parts.append((ring_set, zs))
+        all_zones.update(zs)
+    multi_zone = len(all_zones) > 1
 
     out: List[Tile] = []
-    for zone in zones:
-        # tiles belong to the zone containing their centre longitude
-        # (only enforced when the AOI spans multiple zones)
-        zone_lon0 = (zone - 1) * 6.0 - 180.0
-        for ring_set in geom.polygons():  # (exterior, holes) in lonlat
-            exterior = ring_set[0]
+    for ring_set, zones in parts:
+        exterior = ring_set[0]
+        lats = exterior[:, 1]
+        for zone in zones:
+            # tiles belong to the zone containing their centre longitude
+            # (only enforced when the AOI spans multiple zones)
+            zone_lon0 = (zone - 1) * 6.0 - 180.0
             ex, ey = _crs.lonlat_to_utm(exterior[:, 0], exterior[:, 1],
                                         zone)
             poly_utm = np.stack([ex, ey], axis=1)
@@ -288,13 +314,32 @@ def tiles_from_shape(
                 hx, hy = _crs.lonlat_to_utm(hole[:, 0], hole[:, 1], zone)
                 holes_utm.append(np.stack([hx, hy], axis=1))
             bb = bounds_of_coords(poly_utm)
+            if multi_zone:
+                # clamp enumeration to this zone's 6-degree band (one
+                # padded-tile margin): only band tiles survive the
+                # longitude filter below, and a wide part would
+                # otherwise enumerate its full width in EVERY zone
+                lat_samples = [float(lats.min()), float(lats.max())]
+                if lat_samples[0] < 0.0 < lat_samples[1]:
+                    lat_samples.append(0.0)  # widest easting at equator
+                edges = []
+                for lon_edge in (zone_lon0, zone_lon0 + 6.0):
+                    for lat_s in lat_samples:
+                        e_edge, _ = _crs.lonlat_to_utm(lon_edge, lat_s,
+                                                       zone)
+                        edges.append(float(e_edge))
+                margin = (tilesize + 2 * pad) * resolution
+                bb = (max(bb[0], min(edges) - margin), bb[1],
+                      min(bb[2], max(edges) + margin), bb[3])
+                if bb[0] > bb[2]:
+                    continue
             for tile in tiles_from_bounds_utm(bb, zone, resolution,
                                               tilesize, pad):
                 x0, y0, x1, y1 = tile.bounds_unpadded
                 if not polygon_intersects_rect(poly_utm, holes_utm,
                                                x0, y0, x1, y1):
                     continue
-                if len(zones) > 1:
+                if multi_zone:
                     t_lon_min, _, t_lon_max, _ = tile.lonlat_bounds
                     if (t_lon_max <= zone_lon0
                             or t_lon_min >= zone_lon0 + 6.0):

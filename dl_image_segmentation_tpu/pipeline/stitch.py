@@ -96,9 +96,9 @@ def stitch_folder(chip_dir: str, out_path: str,
         if nodata is None:
             nodata = g.info.nodata
     mosaic, gt, epsg = stitch_tiles(chips, fill_value=fill_value)
-    # large mosaics exceed classic TIFF's 4 GiB offset space: switch to
-    # BigTIFF before compression can possibly overflow it
+    # large mosaics exceed classic TIFF's 4 GiB offset space; "auto"
+    # decides from the actual compressed sizes (LZW can EXPAND noisy
+    # data, so a raw-nbytes heuristic here could still overflow)
     write_geotiff(out_path, mosaic, geotransform=gt, epsg=epsg,
-                  nodata=nodata,
-                  bigtiff=mosaic.nbytes > 3_500_000_000)
+                  nodata=nodata, bigtiff="auto")
     return len(chips), mosaic.shape[:2]

@@ -358,7 +358,7 @@ def encode_geotiff(
     compress: str = "lzw",
     tiled: bool = True,
     tile_size: int = 256,
-    bigtiff: bool = False,
+    bigtiff=False,
 ) -> bytes:
     """Encode (H, W) or (H, W, B) array to GeoTIFF bytes.
 
@@ -367,6 +367,9 @@ def encode_geotiff(
     planar config, little-endian classic TIFF. ``bigtiff=True`` emits
     the BigTIFF (version 43) container with 64-bit offsets -- for
     mosaics past the 4 GiB classic limit (e.g. stitch output).
+    ``bigtiff="auto"`` decides from the ACTUAL compressed sizes (LZW
+    can expand incompressible data ~1.3x, so a raw-size heuristic at
+    the caller can pick classic TIFF and then overflow its offsets).
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -402,6 +405,12 @@ def encode_geotiff(
                 chunks.append(compress_chunk(tile))
     else:
         chunks.append(compress_chunk(arr))
+
+    if bigtiff == "auto":
+        # decided from real compressed bytes: data + a generous bound
+        # for header/IFD/overflow (they are KBs, not GBs)
+        bigtiff = (sum(len(c) for c in chunks) + (1 << 20)
+                   > 0xFFFFFFFF)
 
     # assemble tags; photometric RGB for 3-band uint8 (like GDAL), else
     # MinIsBlack with ExtraSamples covering the additional bands
@@ -479,6 +488,10 @@ def encode_geotiff(
     for c in chunks:
         chunk_offsets.append(pos)
         pos += len(c)
+    if not bigtiff and pos > 0xFFFFFFFF:
+        raise ValueError(
+            f"encoded size {pos} bytes exceeds the classic TIFF 4 GiB "
+            "offset limit; pass bigtiff=True (or bigtiff='auto')")
 
     over_pos = head_size + ifd_size
     for (tid, ttype, cnt, val), total in zip(tags, sized):

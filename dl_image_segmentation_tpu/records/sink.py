@@ -105,15 +105,19 @@ class SignedURLSink(RecordsSink):
         url = self.urls.get(name)
         if url is None:
             raise KeyError(f"no signed URL provided for shard {name!r}")
+        # stream the file object (urllib sends file-likes chunked off
+        # disk when Content-Length is set) -- shards run to GBs and
+        # must not be materialized in memory for the PUT
+        size = os.path.getsize(path)
         with open(path, "rb") as f:
-            data = f.read()
-        req = urllib.request.Request(
-            url, data=data, method="PUT",
-            headers={"Content-Type": "application/octet-stream",
-                     "Content-Length": str(len(data))})
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            if resp.status not in (200, 201, 204):
-                raise IOError(f"upload of {name} failed: HTTP {resp.status}")
+            req = urllib.request.Request(
+                url, data=f, method="PUT",
+                headers={"Content-Type": "application/octet-stream",
+                         "Content-Length": str(size)})
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                if resp.status not in (200, 201, 204):
+                    raise IOError(
+                        f"upload of {name} failed: HTTP {resp.status}")
         self.uploaded.append(name)
         return url
 

@@ -446,3 +446,53 @@ class TestZoneSplitting:
                                   "coordinates": [ring]},
                                  resolution=10.0, tilesize=200, pad=0)
         assert {t.zone for t in tiles} == {43}
+
+
+class TestAntimeridian:
+    def test_multipolygon_both_sides_of_antimeridian(self):
+        """A Fiji-style AOI with parts just east and just west of the
+        antimeridian touches zones {60, 1} only -- zone spans are
+        per-part, so the global lon bounds (-179.9..179.9) must NOT
+        enumerate all 60 zones (which also projects each part half a
+        world from the zone meridian)."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        west = [[179.90, -17.0], [179.95, -17.0], [179.95, -16.95],
+                [179.90, -16.95], [179.90, -17.0]]
+        east = [[-179.95, -17.0], [-179.90, -17.0], [-179.90, -16.95],
+                [-179.95, -16.95], [-179.95, -17.0]]
+        shape = {"type": "MultiPolygon", "coordinates": [[west], [east]]}
+        tiles = tiles_from_shape(shape, resolution=10.0, tilesize=200,
+                                 pad=0)
+        assert tiles
+        assert {t.zone for t in tiles} <= {60, 1}
+        assert {t.zone for t in tiles} == {60, 1}
+
+    def test_single_part_crossing_antimeridian(self):
+        """A single part whose raw lon span exceeds 180 deg is treated
+        as antimeridian-crossing (negative lons wrapped by +360), not
+        as a world-spanning AOI."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        ring = [[179.92, -17.0], [-179.96, -17.0], [-179.96, -16.96],
+                [179.92, -16.96], [179.92, -17.0]]
+        tiles = tiles_from_shape({"type": "Polygon",
+                                  "coordinates": [ring]},
+                                 resolution=10.0, tilesize=200, pad=0)
+        assert tiles
+        assert {t.zone for t in tiles} <= {60, 1}
+
+    def test_wide_multizone_aoi_enumeration_bounded(self):
+        """A ~3-zone-wide AOI stays band-bounded per zone: the number
+        of tiles must be on the order of the AOI area, not the AOI
+        width re-enumerated once per zone."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        ring = [[70.1, 19.0], [85.9, 19.0], [85.9, 19.02],
+                [70.1, 19.02], [70.1, 19.0]]
+        tiles = tiles_from_shape({"type": "Polygon",
+                                  "coordinates": [ring]},
+                                 resolution=10.0, tilesize=200, pad=0)
+        zones = {t.zone for t in tiles}
+        assert zones == {42, 43, 44, 45}
+        # ~1,660 km x ~2.2 km AOI at 2 km tiles: ~840 columns x 2 rows
+        # plus seam double coverage; far below a per-zone re-sweep
+        # (which would be ~4x as many)
+        assert len(tiles) < 2600

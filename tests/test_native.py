@@ -477,3 +477,67 @@ class TestTiffDecodeF32:
         if not _native.available():
             pytest.skip("native extension unavailable")
         assert _native.tiff_decode_f32(b"not a tiff at all") is None
+
+
+class TestLzwTinyStreams:
+    """n < 8 byte streams must take the byte-wise path (the 8-byte
+    fast-window load would read past the buffer end)."""
+
+    def test_empty_payload_roundtrip(self):
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        enc = _native.lzw_encode(b"")
+        assert enc is not None and 0 < len(enc) < 8
+        assert _native.lzw_decode(enc) == b""
+
+    def test_tiny_payloads_roundtrip(self):
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        for payload in (b"A", b"ab", b"xyz", b"\x00\xff"):
+            enc = _native.lzw_encode(payload)
+            assert enc is not None
+            assert _native.lzw_decode(enc) == payload, payload
+
+    def test_truncated_stream_no_garbage_growth(self):
+        """Truncating a stream must never DECODE MORE than the full
+        stream did (garbage tail bits emitted as codes)."""
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        payload = bytes(range(256)) * 4
+        enc = _native.lzw_encode(payload)
+        full = _native.lzw_decode(enc)
+        assert full == payload
+        for cut in (1, 2, 3, 5, 7, len(enc) // 2):
+            out = _native.lzw_decode(enc[:cut])
+            assert out is None or len(out) <= len(payload)
+
+
+class TestTiffStrictTags:
+    """A PRESENT but unparseable IFD tag must fail the native TIFF
+    parse (clean fallback to the Python codec), never keep its default
+    -- a >64-band uint16 file parsed with default bps=8 would write a
+    structurally valid but silently wrong record."""
+
+    def test_many_band_uint16_falls_back_correctly(self, tmp_path):
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        rng = np.random.RandomState(3)
+        img = (rng.rand(8, 8, 70) * 4000).astype(np.uint16)  # 70 > 64
+        lbl = rng.randint(0, 3, (8, 8)).astype(np.uint8)
+        ip = str(tmp_path / "img.tif")
+        lp = str(tmp_path / "lbl.tif")
+        gt = (0, 10, 0, 0, 0, -10)
+        write_geotiff(ip, img, geotransform=gt, epsg=32643)
+        write_geotiff(lp, lbl, geotransform=gt, epsg=32643, nodata=255)
+        shard = str(tmp_path / "shard")
+        fd = os.open(shard, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            written, failed = _native.write_shard_tifarr(
+                [ip], [lp], [b"k"], fd)
+        finally:
+            os.close(fd)
+        # the native path must REJECT the pair (fall back), not write
+        # a record with bps defaulted to 8
+        assert written == 0 and failed == [0]
+        assert os.path.getsize(shard) == 0

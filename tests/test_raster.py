@@ -201,6 +201,40 @@ class TestBigTIFF:
             assert g.info.geotransform[0] == 5
             assert g.info.nodata == 7
 
+    def test_auto_picks_classic_for_small_data(self):
+        """bigtiff="auto" decides from the ACTUAL compressed size: a
+        small mosaic stays classic TIFF (max compatibility)."""
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            decode_geotiff, encode_geotiff)
+        rng = np.random.RandomState(4)
+        arr = (rng.rand(64, 64, 3) * 250).astype(np.uint8)
+        data = encode_geotiff(arr, bigtiff="auto")
+        assert data[:4] == b"II*\x00"
+        np.testing.assert_array_equal(decode_geotiff(data).array, arr)
+
+    def test_classic_overflowing_offsets_raises_clearly(self, monkeypatch):
+        """Laying out classic-TIFF offsets past 4 GiB must raise a
+        clear ValueError, not a struct.error deep in packing (LZW can
+        EXPAND noisy data past a caller's raw-size heuristic)."""
+        from dl_image_segmentation_tpu.raster import geotiff as gt
+
+        class _FakeChunk(bytes):
+            def __len__(self):
+                return 5 << 29  # each fake chunk claims 2.5 GiB
+
+        def fake_lzw(raw):
+            return _FakeChunk(b"x")
+
+        monkeypatch.setattr(gt, "_lzw_encode_fast", fake_lzw)
+        arr = np.zeros((512, 512), np.uint8)  # 2 tiles of 256 -> 2 chunks
+        with pytest.raises(ValueError, match="4 GiB"):
+            gt.encode_geotiff(arr, tiled=True, tile_size=256,
+                              bigtiff=False)
+        # and "auto" on the same data flips to BigTIFF instead
+        data = gt.encode_geotiff(arr, tiled=True, tile_size=256,
+                                 bigtiff="auto")
+        assert data[:4] == b"II+\x00"
+
     def test_pil_reads_our_bigtiff(self, tmp_path):
         """External-convention check: Pillow decodes our BigTIFF."""
         from PIL import Image
