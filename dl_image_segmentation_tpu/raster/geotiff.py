@@ -10,7 +10,7 @@ LZW-compressed tiled GeoTIFF, multi-band any-dtype images, single-band
 uint8 labels with a nodata value in the metadata.
 
 Reader support: classic TIFF, II/MM byte order, strip or tile layout,
-compression none/LZW/Deflate(8/32946)/PackBits, predictor 1/2, planar
+compression none/LZW/Deflate(8/32946)/PackBits, predictor 1/2/3, planar
 configuration 1 (chunky) and 2 (separate), uint8..64/int8..32/float32/64,
 GDAL_NODATA, ModelPixelScale + ModelTiepoint, GeoKeyDirectory EPSG.
 """
@@ -251,9 +251,29 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
             return _packbits_decode(chunk)
         raise ValueError(f"unsupported TIFF compression {comp}")
 
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 3 and dtype.kind != "f":
+        raise ValueError(
+            "TIFF floating-point predictor (3) on non-float samples")
+
     tiled = _T_TILE_OFFSETS in tags
     nplanes = spp if planar == 2 else 1
     samples_per_px = 1 if planar == 2 else spp
+
+    def chunk_to_array(raw: bytes, nrows: int, ncols: int) -> np.ndarray:
+        """Decoded chunk bytes -> (nrows, ncols, samples) array with
+        the chunk's predictor undone."""
+        if predictor == 3:
+            return _undo_fpredictor(raw, nrows, ncols, samples_per_px,
+                                    dtype)
+        arr = np.frombuffer(
+            raw, dtype=dtype,
+            count=nrows * ncols * samples_per_px).reshape(
+                nrows, ncols, samples_per_px)
+        if predictor == 2:
+            arr = _undo_hpredictor(arr)
+        return arr
 
     if tiled:
         tw = int(tags[_T_TILE_WIDTH][0])
@@ -271,12 +291,7 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
                     raw = decompress(data[offs[idx]:offs[idx] + cnts[idx]],
                                      tw * th * samples_per_px * dtype.itemsize)
                     idx += 1
-                    arr = np.frombuffer(
-                        raw, dtype=dtype,
-                        count=tw * th * samples_per_px).reshape(
-                            th, tw, samples_per_px)
-                    if predictor == 2:
-                        arr = _undo_hpredictor(arr)
+                    arr = chunk_to_array(raw, th, tw)
                     y0, x0 = tj * th, ti * tw
                     y1 = min(y0 + th, height)
                     x1 = min(x0 + tw, width)
@@ -303,12 +318,7 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
                                  nrows * width * samples_per_px
                                  * dtype.itemsize)
                 idx += 1
-                arr = np.frombuffer(
-                    raw, dtype=dtype,
-                    count=nrows * width * samples_per_px).reshape(
-                        nrows, width, samples_per_px)
-                if predictor == 2:
-                    arr = _undo_hpredictor(arr)
+                arr = chunk_to_array(raw, nrows, width)
                 if planar == 2:
                     out[plane, row:row + nrows] = arr[..., 0]
                 else:
@@ -324,6 +334,25 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
     if fmt == ">":
         out = out.astype(out.dtype.newbyteorder("="))
     return GeoTIFF(out, info)
+
+
+def _undo_fpredictor(raw: bytes, nrows: int, ncols: int, spp: int,
+                     dtype: np.dtype) -> np.ndarray:
+    """Undo the TIFF floating-point predictor (3, TIFF TechNote 3):
+    the encoder splits each row's values into big-endian byte planes
+    (all MSBs first, then the next byte of every value, ...) and then
+    horizontally differences the reordered row bytes. GDAL writes this
+    for float rasters with PREDICTOR=3."""
+    k = dtype.itemsize
+    n = ncols * spp
+    b = np.frombuffer(raw, np.uint8,
+                      count=nrows * n * k).reshape(nrows, k * n)
+    # mod-256 cumulative sum per row undoes the byte differencing
+    b = np.cumsum(b, axis=1, dtype=np.uint64).astype(np.uint8)
+    planes = b.reshape(nrows, k, n)               # byte plane p of row
+    interleaved = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    vals = interleaved.reshape(nrows, n * k).view(dtype.newbyteorder(">"))
+    return vals.reshape(nrows, ncols, spp).astype(dtype, copy=False)
 
 
 def _undo_hpredictor(arr: np.ndarray) -> np.ndarray:

@@ -260,3 +260,73 @@ class TestBigTIFF:
         info = sniff_image_info(data)
         assert (info.height, info.width, info.count) == (20, 20, 4)
         np.testing.assert_array_equal(decode_image_bytes(data).array, arr)
+
+
+class TestFloatPredictor:
+    """TIFF floating-point predictor (3) decode, as GDAL writes for
+    float rasters with PREDICTOR=3. The fixture applies the forward
+    transform by hand (big-endian byte planes per row, then byte-wise
+    horizontal differencing) so the decoder is tested independently."""
+
+    @staticmethod
+    def _forward_fpredictor(arr: np.ndarray) -> bytes:
+        h, w, spp = arr.shape
+        k = arr.dtype.itemsize
+        out = bytearray()
+        for r in range(h):
+            be = arr[r].astype(arr.dtype.newbyteorder(">"))
+            rowb = np.frombuffer(be.tobytes(), np.uint8)
+            planes = rowb.reshape(w * spp, k).T.reshape(-1)  # MSBs first
+            diff = np.diff(planes.astype(np.int16),
+                           prepend=np.int16(0)).astype(np.uint8)
+            out += diff.tobytes()
+        return bytes(out)
+
+    @staticmethod
+    def _minimal_tiff(h, w, spp, payload: bytes, predictor: int,
+                      bits: int, sfmt: int) -> bytes:
+        import struct
+        tags = [  # (tag, type, count, value)
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+            (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, spp),
+            (278, 3, 1, h), (317, 3, 1, predictor), (339, 3, 1, sfmt),
+        ]
+        n = len(tags) + 2  # + StripOffsets/ByteCounts below
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n + 4
+        tags += [(273, 4, 1, data_off), (279, 4, 1, len(payload))]
+        tags.sort()
+        out = b"II*\x00" + struct.pack("<I", ifd_off)
+        out += struct.pack("<H", n)
+        for tid, ttype, cnt, val in tags:
+            ch = "H" if ttype == 3 else "I"
+            raw = struct.pack("<" + ch, val).ljust(4, b"\x00")
+            out += struct.pack("<HHI", tid, ttype, cnt) + raw
+        out += struct.pack("<I", 0)
+        return out + payload
+
+    def test_float32_predictor3_roundtrip(self):
+        from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
+        rng = np.random.RandomState(11)
+        arr = (rng.rand(13, 9, 1) * 1000 - 500).astype(np.float32)
+        payload = self._forward_fpredictor(arr)
+        tif = self._minimal_tiff(13, 9, 1, payload, predictor=3,
+                                 bits=32, sfmt=3)
+        g = decode_geotiff(tif)
+        np.testing.assert_array_equal(g.array, arr)
+
+    def test_unknown_predictor_raises(self):
+        from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
+        arr = np.zeros((4, 4, 1), np.uint8)
+        tif = self._minimal_tiff(4, 4, 1, arr.tobytes(), predictor=7,
+                                 bits=8, sfmt=1)
+        with pytest.raises(ValueError, match="predictor 7"):
+            decode_geotiff(tif)
+
+    def test_predictor3_on_int_samples_raises(self):
+        from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
+        arr = np.zeros((4, 4, 1), np.uint8)
+        tif = self._minimal_tiff(4, 4, 1, arr.tobytes(), predictor=3,
+                                 bits=8, sfmt=1)
+        with pytest.raises(ValueError, match="non-float"):
+            decode_geotiff(tif)
