@@ -98,11 +98,15 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg)
     if args.restore:
         trainer.restore_checkpoint(args.restore)
+    # pool mode keeps the SOURCE dtype through the feed (scale="raw"):
+    # a uint8 pool is 4x less HBM than float32, and DeviceDataPool
+    # applies the dtype-appropriate [0,1] scale at sample time
     feed = TFRecordFeed(args.records, args.mode,
                         batch_size=args.batch_size,
                         image_size=args.image_size,
                         shuffle_buffer=args.shuffle_buffer,
-                        num_workers=args.workers)
+                        num_workers=args.workers,
+                        scale="raw" if args.scan_steps > 0 else None)
     if args.scan_steps > 0:
         # device-resident pool mode: K steps per dispatch (fastest on
         # TPU; see train/pool.py)

@@ -202,15 +202,19 @@ def nearest_valid_mosaic(stack: jnp.ndarray, valid: jnp.ndarray,
         valid = valid[..., None]
     valid = jnp.broadcast_to(valid, stack.shape)
     S = stack.shape[0]
-    # score = date distance, invalid -> +inf; tie-break: later index wins
-    idx = jnp.arange(S, dtype=jnp.float32)
-    eps_tiebreak = (S - idx) * 1e-6  # earlier scenes get a tiny penalty...
+    # score = date distance, invalid -> +inf. Tie-break toward the
+    # LATER scene is done exactly by argmin over the REVERSED scene
+    # axis (argmin picks the first equal entry, which reversed is the
+    # last original index) -- a float epsilon penalty would vanish
+    # below one ulp once distances exceed ~2^23 * eps (e.g. 1e-6
+    # disappears beyond ~8.4 days-in-float32-seconds / ~100 days),
+    # silently flipping ties to the EARLIEST scene.
     dd = date_dist.astype(jnp.float32)
     if dd.ndim == 1:
         dd = dd[:, None, None]
-    score = dd[..., None] + eps_tiebreak[:, None, None, None]
-    score = jnp.where(valid, score, _INF)
-    sel = jnp.argmin(score, axis=0)  # (H, W, B)
+    score = jnp.where(valid, jnp.broadcast_to(dd[..., None], stack.shape),
+                      _INF)
+    sel = (S - 1) - jnp.argmin(score[::-1], axis=0)  # (H, W, B)
     mosaic = jnp.take_along_axis(stack, sel[None], axis=0)[0]
     any_valid = jnp.any(valid, axis=0)
     return jnp.where(any_valid, mosaic, 0.0), any_valid

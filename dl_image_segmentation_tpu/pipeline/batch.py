@@ -115,7 +115,7 @@ def _burn_group(jobs: Sequence[DLTileJobConfig]) -> List[np.ndarray]:
     size = jobs[0].DLTILE.raster_size
     background = jobs[0].LABEL_NODATA_VALUE
     layers = {}
-    all_feats = []
+    per_tile: List[list] = []
     for k, job in enumerate(jobs):
         key = (job.LABEL_DS, job.LABEL_LYR_NUM)
         if key not in layers:
@@ -124,10 +124,37 @@ def _burn_group(jobs: Sequence[DLTileJobConfig]) -> List[np.ndarray]:
         feats = _label_features_px(job.DLTILE, layers[key],
                                    job.LABEL_BURN_ATTR)
         window = (float(k * size), float((k + 1) * size))
+        shifted_feats = []
         for rings_px, value in feats:
             shifted = [np.stack([r[:, 0], r[:, 1] + k * size], axis=1)
                        for r in rings_px]
-            all_feats.append((shifted, value, window))
+            shifted_feats.append((shifted, value, window))
+        per_tile.append(shifted_feats)
+
+    # the packed edge tensor is edges[F_total, E_max, 4]: EVERY feature
+    # pays the group-wide max edge count, so one complex polygon in any
+    # tile inflates the whole group quadratically. When the group pack
+    # would cost >4x the per-tile packs (and is big enough to matter),
+    # burn per tile instead -- byte-identical output either way.
+    def _pack_cost(feat_lists) -> int:
+        counts = [sum(len(r) for r in rings)
+                  for feats in feat_lists for rings, _, _ in feats]
+        return len(counts) * max(counts, default=0)
+
+    cost_group = _pack_cost(per_tile)
+    cost_tiles = sum(_pack_cost([f]) for f in per_tile)
+    if cost_group > 4 * max(1, cost_tiles) and cost_group > 1_000_000:
+        out = []
+        for k, feats in enumerate(per_tile):
+            unshifted = [([np.stack([r[:, 0], r[:, 1] - k * size], axis=1)
+                           for r in rings], value, (0.0, float(size)))
+                         for rings, value, _ in feats]
+            out.append(rasterize(unshifted, (size, size),
+                                 background=background, all_touched=True,
+                                 dtype=np.uint8))
+        return out
+
+    all_feats = [f for feats in per_tile for f in feats]
     big = rasterize(all_feats, (len(jobs) * size, size),
                     background=background, all_touched=True,
                     dtype=np.uint8)
@@ -153,7 +180,14 @@ def create_chips_for_tiles_batched(
     groups = {}
     for i, job in enumerate(jobs):
         if isinstance(job.PRODUCT, list):
-            results[i] = create_chips_for_tile(job)
+            # multi-product stacks take the per-tile path; one raising
+            # tile must report (job, None, None) -- the documented
+            # retry protocol -- not abort the whole batched attempt
+            try:
+                results[i] = create_chips_for_tile(job)
+            except Exception as e:
+                print(f"tile {job.DLTILE.key}: {e} (will retry)")
+                results[i] = (job, None, None)
             continue
         mode = ("median" if (job.MAX_CLOUD_FRACTION == 0
                              and job.PRODUCT == S2_PRODUCT)

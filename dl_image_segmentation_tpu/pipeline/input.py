@@ -52,6 +52,9 @@ class TFRecordFeed:
     parse_mode: one of rgbraw | rgbarr | tifraw | tifarr (the on-disk
     storage modes, parse nb cell 1). Images are scaled to [0, 1]
     float32; labels are int32 (nodata preserved for loss masking).
+    ``scale``: None = dtype-appropriate [0,1] scaling; a float =
+    explicit multiplier (float32 output); the string ``"raw"`` = keep
+    the source dtype untouched (for uint8 device pools, 4x less HBM).
     """
 
     def __init__(self, shard_pattern, parse_mode: str, batch_size: int,
@@ -204,6 +207,10 @@ class TFRecordFeed:
         if img.ndim == 2:
             img = img[:, :, None]
         img = np.asarray(img)
+        if self.scale == "raw":
+            # keep the source dtype untouched (uint8 pools: 4x less
+            # HBM than float32; DeviceDataPool scales at sample time)
+            return img
         if self.scale is not None:
             return img.astype(np.float32) * self.scale
         if img.dtype == np.uint8:
@@ -263,6 +270,7 @@ class DevicePrefetcher:
         self.depth = depth
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._exhausted = False
         self.thread = threading.Thread(target=self._fill, daemon=True)
         self.thread.start()
 
@@ -309,8 +317,13 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        if self._exhausted:
+            # the fill thread exited after its None sentinel; a blind
+            # q.get() here would block forever on a dead queue
+            raise StopIteration
         item = self.q.get()
         if item is None:
+            self._exhausted = True
             raise StopIteration
         if isinstance(item, BaseException):
             raise item

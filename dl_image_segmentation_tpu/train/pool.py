@@ -33,8 +33,14 @@ class DeviceDataPool:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  sharding=None, scale: Optional[float] = None):
-        self.scale = scale if scale is not None else (
-            1.0 / 255.0 if images.dtype == np.uint8 else 1.0)
+        if scale is not None:
+            self.scale = scale
+        elif images.dtype == np.uint8:
+            self.scale = 1.0 / 255.0
+        elif images.dtype == np.uint16:
+            self.scale = 1.0 / 65535.0
+        else:
+            self.scale = 1.0
         put = (lambda x: jax.device_put(x, sharding)) if sharding \
             else jax.device_put
         self.images = put(images)
@@ -48,8 +54,10 @@ class DeviceDataPool:
     @classmethod
     def from_feed(cls, batches: Iterator, n_examples: int,
                   sharding=None) -> "DeviceDataPool":
-        """Fill a pool from a batch iterator (e.g. TFRecordFeed.batches
-        with scale=1.0 so uint8 survives, or any (imgs, lbls) source)."""
+        """Fill a pool from a batch iterator (e.g. TFRecordFeed with
+        ``scale="raw"`` so uint8 sources keep their dtype -- a float
+        scale would cast to float32 and quadruple the pool's HBM --
+        or any (imgs, lbls) source)."""
         imgs = []
         lbls = []
         have = 0
@@ -59,6 +67,9 @@ class DeviceDataPool:
             have += len(bi)
             if have >= n_examples:
                 break
+        if not imgs:
+            raise ValueError("feed produced no batches; cannot build "
+                             "a device data pool")
         images = np.concatenate(imgs)[:n_examples]
         labels = np.concatenate(lbls)[:n_examples]
         return cls(images, labels, sharding=sharding)
@@ -68,6 +79,11 @@ class DeviceDataPool:
         """Replace a contiguous slice of the pool with new host data
         (one H2D per call; cheap relative to a K-step scan)."""
         n = len(images)
+        if n > self.size:
+            raise ValueError(
+                f"refresh batch ({n} examples) larger than the pool "
+                f"({self.size}); use a pool at least one refresh batch "
+                "deep or a smaller feed batch size")
         self.images = jax.lax.dynamic_update_slice_in_dim(
             self.images, jnp.asarray(images).astype(self.images.dtype),
             offset, axis=0)

@@ -158,6 +158,7 @@ class Trainer:
         self._step_fn = self._build_step()
         # metrics
         self.device_seconds = 0.0
+        self.feed_seconds = 0.0
         self.wall_start = None
         self.examples_seen = 0
 
@@ -223,13 +224,14 @@ class Trainer:
 
         return step
 
-    def _build_scan_step(self, k: int, batch_size: int, scale: float,
+    def _build_scan_step(self, batch_size: int, scale: float,
                          augment: bool = False):
         """K optimizer steps per dispatch over a device-resident pool
         (see train/pool.py): batch sampling, optional dihedral
         augmentation, forward/backward, and the optimizer update all
         run inside one lax.scan -- zero host round-trips between
-        steps."""
+        steps. The step count is the returned function's static
+        ``steps`` argument (a distinct compile per distinct value)."""
         from .pool import sample_batch
         from ..ops.augment import augment_pairs
         cfg = self.config
@@ -279,8 +281,8 @@ class Trainer:
         used to rotate fresh data into the pool every ``refresh_every``
         dispatches. Returns final metrics + throughput stats."""
         cfg = self.config
-        scan = self._build_scan_step(steps_per_dispatch, cfg.batch_size,
-                                     pool.scale, augment=augment)
+        scan = self._build_scan_step(cfg.batch_size, pool.scale,
+                                     augment=augment)
         key = jax.device_put(jax.random.PRNGKey(seed))
         if self.wall_start is None:
             self.wall_start = time.perf_counter()
@@ -288,6 +290,9 @@ class Trainer:
         offset = 0
         losses = accs = None
         dispatch = 0
+        if total_steps <= 0:
+            return {"loss": float("nan"), "accuracy": float("nan"),
+                    **self.throughput_stats()}
         while done < total_steps:
             k = min(steps_per_dispatch, total_steps - done)
             t0 = time.perf_counter()
@@ -295,6 +300,12 @@ class Trainer:
                 self.state, key, pool.images, pool.labels, k)
             if refresh_feed is not None and \
                     dispatch % max(1, refresh_every) == 0:
+                # host parse deliberately overlaps the in-flight device
+                # scan; its duration is tracked separately so the duty
+                # metric can discount a host-bound feed (see
+                # throughput_stats: duty_cycle is the upper bound,
+                # duty_cycle_lower assumes zero overlap)
+                tr0 = time.perf_counter()
                 try:
                     imgs, lbls = next(refresh_feed)
                     pool.refresh(imgs, lbls, offset)
@@ -302,6 +313,7 @@ class Trainer:
                         1, pool.size - len(imgs) + 1)
                 except StopIteration:
                     refresh_feed = None
+                self.feed_seconds += time.perf_counter() - tr0
             jax.block_until_ready(losses)
             self.device_seconds += time.perf_counter() - t0
             done += k
@@ -398,13 +410,23 @@ class Trainer:
 
     # -- metrics -------------------------------------------------------------
     def throughput_stats(self) -> Dict[str, float]:
+        """duty_cycle counts each dispatch window launch-to-ready; host
+        feed work overlapped with an in-flight scan is inside that
+        window, so duty_cycle is an upper bound on device busy-ness.
+        duty_cycle_lower discounts ALL tracked feed time (i.e. assumes
+        none of it overlapped useful device work); the true duty lies
+        between the two, and they coincide when the feed is fast."""
         wall = (time.perf_counter() - self.wall_start
                 if self.wall_start else 0.0)
         return {
             "examples_per_sec": self.examples_seen / wall if wall else 0.0,
             "duty_cycle": self.device_seconds / wall if wall else 0.0,
+            "duty_cycle_lower": (
+                max(0.0, self.device_seconds - self.feed_seconds) / wall
+                if wall else 0.0),
             "wall_seconds": wall,
             "device_seconds": self.device_seconds,
+            "feed_seconds": self.feed_seconds,
         }
 
     # -- checkpointing (orbax) ------------------------------------------------
@@ -438,6 +460,12 @@ class Trainer:
                   "step": self.state.step}
         restored = manager.restore(
             step, args=ocp.args.StandardRestore(target))
+        # re-place onto the live mesh shardings, same as
+        # restore_checkpoint: the concrete-target restore otherwise
+        # comes back replicated and silently defeats n_model>1 resumes
+        restored = jax.tree_util.tree_map(
+            lambda r, cur: jax.device_put(r, cur.sharding),
+            restored, target)
         self.state = TrainState(restored["params"],
                                 restored["opt_state"], restored["step"])
         return step

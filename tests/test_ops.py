@@ -203,6 +203,29 @@ class TestNearestMosaic:
                                    rtol=1e-6)
 
 
+    def test_large_distance_ties_break_to_later_scene(self):
+        """Regression: the old (S-idx)*1e-6 tie-break penalty vanished
+        below one float32 ulp once distances exceeded ~100 (ulp(100) ~
+        7.6e-6), flipping ties to the EARLIEST scene. Ties must break
+        to the later scene at any distance magnitude."""
+        S, H, W, B = 3, 4, 4, 1
+        stack = np.stack([np.full((H, W, B), v, np.float32)
+                          for v in (1.0, 2.0, 3.0)])
+        valid = np.ones((S, H, W), bool)
+        for dist in (0.0, 3.0, 100.0, 365.0, 10000.0):
+            d = np.full(S, dist, np.float32)
+            mosaic, _ = nearest_valid_mosaic(
+                jnp.asarray(stack), jnp.asarray(valid), jnp.asarray(d))
+            np.testing.assert_array_equal(np.asarray(mosaic),
+                                          stack[-1], err_msg=str(dist))
+        # tie only between scenes 0 and 2 (scene 1 invalid everywhere)
+        valid[1] = False
+        d = np.full(S, 200.0, np.float32)
+        mosaic, _ = nearest_valid_mosaic(
+            jnp.asarray(stack), jnp.asarray(valid), jnp.asarray(d))
+        np.testing.assert_array_equal(np.asarray(mosaic), stack[2])
+
+
 class TestAugment:
     def test_shapes_and_determinism(self):
         rng = np.random.RandomState(0)

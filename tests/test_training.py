@@ -230,6 +230,58 @@ class TestScannedTraining:
         assert abs(pool.scale - 1 / 255.0) < 1e-9
 
 
+    def test_pool_refresh_larger_than_pool_rejected(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(3)
+        imgs = rng.randint(0, 255, (8, 8, 8, 3), np.uint8)
+        lbls = rng.randint(0, 2, (8, 8, 8)).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        with pytest.raises(ValueError, match="larger than the pool"):
+            pool.refresh(np.zeros((16, 8, 8, 3), np.uint8),
+                         np.zeros((16, 8, 8), np.uint8))
+
+    def test_uint16_pool_scale_inferred(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        imgs = np.zeros((4, 8, 8, 2), np.uint16)
+        lbls = np.zeros((4, 8, 8), np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        assert abs(pool.scale - 1 / 65535.0) < 1e-12
+
+    def test_train_scanned_zero_steps_no_crash(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(4)
+        imgs = rng.randint(0, 255, (8, 32, 32, 3), np.uint8)
+        lbls = rng.randint(0, 2, (8, 32, 32)).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=4)
+        out = Trainer(cfg).train_scanned(pool, total_steps=0)
+        assert np.isnan(out["loss"])  # explicit "no steps ran" value
+
+    def test_duty_cycle_lower_discounts_feed_time(self):
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        import time as _time
+        rng = np.random.RandomState(5)
+        imgs = rng.randint(0, 255, (16, 32, 32, 3), np.uint8)
+        lbls = rng.randint(0, 2, (16, 32, 32)).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=4)
+        trainer = Trainer(cfg)
+
+        def slow_feed():
+            while True:
+                _time.sleep(0.05)
+                yield (rng.randint(0, 255, (4, 32, 32, 3), np.uint8),
+                       rng.randint(0, 2, (4, 32, 32)).astype(np.uint8))
+
+        out = trainer.train_scanned(pool, total_steps=6,
+                                    steps_per_dispatch=2,
+                                    refresh_feed=slow_feed())
+        assert out["feed_seconds"] > 0.1
+        assert out["duty_cycle_lower"] < out["duty_cycle"]
+
+
 class TestEvalAndPredict:
     def test_miou_known_values(self):
         from dl_image_segmentation_tpu.train.trainer import masked_miou
@@ -383,6 +435,22 @@ class TestDevicePrefetcher:
         with DevicePrefetcher(endless(), lambda a, b: (a, b)) as pf:
             next(iter(pf))
         assert not pf.thread.is_alive()
+
+
+    def test_next_after_exhaustion_raises_again(self):
+        """Regression: next() after the StopIteration sentinel used to
+        block forever on the dead queue."""
+        def gen():
+            yield (np.zeros((1, 2, 2, 1), np.float32),
+                   np.zeros((1, 2, 2), np.int32))
+
+        pf = DevicePrefetcher(gen(), lambda a, b: (a, b))
+        it = iter(pf)
+        next(it)
+        with pytest.raises(StopIteration):
+            next(it)
+        with pytest.raises(StopIteration):  # and again, without hanging
+            next(it)
 
 
 class TestAsyncStep:
