@@ -46,6 +46,7 @@ class LocalCatalog(Catalog):
         self._cache: Dict[str, object] = {}
         self._cache_order: List[str] = []
         self._cache_max = cache_scenes
+        self._bounds_cache: Dict[str, list] = {}
 
     # -- write-side helper for building catalogs ------------------------
     @classmethod
@@ -137,14 +138,13 @@ class LocalCatalog(Catalog):
                     and not (cf < max_cloud_fraction):
                 continue
             # intersect scene bounds with the tile: indexed bounds when
-            # recorded (cheap), else one header-only read
+            # recorded (cheap), else one header-only read (no pixel
+            # decode, and never through the scene LRU -- a full
+            # read_geotiff here would LZW-decode every candidate scene
+            # and evict load()'s working set)
             b = s.get("bounds")
             if b is None:
-                g = self._load_scene(s["path"])
-                gt = equator_referenced_gt(g.info.geotransform,
-                                           g.info.epsg)
-                b = [gt[0], gt[3] + g.info.height * gt[5],
-                     gt[0] + g.info.width * gt[1], gt[3]]
+                b = self._scene_bounds(s["path"])
             if b[2] < tx0 or b[0] > tx1 or b[3] < ty0 or b[1] > ty1:
                 continue
             out.append(SceneMeta(s["id"], product, date, cf, s["path"],
@@ -176,6 +176,23 @@ class LocalCatalog(Catalog):
             return (np.zeros((0, n, n, len(bands)), np.float32),
                     np.zeros((0, n, n), bool))
         return np.stack(stacks), np.stack(valids)
+
+    def _scene_bounds(self, rel_path: str):
+        """Equator-referenced [x0, y0, x1, y1] from the GeoTIFF header
+        only (tags, no pixel decode); memoized per path."""
+        with self._lock:
+            cached = self._bounds_cache.get(rel_path)
+        if cached is not None:
+            return cached
+        from ..raster.geotiff import decode_geotiff_info
+        with open(os.path.join(self.root, rel_path), "rb") as f:
+            info = decode_geotiff_info(f.read())
+        gt = equator_referenced_gt(info.geotransform, info.epsg)
+        b = [gt[0], gt[3] + info.height * gt[5],
+             gt[0] + info.width * gt[1], gt[3]]
+        with self._lock:
+            self._bounds_cache[rel_path] = b
+        return b
 
     # -- scene cache ------------------------------------------------------
     def _load_scene(self, rel_path: str):

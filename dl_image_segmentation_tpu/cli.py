@@ -163,9 +163,16 @@ def cmd_predict(args) -> int:
     for i in range(0, len(files), args.batch_size):
         chunk = files[i:i + args.batch_size]
         gs = [read_geotiff(f) for f in chunk]
-        imgs = np.stack([g.array for g in gs]).astype(np.float32)
-        if imgs.max() > 1.0:
-            imgs = imgs / (255.0 if imgs.max() <= 255 else 65535.0)
+        # scale by SOURCE DTYPE, matching the training feed's
+        # _to_float_image (a per-batch max heuristic would scale a
+        # batch of dark uint16 chips by 255 instead of 65535 --
+        # inputs ~257x brighter than at training time)
+        src = np.stack([g.array for g in gs])
+        imgs = src.astype(np.float32)
+        if src.dtype == np.uint8:
+            imgs /= 255.0
+        elif src.dtype == np.uint16:
+            imgs /= 65535.0
         # pad the final batch to the compiled batch size
         n_real = len(chunk)
         if n_real < args.batch_size:

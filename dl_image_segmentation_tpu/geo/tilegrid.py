@@ -258,32 +258,34 @@ def tiles_from_shape(
     appear from both zones' grids, giving slight double coverage there
     rather than gaps. Single-zone AOIs use the bbox centre's zone,
     tiles overhanging the zone edge included (unchanged pre-split
-    behavior). AOIs touching the antimeridian work: zone spans are
-    computed per polygon part with wrap-aware longitude ranges, so a
-    Fiji-style AOI touches zones {60, 1} instead of enumerating all 60.
+    behavior). AOIs touching the antimeridian work when split into
+    parts per the GeoJSON spec (RFC 7946 3.1.9): zone spans are
+    computed per polygon part, so a Fiji-style MultiPolygon touches
+    zones {60, 1} instead of enumerating all 60, while a genuinely
+    wide part (lon -100..100) covers every zone in between.
 
     Returns tiles whose unpadded extent intersects the geometry (exact
     polygon-rectangle test, not just bbox).
     """
     geom = Geometry.coerce(shape)
 
-    # Candidate zones are computed PER POLYGON PART (wrap-aware), and a
-    # part is only ever projected into zones its own longitude span
-    # touches: projecting geometry into a zone half a world away both
-    # diverges the transverse-Mercator series and blows the projected
-    # bbox up to an astronomically large tile enumeration. A part whose
-    # raw lon span exceeds 180 deg is treated as crossing the
-    # antimeridian (negative lons wrapped up by 360), so Fiji-style
-    # AOIs touch zones {60, 1}, not 1..60.
+    # Candidate zones are computed PER POLYGON PART, and a part is only
+    # ever projected into zones its own longitude span touches:
+    # projecting geometry into a zone half a world away both diverges
+    # the transverse-Mercator series and blows the projected bbox up to
+    # an astronomically large tile enumeration. Raw longitude spans are
+    # taken at face value: per the GeoJSON spec (RFC 7946 section
+    # 3.1.9) antimeridian-crossing geometries are SPLIT into parts, so
+    # a Fiji-style AOI arrives as parts near +180 and -180 and touches
+    # zones {60, 1} -- while a genuinely wide part (lon -100..100)
+    # correctly touches every zone in between (no wrap guessing, which
+    # would compute the COMPLEMENT of the right zone set for wide
+    # AOIs).
     def _part_zones(lons: np.ndarray, lat_mid: float) -> List[int]:
         lo, hi = float(lons.min()), float(lons.max())
-        if hi - lo > 180.0:
-            adj = np.where(lons < 0, lons + 360.0, lons)
-            lo, hi = float(adj.min()), float(adj.max())
-        z_lo = int(_crs.utm_zone_from_lonlat(
-            ((lo + 180.0) % 360.0) - 180.0, lat_mid))
-        z_hi = int(_crs.utm_zone_from_lonlat(
-            ((min(hi, lo + 359.999) + 180.0) % 360.0) - 180.0, lat_mid))
+        z_lo = int(_crs.utm_zone_from_lonlat(lo, lat_mid))
+        z_hi = int(_crs.utm_zone_from_lonlat(min(hi, 179.999999),
+                                             lat_mid))
         if z_lo <= z_hi:
             return list(range(z_lo, z_hi + 1))
         return list(range(z_lo, 61)) + list(range(1, z_hi + 1))

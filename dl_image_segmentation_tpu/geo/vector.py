@@ -169,18 +169,25 @@ def _open_shapefile(path: str) -> VectorDataset:
     name = os.path.splitext(os.path.basename(path))[0]
     geoms = _read_shp(path)
     dbf_path = os.path.splitext(path)[0] + ".dbf"
-    props: List[Dict[str, object]]
     if os.path.exists(dbf_path):
         props = _read_dbf(dbf_path)
+        if len(props) < len(geoms):
+            # fewer .dbf rows than geometries would silently shift
+            # every later attribute onto the wrong geometry via zip
+            raise ValueError(
+                f"{dbf_path}: {len(props)} attribute rows for "
+                f"{len(geoms)} geometries -- corrupt sidecar")
+        # props[i] is None for soft-deleted records: drop geometry i
+        # with it (OGR's behaviour), keeping all later rows aligned
+        feats = [Feature(g, p)
+                 for g, p in zip(geoms, props) if p is not None]
     else:
-        props = [{} for _ in geoms]
+        feats = [Feature(g, {}) for g in geoms]
     crs_epsg = 4326
     prj_path = os.path.splitext(path)[0] + ".prj"
     if os.path.exists(prj_path):
         with open(prj_path, "r", encoding="utf-8", errors="replace") as f:
             crs_epsg = _epsg_from_wkt(f.read()) or 4326
-    feats = [Feature(g, p if i < len(props) else {})
-             for i, (g, p) in enumerate(zip(geoms, props))]
     return VectorDataset([VectorLayer(name, feats, crs_epsg)])
 
 
@@ -279,7 +286,9 @@ def _signed_area(ring: np.ndarray) -> float:
     return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) / 2.0)
 
 
-def _read_dbf(path: str) -> List[Dict[str, object]]:
+def _read_dbf(path: str) -> List[Optional[Dict[str, object]]]:
+    """Attribute rows by record index; None marks a soft-deleted
+    record (caller drops its geometry too, preserving alignment)."""
     with open(path, "rb") as f:
         data = f.read()
     if len(data) < 32:
@@ -302,8 +311,9 @@ def _read_dbf(path: str) -> List[Dict[str, object]]:
             break
         rec = data[off:off + rec_size]
         off += rec_size
-        if rec[:1] == b"*":  # deleted
-            continue
+        if rec[:1] == b"*":  # deleted: keep a placeholder so row i
+            out.append(None)  # still pairs with geometry i (caller
+            continue          # drops the pair together, like OGR)
         props: Dict[str, object] = {}
         p = 1
         for fname, ftype, flen, fdec in fields:

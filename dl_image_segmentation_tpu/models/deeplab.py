@@ -83,8 +83,10 @@ class DeepLabLite(nn.Module):
         x = _ConvBNAct(f * 4, strides=2, dtype=self.dtype)(x)    # 1/8
         x = _ConvBNAct(f * 8, dtype=self.dtype)(x)
         x = ASPP(self.aspp_features, dtype=self.dtype)(x)
-        # decoder: upsample to 1/2, fuse the low-level features, refine
-        x = jax.image.resize(x, (n, h // 2, w // 2, x.shape[-1]),
+        # decoder: upsample to the skip tensor's ACTUAL dims (stride-2
+        # SAME convs produce ceil(h/2); h//2 would mismatch odd sizes)
+        x = jax.image.resize(x, (n, low.shape[1], low.shape[2],
+                                 x.shape[-1]),
                              method="bilinear").astype(self.dtype)
         low = _ConvBNAct(48, kernel=1, dtype=self.dtype)(low)
         x = jnp.concatenate([x, low], axis=-1)

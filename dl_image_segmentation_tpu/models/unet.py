@@ -65,7 +65,11 @@ class UNet(nn.Module):
             x = nn.ConvTranspose(f * (2 ** lvl), (2, 2), strides=(2, 2),
                                  dtype=self.dtype,
                                  param_dtype=jnp.float32)(x)
-            x = jnp.concatenate([x, skips[lvl].astype(x.dtype)], axis=-1)
+            skip = skips[lvl]
+            # odd inputs: stride-2 downsample keeps ceil(h/2), so the
+            # doubled upsample is one row/col larger -- crop to skip
+            x = x[:, :skip.shape[1], :skip.shape[2], :]
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = ConvBlock(f * (2 ** lvl), dtype=self.dtype)(x)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                          param_dtype=jnp.float32)(x)

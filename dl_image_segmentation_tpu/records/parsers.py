@@ -75,8 +75,14 @@ def _build_templates():
     return conv(_BYTES_TEMPLATE_SPEC), conv(_ARRAY_TEMPLATE_SPEC)
 
 
-featuretemplate_bytestring_imagechip, featuretemplate_ndarray_imagechip = (
-    _build_templates())
+_templates_cache = None
+
+
+def _templates():
+    global _templates_cache
+    if _templates_cache is None:
+        _templates_cache = _build_templates()
+    return _templates_cache
 
 
 # ---------------------------------------------------------------------------
@@ -192,11 +198,15 @@ parse_higher_example = parse_higher_dtype_array_proto
 
 
 def __getattr__(name):
-    """Graph-mode tf.data variants (``*_tf`` suffix) live in
-    parsers_tf.py and are re-exported here lazily so ``from ...parsers
-    import parse_8bit_array_proto_tf`` works without importing TF until
-    the function is actually used."""
+    """Lazy attributes: the graph-mode ``*_tf`` parser variants (in
+    parsers_tf.py) and the feature templates. Both would otherwise
+    import TensorFlow (~5 s, ~1 GB RSS) at module import time even for
+    the pure-numpy training feed, which only needs PARSE_FNS."""
     if name.startswith("parse_") and name.endswith("_tf"):
         from . import parsers_tf
         return getattr(parsers_tf, name)
+    if name == "featuretemplate_bytestring_imagechip":
+        return _templates()[0]
+    if name == "featuretemplate_ndarray_imagechip":
+        return _templates()[1]
     raise AttributeError(name)

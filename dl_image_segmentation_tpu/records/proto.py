@@ -100,6 +100,10 @@ def encode_float_list_feature(values) -> bytes:
     """
     arr = np.ascontiguousarray(values, dtype="<f4")
     payload = arr.tobytes()
+    if not payload:
+        # TF omits the packed field entirely for an empty list (an
+        # explicit zero-length field would break byte-identity)
+        return _len_delimited(2, b"")
     inner = _tag(1, _WIRE_LEN) + encode_varint(len(payload)) + payload
     return _len_delimited(2, inner)
 
@@ -107,6 +111,8 @@ def encode_float_list_feature(values) -> bytes:
 def encode_int64_list_feature(values: Sequence[int]) -> bytes:
     """Feature{ int64_list: Int64List{ value: packed varints } }"""
     payload = b"".join(encode_varint(int(v)) for v in values)
+    if not payload:
+        return _len_delimited(3, b"")
     inner = _tag(1, _WIRE_LEN) + encode_varint(len(payload)) + payload
     return _len_delimited(3, inner)
 

@@ -118,13 +118,19 @@ def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
             if len(header) < 8:
                 raise IOError(f"truncated record header in {path}")
             (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_raw = f.read(4)
+            if len(hcrc_raw) < 4:  # IOError like every other
+                raise IOError(f"truncated record header in {path}")
+            (hcrc,) = struct.unpack("<I", hcrc_raw)
             if verify_crc and masked_crc32c(header) != hcrc:
                 raise IOError(f"corrupt record header CRC in {path}")
             data = f.read(length)
             if len(data) < length:
                 raise IOError(f"truncated record in {path}")
-            (dcrc,) = struct.unpack("<I", f.read(4))
+            dcrc_raw = f.read(4)
+            if len(dcrc_raw) < 4:
+                raise IOError(f"truncated record in {path}")
+            (dcrc,) = struct.unpack("<I", dcrc_raw)
             if verify_crc and masked_crc32c(data) != dcrc:
                 raise IOError(f"corrupt record data CRC in {path}")
             yield data

@@ -467,18 +467,21 @@ class TestAntimeridian:
         assert {t.zone for t in tiles} <= {60, 1}
         assert {t.zone for t in tiles} == {60, 1}
 
-    def test_single_part_crossing_antimeridian(self):
-        """A single part whose raw lon span exceeds 180 deg is treated
-        as antimeridian-crossing (negative lons wrapped by +360), not
-        as a world-spanning AOI."""
+    def test_wide_part_spans_middle_zones_not_complement(self):
+        """Regression: a lon-span>180 wrap heuristic would compute the
+        COMPLEMENT of the right zone set for a genuinely wide AOI.
+        Raw spans are taken at face value (RFC 7946 splits crossing
+        geometries into parts), so a -100..100 part must touch the
+        MIDDLE zones, never wrap around through 60/1."""
         from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
-        ring = [[179.92, -17.0], [-179.96, -17.0], [-179.96, -16.96],
-                [179.92, -16.96], [179.92, -17.0]]
+        ring = [[-100.0, 10.0], [100.0, 10.0], [100.0, 10.01],
+                [-100.0, 10.01], [-100.0, 10.0]]
         tiles = tiles_from_shape({"type": "Polygon",
                                   "coordinates": [ring]},
-                                 resolution=10.0, tilesize=200, pad=0)
-        assert tiles
-        assert {t.zone for t in tiles} <= {60, 1}
+                                 resolution=10.0, tilesize=2000, pad=0)
+        zones = {t.zone for t in tiles}
+        assert min(zones) <= 15 and max(zones) >= 46  # middle covered
+        assert 30 in zones  # smack in the middle, was empty pre-fix
 
     def test_wide_multizone_aoi_enumeration_bounded(self):
         """A ~3-zone-wide AOI stays band-bounded per zone: the number
@@ -496,3 +499,33 @@ class TestAntimeridian:
         # plus seam double coverage; far below a per-zone re-sweep
         # (which would be ~4x as many)
         assert len(tiles) < 2600
+
+
+class TestShapefileDeletedRecords:
+    def test_deleted_dbf_record_keeps_alignment(self, tmp_path):
+        """A soft-deleted .dbf row (marker '*') must drop ITS geometry
+        and keep every later attribute on the right geometry -- the
+        old reader skipped the row and shifted all later attributes
+        one feature back (silent wrong labels)."""
+        from dl_image_segmentation_tpu.geo.vector import write_shapefile
+        feats = []
+        for i in range(3):
+            ext = np.array([[i * 20, 0], [i * 20 + 10, 0],
+                            [i * 20 + 10, 10], [i * 20, 10],
+                            [i * 20, 0]], float)
+            feats.append(Feature(Geometry([[ext]]), {"cls": i + 1}))
+        p = str(tmp_path / "d.shp")
+        write_shapefile(p, VectorLayer("d", feats, 4326))
+        # soft-delete record 1 (middle): flip its deletion flag byte
+        dbf = str(tmp_path / "d.dbf")
+        data = bytearray(open(dbf, "rb").read())
+        import struct as _struct
+        hdr_size, rec_size = _struct.unpack("<HH", data[8:12])
+        data[hdr_size + rec_size] = 0x2A  # b"*"
+        open(dbf, "wb").write(bytes(data))
+        ds = open_vector(p)
+        fs = ds.get_layer(0).features
+        assert len(fs) == 2
+        assert [f.properties["cls"] for f in fs] == [1, 3]
+        # geometry 2 (cls 3) is the one at x 40..50, not 20..30
+        assert fs[1].geometry.bounds[0] == 40.0

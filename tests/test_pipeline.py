@@ -286,6 +286,43 @@ class TestLocalCatalog:
         np.testing.assert_array_equal(stack[0, 0:2, 2:4, 0], 1)
 
 
+    def test_search_without_indexed_bounds_is_header_only(self, tmp_path):
+        """index.json without 'bounds' entries: search must resolve
+        scene bounds from the GeoTIFF header alone -- the old fallback
+        full-decoded every candidate scene INTO the scene LRU, evicting
+        load()'s working set."""
+        import json as _json
+        root = str(tmp_path / "cat")
+        cat = LocalCatalog.create(root)
+        gt = TILE.geotrans
+        arr = np.zeros((64, 64, 1), np.uint16)
+        cat.add_scene("p", ["b"], "s1", dt.date(2020, 1, 1), arr, gt,
+                      epsg=32600 + ZONE)
+        idx_path = os.path.join(root, "index.json")
+        idx = _json.load(open(idx_path))
+        for prod in idx["products"].values():
+            for s in prod["scenes"]:
+                s.pop("bounds", None)
+        _json.dump(idx, open(idx_path, "w"))
+        cat2 = LocalCatalog(root)
+        scenes = cat2.search(TILE, "p")
+        assert len(scenes) == 1
+        assert cat2._cache == {}  # no pixel decodes during search
+        # and a scene far away is excluded via header bounds too
+        x0, y0, x1, y1 = TILE.bounds
+        far_gt = (x0 + 10_000_000, gt[1], 0.0, gt[3], 0.0, gt[5])
+        cat2.add_scene("p", ["b"], "s2", dt.date(2020, 1, 2), arr,
+                       far_gt, epsg=32600 + ZONE)
+        idx = _json.load(open(idx_path))
+        for prod in idx["products"].values():
+            for s in prod["scenes"]:
+                s.pop("bounds", None)
+        _json.dump(idx, open(idx_path, "w"))
+        cat3 = LocalCatalog(root)
+        assert [m.scene_id for m in cat3.search(TILE, "p")] == ["s1"]
+        assert cat3._cache == {}
+
+
 class TestStitch:
     def test_stitch_roundtrip(self, tmp_path):
         """create chips on a 2x2 tile block -> stitch -> values land at

@@ -214,3 +214,37 @@ def test_list_shards_skips_tmp(tmp_path):
     (tmp_path / "d-00009-of-00002.tmp").write_bytes(b"torn")
     out = list_shards(str(tmp_path), "d")
     assert len(out) == 2 and not any(f.endswith(".tmp") for f in out)
+
+
+class TestEmptyListFeatures:
+    def test_empty_float_and_int64_lists_match_tf(self):
+        """TF omits the packed field for empty lists; an explicit
+        zero-length field diverges byte-for-byte (regression)."""
+        tf = pytest.importorskip("tensorflow")
+        from dl_image_segmentation_tpu.records import proto
+        ours_f = proto.encode_float_list_feature([])
+        tf_f = tf.train.Feature(float_list=tf.train.FloatList(
+            value=[])).SerializeToString(deterministic=True)
+        assert ours_f == tf_f
+        ours_i = proto.encode_int64_list_feature([])
+        tf_i = tf.train.Feature(int64_list=tf.train.Int64List(
+            value=[])).SerializeToString(deterministic=True)
+        assert ours_i == tf_i
+
+
+class TestTruncatedShardEdges:
+    def test_truncation_inside_crc_raises_ioerror(self, tmp_path):
+        from dl_image_segmentation_tpu.records.tfrecord import (
+            TFRecordWriter, read_records)
+        p = str(tmp_path / "s")
+        with TFRecordWriter(p) as w:
+            w.write(b"payload-bytes")
+        data = open(p, "rb").read()
+        # cut inside the header CRC (8 header bytes + 2)
+        open(p, "wb").write(data[:10])
+        with pytest.raises(IOError):
+            list(read_records(p))
+        # cut inside the data CRC (8 + 4 + payload + 2)
+        open(p, "wb").write(data[:8 + 4 + 13 + 2])
+        with pytest.raises(IOError):
+            list(read_records(p))

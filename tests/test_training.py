@@ -622,3 +622,25 @@ class TestSpatialScanned:
         tr = Trainer(cfg, mesh=make_mesh(n_data=4, n_model=2))
         out = tr.train_scanned(pool, total_steps=4, steps_per_dispatch=4)
         assert np.isfinite(out["loss"])
+
+
+class TestOddImageSizes:
+    def test_unet_odd_size_forward(self):
+        import jax
+        import jax.numpy as jnp
+        from dl_image_segmentation_tpu.models.unet import UNet
+        m = UNet(num_classes=2, base_features=4, levels=3)
+        x = jnp.zeros((1, 33, 45, 3), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        out = m.apply({"params": params}, x)
+        assert out.shape == (1, 33, 45, 2)
+
+    def test_deeplab_odd_size_forward(self):
+        import jax
+        import jax.numpy as jnp
+        from dl_image_segmentation_tpu.models.deeplab import DeepLabLite
+        m = DeepLabLite(num_classes=3, base_features=4)
+        x = jnp.zeros((1, 37, 51, 3), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        out = m.apply({"params": params}, x)
+        assert out.shape == (1, 37, 51, 3)
