@@ -35,14 +35,24 @@ def _so_path() -> str:
 
 
 def _build(so: str) -> bool:
+    # pid-unique temp: concurrent first-use builds from several
+    # processes each link their own file and atomically replace --
+    # a shared tmp name would interleave linker writes and could
+    # promote a corrupt .so that poisons every later run
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", so + ".tmp", _SRC]
+           "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return True
     except (subprocess.SubprocessError, OSError):
-        return False
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        # another process may have finished the build meanwhile
+        return os.path.exists(so)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

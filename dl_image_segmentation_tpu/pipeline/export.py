@@ -108,7 +108,11 @@ def run_export(jobs: Sequence[DLTileJobConfig],
                 if progress:
                     progress(f"batched attempt failed ({e}); "
                              "falling back to per-tile")
-                results = [attempt_one(j) for j in pending]
+                if n_workers <= 1 or len(pending) == 1:
+                    results = [attempt_one(j) for j in pending]
+                else:  # same fan-out as the non-batched branch
+                    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                        results = list(ex.map(attempt_one, pending))
         elif n_workers <= 1 or len(pending) == 1:
             results = [attempt_one(j) for j in pending]
         else:

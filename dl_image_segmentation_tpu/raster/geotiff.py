@@ -17,6 +17,7 @@ GDAL_NODATA, ModelPixelScale + ModelTiepoint, GeoKeyDirectory EPSG.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass
@@ -477,14 +478,23 @@ def encode_geotiff(
         tags.append((_T_MODEL_TIEPOINT, 12, 6,
                      [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]))
     if epsg is not None:
-        gk = [1, 1, 0, 3,
-              1024, 0, 1, 1,      # GTModelType = projected
-              1025, 0, 1, 1,      # GTRasterType = PixelIsArea
-              3072, 0, 1, epsg]   # ProjectedCSType
+        if 4000 <= epsg <= 4999:  # geographic CRS (e.g. 4326 WGS84)
+            gk = [1, 1, 0, 3,
+                  1024, 0, 1, 2,      # GTModelType = geographic
+                  1025, 0, 1, 1,      # GTRasterType = PixelIsArea
+                  2048, 0, 1, epsg]   # GeographicType
+        else:
+            gk = [1, 1, 0, 3,
+                  1024, 0, 1, 1,      # GTModelType = projected
+                  1025, 0, 1, 1,      # GTRasterType = PixelIsArea
+                  3072, 0, 1, epsg]   # ProjectedCSType
         tags.append((_T_GEO_KEY_DIRECTORY, 3, len(gk), gk))
     if nodata is not None:
-        nd = (f"{int(nodata)}" if float(nodata) == int(nodata)
-              else repr(float(nodata))) + "\x00"
+        import math
+        nodata_f = float(nodata)
+        nd = (f"{int(nodata_f)}"
+              if math.isfinite(nodata_f) and nodata_f == int(nodata_f)
+              else repr(nodata_f)) + "\x00"
         tags.append((_T_GDAL_NODATA, 2, len(nd), nd))
 
     tags.sort(key=lambda t: t[0])
@@ -559,8 +569,14 @@ def encode_geotiff(
 
 
 def write_geotiff(path: str, array: np.ndarray, **kwargs) -> None:
-    with open(path, "wb") as f:
+    """Atomic write (tmp + rename): existence == complete, so the
+    chip pipeline's is_done resume never accepts a torn file from a
+    crashed run (a truncated TIFF would pass header-only sniffing and
+    flow silently into training shards)."""
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
         f.write(encode_geotiff(array, **kwargs))
+    os.replace(tmp, path)
 
 
 def _lzw_encode_fast(raw: bytes) -> bytes:

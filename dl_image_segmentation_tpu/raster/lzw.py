@@ -129,4 +129,8 @@ def lzw_decode(data: bytes, max_size: int | None = None) -> bytes:
         old = entry
         if max_size is not None and len(out) >= max_size:
             break
+    if max_size is not None and len(out) > max_size:
+        # exact cap, matching the native decoder's truncation -- the
+        # two paths must return identical bytes for identical inputs
+        return bytes(out[:max_size])
     return bytes(out)

@@ -66,9 +66,15 @@ def duty_cycle(step_fn: Callable, batches: Iterator, n_steps: int,
     """Measure end-to-end step rate and the device-busy fraction.
 
     Runs ``n_steps`` with the real input feed (async dispatch, one sync
-    at the end), then re-runs the same count on a single resident batch
-    to get pure device time; duty = device_time / e2e_time."""
+    at the end), then re-runs the same count on a resident batch whose
+    content is rolled per step -- identical repeated dispatches would
+    be content-memoized by the axon relay (CLAUDE.md: never trust
+    repeated-identical-input timings), reporting near-zero device time.
+    duty = device_time / e2e_time. On a tunneled setup both windows
+    include the per-dispatch relay overhead; for the clean h/s
+    decomposition use tpu_evidence.py's K-vs-2K method instead."""
     import jax
+    import jax.numpy as jnp
 
     first = next(batches)
     out = step_fn(*first)
@@ -82,9 +88,14 @@ def duty_cycle(step_fn: Callable, batches: Iterator, n_steps: int,
     e2e = time.perf_counter() - t0
 
     resident = device_only_batch if device_only_batch is not None else first
+    rest = tuple(resident[1:])
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        out = step_fn(*resident)
+    for i in range(n_steps):
+        # roll the flattened batch by a per-step amount: distinct
+        # dispatch content each step (dtype/shape preserved, one cheap
+        # device op) so relay memoization cannot fake the timing
+        imgs = jnp.roll(resident[0], i + 1, axis=None)
+        out = step_fn(imgs, *rest)
     jax.block_until_ready(out)
     dev = time.perf_counter() - t0
 

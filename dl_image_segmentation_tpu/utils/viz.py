@@ -16,8 +16,14 @@ import numpy as np
 
 
 def _mpl():
+    import os
+
     import matplotlib
-    matplotlib.use("Agg")
+    # only force the headless backend when no GUI/user choice exists:
+    # an unconditional use("Agg") silently no-ops .show() in
+    # interactive sessions (the module contract is "save or show")
+    if not os.environ.get("MPLBACKEND") and not os.environ.get("DISPLAY"):
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     return plt
 

@@ -104,9 +104,18 @@ def write_html_map(out_path: str, tiles: Sequence = (),
         labels_gj = _layer_to_geojson(labels_layer.to_wgs84())
     else:
         labels_gj = {"type": "FeatureCollection", "features": []}
+    # "<" escaped as \\u003c inside the JSON (valid JSON, identical
+    # parse): a feature attribute containing a closing script tag
+    # would otherwise terminate the inline script element (broken map
+    # / markup injection when the HTML is shared)
+    def _safe(obj) -> str:
+        return json.dumps(obj).replace("<", "\\u003c")
+
+    import html as _html
+    title = _html.escape(str(title))
     html = _TEMPLATE.format(title=title, css=_LEAFLET_CSS, js=_LEAFLET_JS,
-                            tiles_geojson=json.dumps(tiles_gj),
-                            labels_geojson=json.dumps(labels_gj))
+                            tiles_geojson=_safe(tiles_gj),
+                            labels_geojson=_safe(labels_gj))
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(html)
     return out_path

@@ -157,3 +157,30 @@ class TestDoctor:
         out = capsys.readouterr().out
         assert rc == 0
         assert out.count("OK ") >= 5 and "FAIL" not in out
+
+
+class TestWebmapEscaping:
+    def test_script_closing_tag_in_properties_is_escaped(self, tmp_path):
+        """A label attribute containing a closing script tag must not
+        terminate the inline <script> element (broken map / markup
+        injection)."""
+        from dl_image_segmentation_tpu.geo.vector import (Feature,
+                                                          VectorLayer)
+        from dl_image_segmentation_tpu.geo.geometry import Geometry
+        from dl_image_segmentation_tpu.utils.webmap import write_html_map
+        import json as _json2
+
+        import numpy as _np
+        ring = _np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+        evil = "</script><script>alert(1)</script>"
+        lyr = VectorLayer("l", [Feature(Geometry([[ring]]),
+                                        {"name": evil})], 4326)
+        out = str(tmp_path / "m.html")
+        write_html_map(out, [], lyr, title="<t>")
+        html = open(out).read()
+        # exactly the template's own closing tags, none from the data
+        assert html.count("</script>") == 2
+        assert "\\u003c/script" in html
+        assert "<t>" not in html  # title escaped
+        lj = html.split("var labels = ")[1].split(";\n")[0]
+        assert _json2.loads(lj)["features"][0]["properties"]["name"] == evil

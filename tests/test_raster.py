@@ -3,6 +3,7 @@ round-trips across dtypes/band-counts, geo tags, nodata, third-party
 interop (PIL + cv2 read our files; we read theirs)."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -330,3 +331,48 @@ class TestFloatPredictor:
                                  bits=8, sfmt=1)
         with pytest.raises(ValueError, match="non-float"):
             decode_geotiff(tif)
+
+
+class TestEncodeEdges:
+    def test_nan_nodata_roundtrip(self):
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            decode_geotiff, encode_geotiff)
+        arr = np.zeros((8, 8, 1), np.float32)
+        data = encode_geotiff(arr, nodata=float("nan"))
+        info = decode_geotiff(data).info
+        assert np.isnan(info.nodata)
+
+    def test_geographic_epsg_roundtrip(self):
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            decode_geotiff, encode_geotiff)
+        arr = np.zeros((8, 8, 1), np.uint8)
+        data = encode_geotiff(arr, geotransform=(10, 0.1, 0, 50, 0, -0.1),
+                              epsg=4326)
+        info = decode_geotiff(data).info
+        assert info.epsg == 4326
+        # GTModelType must be geographic (2), key 1024
+        from dl_image_segmentation_tpu.raster.geotiff import _parse_ifd
+        _, tags = _parse_ifd(data)
+        gk = tags[34735]
+        keys = {int(gk[4 + k * 4]): int(gk[4 + k * 4 + 3])
+                for k in range(int(gk[3]))}
+        assert keys[1024] == 2 and keys[2048] == 4326
+
+    def test_write_geotiff_atomic_no_tmp_left(self, tmp_path):
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        p = str(tmp_path / "a.tif")
+        write_geotiff(p, np.zeros((8, 8), np.uint8))
+        assert os.listdir(tmp_path) == ["a.tif"]
+
+    def test_python_lzw_max_size_matches_native(self):
+        from dl_image_segmentation_tpu import _native
+        from dl_image_segmentation_tpu.raster import lzw as pylzw
+        payload = bytes(range(256)) * 8
+        enc = pylzw.lzw_encode(payload)
+        for cap in (1, 100, 1000, len(payload)):
+            got_py = pylzw.lzw_decode(enc, max_size=cap)
+            assert len(got_py) == cap
+            assert got_py == payload[:cap]
+            if _native.available():
+                got_c = _native.lzw_decode(enc, max_size=cap)
+                assert got_c == got_py

@@ -13,9 +13,17 @@ amortized K-per-dispatch with lax.scan.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# per-invocation nonce folded into every timed PRNG key: the axon
+# relay content-memoizes whole dispatches ACROSS runs, so constant
+# keys would replay a previous invocation's results in ~0 device time
+# and record fake timings (CLAUDE.md: never trust repeated-identical-
+# input timings)
+_NONCE = int.from_bytes(os.urandom(3), "little") * 1000
 
 
 def kernel_smoke():
@@ -88,9 +96,9 @@ def median_timing(K: int = 16, reps: int = 3):
     for name, fn in [("jnp", lambda x, v: masked_median(x, v)),
                      ("pallas", lambda x, v: masked_median_pallas(x, v))]:
         run = scanned(fn)
-        float(run(jax.random.PRNGKey(999)))  # warm compile
+        float(run(jax.random.PRNGKey(_NONCE + 999)))  # warm compile
         best = min(
-            _timed(lambda r=r: float(run(jax.random.PRNGKey(r))))
+            _timed(lambda r=r: float(run(jax.random.PRNGKey(_NONCE + r))))
             for r in range(reps))
         out[f"median_{name}_ms_per_composite"] = round(best / K * 1e3, 2)
     out["median_pallas_speedup"] = round(
@@ -141,8 +149,8 @@ def rasterize_timing(K: int = 32, reps: int = 3):
     }
     out = {}
     for name, run in runs.items():
-        int(run(jax.random.PRNGKey(99)))  # warm compile, force exec
-        best = min(_timed(lambda r=r: int(run(jax.random.PRNGKey(r))))
+        int(run(jax.random.PRNGKey(_NONCE + 99)))  # warm compile, force exec
+        best = min(_timed(lambda r=r: int(run(jax.random.PRNGKey(_NONCE + r))))
                    for r in range(reps))
         out[f"rasterize_{name}_ms_per_burn"] = round(best / K * 1e3, 2)
     out["rasterize_pallas_speedup"] = round(
@@ -173,7 +181,10 @@ def duty_cycle(k_small: int = 50, k_long: int = 1500):
     from dl_image_segmentation_tpu.train.trainer import (TrainConfig,
                                                          Trainer)
 
-    rng = np.random.RandomState(0)
+    # nonce-seeded pool: with a fixed seed the whole dispatch SEQUENCE
+    # (deterministic params + pool + keys) replays a previous script
+    # run byte-for-byte and the relay memoizes every timed dispatch
+    rng = np.random.RandomState(_NONCE % (2 ** 31))
     imgs = rng.randint(0, 255, (128, 256, 256, 3), np.uint8)
     lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
     pool = DeviceDataPool(imgs, lbls)
