@@ -163,16 +163,21 @@ def cmd_predict(args) -> int:
     for i in range(0, len(files), args.batch_size):
         chunk = files[i:i + args.batch_size]
         gs = [read_geotiff(f) for f in chunk]
-        # scale by SOURCE DTYPE, matching the training feed's
-        # _to_float_image (a per-batch max heuristic would scale a
-        # batch of dark uint16 chips by 255 instead of 65535 --
-        # inputs ~257x brighter than at training time)
         src = np.stack([g.array for g in gs])
         imgs = src.astype(np.float32)
-        if src.dtype == np.uint8:
-            imgs /= 255.0
-        elif src.dtype == np.uint16:
-            imgs /= 65535.0
+        # deterministic scaling chosen by --scale; 'auto' = by source
+        # dtype, like the feed's _to_float_image for decode modes (a
+        # per-batch max heuristic would scale a batch of dark uint16
+        # chips by 255, ~257x brighter than at training). Models
+        # trained on tifarr records (raw-DN FloatLists) need
+        # --scale none to see the same distribution.
+        if args.scale == "auto":
+            if src.dtype == np.uint8:
+                imgs /= 255.0
+            elif src.dtype == np.uint16:
+                imgs /= 65535.0
+        elif args.scale != "none":
+            imgs *= float(args.scale)
         # pad the final batch to the compiled batch size
         n_real = len(chunk)
         if n_real < args.batch_size:
@@ -453,6 +458,13 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", type=int, default=8)
     pr.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
+    pr.add_argument("--scale", default="auto",
+                    help="input scaling, matching how the checkpoint "
+                         "was TRAINED: 'auto' = by chip dtype "
+                         "(uint8/255, uint16/65535 -- matches rgbraw/"
+                         "rgbarr/tifraw training), 'none' = raw values "
+                         "(matches tifarr training: FloatList records "
+                         "store unscaled DNs), or a float multiplier")
     pr.set_defaults(fn=cmd_predict)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint on shards")

@@ -44,9 +44,12 @@ dlseg train --records 'recs/demo-*' --mode tifarr --classes 3 \
   --batch-size 4 --steps 10 --log-every 5 --checkpoint ckpt
 dlseg eval --records 'recs/demo-*' --checkpoint ckpt --mode tifarr \
   --classes 3 --channels 3 --features 8 --levels 2 --image-size 64
+# --scale none: the checkpoint was trained on tifarr records, whose
+# FloatList payloads carry RAW DNs (no normalization) -- predict must
+# feed the same distribution, not dtype-scaled [0,1]
 dlseg predict --images "$CHIPDIR/images" --checkpoint ckpt \
   --out preds --classes 3 --channels 3 --features 8 --levels 2 \
-  --image-size 64 --batch-size 4
+  --image-size 64 --batch-size 4 --scale none
 dlseg stitch --chips preds --out prediction_map.tif
 dlseg map --chips "$CHIPDIR/images" --labels labels.geojson \
   --out map.html
@@ -56,7 +59,6 @@ dlseg push --records 'recs/demo-*' --dest store
 # (the reference's prior-model-outputs flow):
 python - <<'PY'
 import datetime as dt
-import glob
 from dl_image_segmentation_tpu.catalog import LocalCatalog
 lc = LocalCatalog.create("catalog")
 n = lc.ingest_chips("model:v1", ["class"], "preds", dt.date(2021, 1, 1))

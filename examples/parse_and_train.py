@@ -19,14 +19,14 @@ from dl_image_segmentation_tpu.records.tfrecord import read_records
 from dl_image_segmentation_tpu.train.trainer import TrainConfig, Trainer
 
 
-def demo_parse_one(shard: str):
-    """Parse a single record each way it supports (parse nb cells
-    12-37)."""
+def demo_parse_one(shard: str, mode: str):
+    """Parse a single record with the parser matching its storage
+    mode (parse nb cells 12-37)."""
+    from dl_image_segmentation_tpu.pipeline.input import PARSE_FNS
     rec = next(iter(read_records(shard)))
-    for name, fn in (("tifarr", parsers.parse_higher_dtype_array_proto),):
-        img, lbl, ident = fn(rec)
-        print(f"{name}: img {img.shape} {img.dtype}, lbl {lbl.shape}, "
-              f"identifier {ident.decode()!r}")
+    img, lbl, ident = PARSE_FNS[mode](rec)
+    print(f"{mode}: img {img.shape} {img.dtype}, lbl {lbl.shape}, "
+          f"identifier {ident.decode()!r}")
 
 
 def main():
@@ -40,7 +40,7 @@ def main():
     args = ap.parse_args()
 
     import glob
-    demo_parse_one(sorted(glob.glob(args.records))[0])
+    demo_parse_one(sorted(glob.glob(args.records))[0], args.mode)
 
     cfg = TrainConfig(num_classes=args.classes, in_channels=args.channels,
                       base_features=16, levels=2,

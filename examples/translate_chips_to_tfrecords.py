@@ -1,16 +1,17 @@
 """Workload 2: chip folders -> sharded TFRecords.
 
-Script equivalent of translate_chips_to_tfrecords.ipynb: both engines,
-both storage modes (its cells 12 and 16).
+Script equivalent of translate_chips_to_tfrecords.ipynb cell 16: the
+MP engine in both storage modes (decoded-array and raw-bytes) over
+GeoTIFF chips. The MT engine (cell 12) takes PNG/JPG chips -- see
+examples/tf_data_pipeline.py for that flow.
 
     python examples/translate_chips_to_tfrecords.py \
-        --chips /tmp/chips_demo/sentinel-cf0p0_10.0m_2pad_64_Mumbai_2020
+        --chips /tmp/chips_demo/sentinel-cf0_10.0m_2pad_64_Mumbai_2020
 """
 
 import argparse
 
-from dl_image_segmentation_tpu import (images_to_tfrecords_mp,
-                                       images_to_tfrecords_mt)
+from dl_image_segmentation_tpu import images_to_tfrecords_mp
 
 
 def main():

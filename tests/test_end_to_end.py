@@ -99,7 +99,9 @@ def test_golden_path(tmp_path):
     os.makedirs(pred_dir)
     for f in sorted(glob.glob(os.path.join(chip_dir, "images", "*.tif"))):
         g = read_geotiff(f)
-        img = g.array.astype(np.float32) / 65535.0
+        # raw DNs, same distribution the tifarr feed trained on
+        # (FloatList records store unscaled values)
+        img = g.array.astype(np.float32)
         pred = trainer.predict(img[None])[0]
         write_geotiff(os.path.join(pred_dir, os.path.basename(f)),
                       pred.astype(np.uint8),

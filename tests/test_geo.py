@@ -463,8 +463,6 @@ class TestAntimeridian:
         shape = {"type": "MultiPolygon", "coordinates": [[west], [east]]}
         tiles = tiles_from_shape(shape, resolution=10.0, tilesize=200,
                                  pad=0)
-        assert tiles
-        assert {t.zone for t in tiles} <= {60, 1}
         assert {t.zone for t in tiles} == {60, 1}
 
     def test_wide_part_spans_middle_zones_not_complement(self):

@@ -173,8 +173,6 @@ class TestShardWriteSafety:
         """A frame write that cannot be rolled back (unseekable fd)
         must raise IOError so the caller aborts the shard, instead of
         leaving a torn frame (ADVICE round 1, fastcodec.cc:559)."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         ipath, lpath = self._mk_pair(tmp_path)
         r, w = os.pipe()
         try:
@@ -292,31 +290,23 @@ class TestFusedTiffPair:
         return buf.getvalue()
 
     def test_uint16_float_mode_identical(self, tmp_path):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         ip, lp, _, _ = self._pair(tmp_path)
         written, failed, nat = self._native_record(tmp_path, ip, lp)
         assert written == 1 and failed == []
         assert nat == self._python_record(ip, lp)
 
     def test_uint8_bytes_mode_identical(self, tmp_path):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         ip, lp, _, _ = self._pair(tmp_path, img_dtype=np.uint8, bands=3)
         written, failed, nat = self._native_record(tmp_path, ip, lp)
         assert written == 1 and failed == []
         assert nat == self._python_record(ip, lp)
 
     def test_multiband_label_falls_back(self, tmp_path):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         ip, lp, _, _ = self._pair(tmp_path, lbl_bands=3)
         written, failed, _ = self._native_record(tmp_path, ip, lp)
         assert written == 0 and failed == [0]
 
     def test_float32_source_falls_back(self, tmp_path):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
         rng = np.random.RandomState(1)
         ip = str(tmp_path / "f32.tif")
@@ -331,8 +321,6 @@ class TestFusedTiffPair:
     def test_writer_pipeline_identity(self, tmp_path):
         """Whole-shard output through process_dataset_mp equals the
         pure-Python encode path byte-for-byte."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         import contextlib
         import io as _io
         from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
@@ -369,8 +357,6 @@ class TestFusedTiffPair:
     def test_multitile_raster_identical(self, tmp_path):
         """A 300x300 chip spans a 2x2 tile grid: the fused decoder's
         multi-chunk scatter path must stay byte-identical."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
         rng = np.random.RandomState(11)
         img = (rng.rand(300, 300, 4) * 4000).astype(np.uint16)
@@ -389,8 +375,6 @@ class TestFusedTiffPair:
 
     def test_striped_raster_identical(self, tmp_path):
         """Striped (non-tiled) layout through the fused decoder."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
         rng = np.random.RandomState(12)
         img = (rng.rand(64, 48, 2) * 4000).astype(np.uint16)
@@ -410,8 +394,6 @@ class TestFusedTiffPair:
     def test_bigtiff_falls_back(self, tmp_path):
         """BigTIFF pairs fall back to the Python codec (which decodes
         them) instead of being mis-parsed by the fused path."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.geotiff import (
             encode_geotiff)
         rng = np.random.RandomState(13)
@@ -430,8 +412,6 @@ class TestLZWFuzz:
         """Random buffers across entropy regimes: native encode ->
         native decode == identity, and native decode == the pure-Python
         oracle on the same stream."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.lzw import (
             lzw_decode as py_decode)
         rng = np.random.RandomState(99)
@@ -456,8 +436,6 @@ class TestLZWFuzz:
 
 class TestTiffDecodeF32:
     def test_matches_python_codec(self, tmp_path):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.geotiff import (
             decode_geotiff, write_geotiff)
         rng = np.random.RandomState(21)
@@ -474,8 +452,6 @@ class TestTiffDecodeF32:
             np.testing.assert_array_equal(nat, py)
 
     def test_unsupported_returns_none(self):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         assert _native.tiff_decode_f32(b"not a tiff at all") is None
 
 
@@ -484,15 +460,11 @@ class TestLzwTinyStreams:
     fast-window load would read past the buffer end)."""
 
     def test_empty_payload_roundtrip(self):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         enc = _native.lzw_encode(b"")
         assert enc is not None and 0 < len(enc) < 8
         assert _native.lzw_decode(enc) == b""
 
     def test_tiny_payloads_roundtrip(self):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         for payload in (b"A", b"ab", b"xyz", b"\x00\xff"):
             enc = _native.lzw_encode(payload)
             assert enc is not None
@@ -501,8 +473,6 @@ class TestLzwTinyStreams:
     def test_truncated_stream_no_garbage_growth(self):
         """Truncating a stream must never DECODE MORE than the full
         stream did (garbage tail bits emitted as codes)."""
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         payload = bytes(range(256)) * 4
         enc = _native.lzw_encode(payload)
         full = _native.lzw_decode(enc)
@@ -519,8 +489,6 @@ class TestTiffStrictTags:
     structurally valid but silently wrong record."""
 
     def test_many_band_uint16_falls_back_correctly(self, tmp_path):
-        if not _native.available():
-            pytest.skip("native extension unavailable")
         from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
         rng = np.random.RandomState(3)
         img = (rng.rand(8, 8, 70) * 4000).astype(np.uint16)  # 70 > 64

@@ -23,9 +23,6 @@ def brute_force_burn(features, shape, background, all_touched):
     cx = xs.ravel() + 0.5
     cy = ys.ravel() + 0.5
     for rings, value in features:
-        inside = np.zeros(h * w, bool)
-        for _ in ():
-            pass
         # even-odd over all rings of the feature
         cross = np.zeros(h * w, np.int64)
         for ring in rings:

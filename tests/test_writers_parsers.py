@@ -357,8 +357,11 @@ class TestGraphModeParsers:
                                           np.asarray(ni, ti.numpy().dtype))
             tgt = tt.numpy()
             ntgt = np.asarray(nt, tgt.dtype)
-            if ntgt.ndim == 3 and ntgt.shape[2] == 1 and tgt.ndim == 3:
-                pass
+            # only a trailing singleton band axis may differ between
+            # the tf and numpy parsers; any other rank mismatch is a
+            # parser regression the squeeze must not mask
+            assert tgt.squeeze().shape == ntgt.squeeze().shape, \
+                (tgt.shape, ntgt.shape)
             np.testing.assert_array_equal(tgt.squeeze(), ntgt.squeeze())
             assert tid.numpy() == nid
 
