@@ -45,6 +45,15 @@ def _build(so: str) -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
+        # drop builds of previous source revisions (hash-named, so
+        # they accumulate unboundedly across edits otherwise)
+        for old in os.listdir(_DIR):
+            if (old.startswith("fastcodec-") and old.endswith(".so")
+                    and os.path.join(_DIR, old) != so):
+                try:
+                    os.unlink(os.path.join(_DIR, old))
+                except OSError:
+                    pass
         return True
     except (subprocess.SubprocessError, OSError):
         try:
@@ -119,7 +128,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                       ctypes.c_char_p, ctypes.c_uint64]
         lib.fc_lzw_decode.restype = ctypes.c_uint64
         lib.fc_lzw_decode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
-                                      ctypes.c_char_p, ctypes.c_uint64]
+                                      ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_uint64]
         _lib = lib
         return _lib
 
@@ -324,27 +334,47 @@ def tiff_decode_f32(data: bytes):
     return out
 
 
+_lzw_buf = threading.local()
+_lzw_enc_buf = threading.local()
+
+
 def lzw_encode(data: bytes) -> Optional[bytes]:
     lib = get_lib()
     if lib is None:
         return None
     cap = len(data) + (len(data) >> 1) + 1024
+    # bounded growth: 0 also signals table-OOM inside the extension --
+    # without a ceiling that would loop doubling forever; past 5x the
+    # input even pathological LZW expansion (~1.5x) cannot be the
+    # cause, so fall back to the Python codec
+    limit = len(data) * 5 + (1 << 16)
     while True:
-        out = ctypes.create_string_buffer(cap)
-        n = lib.fc_lzw_encode(data, len(data), out, cap)
+        # thread-local scratch (create_string_buffer memsets `cap`
+        # bytes per call -- measurable on the chip-encode hot path)
+        buf = getattr(_lzw_enc_buf, "buf", None)
+        if buf is None or len(buf) < cap:
+            buf = bytearray(max(cap, 1 << 20))
+            _lzw_enc_buf.buf = buf
+        cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+        n = lib.fc_lzw_encode(data, len(data), cbuf, len(buf))
+        del cbuf
         if n:
-            return out.raw[:n]
-        cap *= 2  # pathological expansion; retry with more room
-
-
-_lzw_buf = threading.local()
+            return bytes(memoryview(buf)[:n])
+        cap = len(buf) * 2
+        if cap > limit:
+            return None
 
 
 def lzw_decode(data: bytes, max_size: Optional[int] = None) -> Optional[bytes]:
     lib = get_lib()
     if lib is None:
         return None
-    cap = max_size if max_size is not None else max(len(data) * 8, 1 << 16)
+    stop_at = max_size if max_size is not None else 0
+    # with a stop point the decoder exits once it is reached, so the
+    # buffer only needs stop_at plus one max-length table string of
+    # slack -- no unbounded growth for high-expansion streams
+    cap = (max_size + 4096 if max_size is not None
+           else max(len(data) * 8, 1 << 16))
     while True:
         # thread-local scratch (create_string_buffer would memset `cap`
         # bytes on every call -- measurable on the decode hot path)
@@ -353,7 +383,7 @@ def lzw_decode(data: bytes, max_size: Optional[int] = None) -> Optional[bytes]:
             buf = bytearray(max(cap, 1 << 20))
             _lzw_buf.buf = buf
         cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
-        n = lib.fc_lzw_decode(data, len(data), cbuf, len(buf))
+        n = lib.fc_lzw_decode(data, len(data), cbuf, len(buf), stop_at)
         del cbuf
         if n == (1 << 64) - 1:
             raise ValueError("corrupt LZW stream")

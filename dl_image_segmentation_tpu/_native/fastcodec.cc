@@ -44,6 +44,13 @@ static void crc32c_init() {
     crc32c_init_done = true;
 }
 
+// load-time init (see crc_shift_init_at_load: lazy bool checks from
+// multiple threads are a data race)
+static const bool crc32c_init_at_load = [] {
+    crc32c_init();
+    return true;
+}();
+
 // --- 3-stream CRC32C -------------------------------------------------------
 // The crc32 instruction has 3-cycle latency / 1-cycle throughput: a
 // single dependency chain runs at ~2.7 GB/s while three interleaved
@@ -118,6 +125,16 @@ static void crc_shift_init() {
     crc32c_zeros(crc_shift_short, CRC_SHORT);
     crc_shift_init_done = true;
 }
+
+// load-time init: a lazy plain-bool check from N writer threads is a
+// data race (a thread could observe done==true before the table
+// stores are visible and compute wrong CRCs -> silently corrupt
+// frames); running it before main/dlopen returns makes every later
+// read race-free, same pattern as fc_lit_table
+static const bool crc_shift_init_at_load = [] {
+    crc_shift_init();
+    return true;
+}();
 #endif  // __SSE4_2__
 
 uint32_t fc_crc32c(const uint8_t* data, uint64_t n, uint32_t initial) {
@@ -819,6 +836,7 @@ uint64_t fc_lzw_encode(const uint8_t* src, uint64_t n,
     uint32_t& epoch = tls.enc_epoch;
     if (!child) {
         child = (uint32_t*)malloc(4096 * 256 * sizeof(uint32_t));
+        if (!child) return 0;  // OOM: caller falls back to Python
         memset(child, 0, 4096 * 256 * sizeof(uint32_t));
         epoch = 0;
     }
@@ -907,8 +925,13 @@ static const bool fc_lit_table_init = [] {
     return true;
 }();
 
+// stop_at: 0 = decode the full stream; else stop (successfully) once
+// at least stop_at bytes are produced -- mirrors the Python oracle's
+// max_size early exit, so a caller capping output neither grows the
+// buffer unboundedly for high-expansion streams nor notices
+// corruption beyond the stop point (the oracle doesn't either).
 uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
-                       uint8_t* dst, uint64_t cap) {
+                       uint8_t* dst, uint64_t cap, uint64_t stop_at) {
     // one 8-byte entry per code: (output start << 16) | length -- a
     // single load on the table-hit path. Output offsets are < 2^48
     // (strip payloads are far below that) and string lengths < 2^16
@@ -920,6 +943,7 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
     uint64_t*& tab_tls = fc_tls().dec_tab;
     if (!tab_tls) {
         tab_tls = (uint64_t*)malloc(4096 * sizeof(uint64_t));
+        if (!tab_tls) return (uint64_t)-1;  // OOM: loud, never UB
         for (int i = 0; i < 256; i++) tab_tls[i] = 1;
     }
     // local copy: under -fPIC a thread_local read is a __tls_get_addr
@@ -998,6 +1022,7 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
         }                                                                    \
         prev_start = emit_start;                                             \
         prev_len = emit_len;                                                 \
+        if (stop_at && out >= stop_at) goto done;                            \
     }
 
     for (;;) {
@@ -1176,6 +1201,14 @@ static bool tiff_parse(const uint8_t* d, uint64_t n, TiffMeta* m) {
     if (m->w <= 0 || m->h <= 0 || noffs == 0 || noffs != ncnts)
         return false;
     m->nchunks = noffs;
+    // dimension sanity caps: with w/h/tw/th <= 2^20 and spp <= 256,
+    // every size product below stays far under 2^64 -- without them a
+    // crafted header (e.g. TileWidth = TileLength = 2^31) wraps
+    // chunk_bytes to a tiny value, defeats the scratch-capacity
+    // check, and tiff_scatter scribbles far outside the buffer
+    if (m->w > (1 << 20) || m->h > (1 << 20)) return false;
+    if (m->tw > (1 << 20) || m->th > (1 << 20)) return false;
+    if (m->spp <= 0 || m->spp > 256) return false;
     if (planar != 1 || sfmt != 1) return false;       // chunky uint only
     if (m->bps != 8 && m->bps != 16) return false;
     if (m->comp != 1 && m->comp != 5) return false;
@@ -1282,7 +1315,7 @@ static bool tiff_decode_into(const uint8_t* d, const TiffMeta* m,
                 raw = chunk_scratch;
             } else {
                 uint64_t got = fc_lzw_decode(src, cnt, chunk_scratch,
-                                             chunk_cap);
+                                             chunk_cap, 0);
                 if (got == (uint64_t)-1 || got == (uint64_t)-2
                     || got < need)
                     return false;

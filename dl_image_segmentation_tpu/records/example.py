@@ -127,18 +127,19 @@ def write_example_framed(fileobj, img_data, target_data, img_h, img_w,
         img_p, is_bytes, tgt_p, is_bytes,
         int(img_h), int(img_w), int(img_b), int(target_h), int(target_w),
         identifier) if _native.available() else None
+    from .tfrecord import writeall
     if mv is not None:
-        fileobj.write(mv)
+        writeall(fileobj, mv)
         return len(mv)
     rec = encode_example_features(img_data, target_data, img_h, img_w,
                                   img_b, target_h, target_w, identifier)
     import struct
     from .crc32c import masked_crc32c
     header = struct.pack("<Q", len(rec))
-    fileobj.write(header)
-    fileobj.write(struct.pack("<I", masked_crc32c(header)))
-    fileobj.write(rec)
-    fileobj.write(struct.pack("<I", masked_crc32c(rec)))
+    writeall(fileobj, header)
+    writeall(fileobj, struct.pack("<I", masked_crc32c(header)))
+    writeall(fileobj, rec)
+    writeall(fileobj, struct.pack("<I", masked_crc32c(rec)))
     return len(rec) + 16
 
 

@@ -36,6 +36,25 @@ def masked_crc32c(data) -> int:
     return _get_masked_crc()(bytes(data))
 
 
+def writeall(fileobj, data) -> int:
+    """Write ALL of ``data``, looping on short writes. Raw (unbuffered)
+    file objects may legally write fewer bytes than requested (e.g. a
+    transient ENOSPC that later clears, or an interrupting signal); a
+    single ignored-return write() would leave a torn frame mid-shard
+    that close()'s atomic rename then blesses as complete."""
+    view = memoryview(data) if not isinstance(data, memoryview) else data
+    total = len(view)
+    written = 0
+    while written < total:
+        n = fileobj.write(view[written:])
+        if n is None:  # buffered writers return None only on success
+            return total
+        if n <= 0:
+            raise IOError("write() made no progress")
+        written += n
+    return total
+
+
 class TFRecordWriter:
     """Streaming TFRecord writer. Frame assembly runs in the native
     extension when available (single memcpy + hardware CRC32C).
@@ -66,13 +85,13 @@ class TFRecordWriter:
     def write(self, record: Union[bytes, memoryview]) -> None:
         record = bytes(record)
         if self._native_frame is not None:
-            self._f.write(self._native_frame(record))
+            writeall(self._f, self._native_frame(record))
             return
         header = struct.pack("<Q", len(record))
-        self._f.write(header)
-        self._f.write(struct.pack("<I", _py_masked_crc32c(header)))
-        self._f.write(record)
-        self._f.write(struct.pack("<I", _py_masked_crc32c(record)))
+        writeall(self._f, header)
+        writeall(self._f, struct.pack("<I", _py_masked_crc32c(header)))
+        writeall(self._f, record)
+        writeall(self._f, struct.pack("<I", _py_masked_crc32c(record)))
 
     def flush(self) -> None:
         self._f.flush()

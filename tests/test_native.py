@@ -509,3 +509,50 @@ class TestTiffStrictTags:
         # a record with bps defaulted to 8
         assert written == 0 and failed == [0]
         assert os.path.getsize(shard) == 0
+
+
+class TestCraftedTiffHeaders:
+    def test_overflowing_tile_dims_rejected_cleanly(self, tmp_path):
+        """A crafted header with TileWidth=TileLength=2^31 wraps the
+        chunk-size product in uint64; the parser must REJECT it (clean
+        fallback / failed pair), never scribble out of bounds."""
+        import struct
+        def tag(tid, ttype, cnt, val):
+            ch = "H" if ttype == 3 else "I"
+            raw = struct.pack("<" + ch, val).ljust(4, b"\x00")
+            return struct.pack("<HHI", tid, ttype, cnt) + raw
+        big = 1 << 31
+        tags = [tag(256, 4, 1, 64), tag(257, 4, 1, 64),
+                tag(258, 3, 1, 16), tag(259, 3, 1, 5),
+                tag(277, 3, 1, 4), tag(322, 4, 1, big),
+                tag(323, 4, 1, big), tag(324, 4, 1, 200),
+                tag(325, 4, 1, 4), tag(339, 3, 1, 1)]
+        ifd = struct.pack("<H", len(tags)) + b"".join(sorted(tags)) \
+            + struct.pack("<I", 0)
+        data = b"II*\x00" + struct.pack("<I", 8) + ifd
+        data = data.ljust(200, b"\x00") + b"\x00\x01\x02\x03"
+        ip = str(tmp_path / "evil.tif")
+        open(ip, "wb").write(data)
+        lbl = str(tmp_path / "lbl.tif")
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        write_geotiff(lbl, np.zeros((8, 8), np.uint8))
+        shard = str(tmp_path / "shard")
+        fd = os.open(shard, os.O_WRONLY | os.O_CREAT, 0o644)
+        try:
+            written, failed = _native.write_shard_tifarr(
+                [ip], [lbl], [b"k"], fd)
+        finally:
+            os.close(fd)
+        assert written == 0 and failed == [0]
+
+    def test_max_size_stops_high_expansion_stream(self):
+        """With max_size, decode must stop at the cap instead of
+        materializing the full (possibly multi-GB) expansion."""
+        payload = b"\x00" * (1 << 20)  # ~1 MB of zeros: huge expansion
+        enc = _native.lzw_encode(payload)
+        assert len(enc) < (1 << 16)
+        out = _native.lzw_decode(enc, max_size=1000)
+        assert out == payload[:1000]
+        # python oracle identical
+        from dl_image_segmentation_tpu.raster import lzw as pylzw
+        assert pylzw.lzw_decode(enc, max_size=1000) == out
