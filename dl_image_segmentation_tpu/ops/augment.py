@@ -46,6 +46,12 @@ def augment_pairs(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
         images = sel(m, images[:, ::-1, :, :], images)
         labels = jnp.where(m[:, None, None], labels[:, ::-1, :], labels)
     if rot90:
+        if images.shape[1] != images.shape[2]:
+            raise ValueError(
+                f"rot90 augmentation needs square tiles, got "
+                f"{images.shape[1]}x{images.shape[2]}; pass rot90=False "
+                "for rectangular chips (the 90/270-degree variants "
+                "would change the shape)")
         k = jax.random.randint(k_r, (n,), 0, 4)
         rots_i = jnp.stack([images,
                             jnp.rot90(images, 1, axes=(1, 2)),

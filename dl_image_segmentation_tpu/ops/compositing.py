@@ -88,22 +88,14 @@ def _batcher_pairs(n: int):
     return pairs
 
 
-def masked_median_pallas(stack, valid, block: int = 128,
-                         interpret: Optional[bool] = None):
-    """Pallas masked median: blocks over (H, W), whole scene column in
-    VMEM. Same outputs as masked_median."""
+@functools.lru_cache(maxsize=64)
+def _median_pallas_fn(S: int, H: int, W: int, B: int, block: int,
+                      interpret: bool):
+    """Shape-keyed cached builder: pallas_call rebuilt per invocation
+    would retrace (fresh jaxpr -> dispatch-cache miss) on every
+    composite; the jit wrapper gives repeat shapes the C++ fast path."""
     from jax.experimental import pallas as pl
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    stack = jnp.asarray(stack, jnp.float32)
-    if valid.ndim == stack.ndim - 1:
-        valid = valid[..., None]
-    valid = jnp.broadcast_to(valid, stack.shape).astype(jnp.float32)
-    S, H, W, B = stack.shape
-    # move bands into the W axis for 128-lane friendliness: (S, H, W*B)
-    stack2 = stack.reshape(S, H, W * B)
-    valid2 = valid.reshape(S, H, W * B)
     # size blocks to a VMEM budget: two (S, bh, bw) f32 inputs, double
     # buffered, plus ~S live (bh, bw) registers for the sort network
     budget = 4 * 1024 * 1024
@@ -138,7 +130,7 @@ def masked_median_pallas(stack, valid, block: int = 128,
         med_ref[...] = jnp.where(n > 0, med, 0.0)
         cnt_ref[...] = n
 
-    med, cnt = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((grid[0] * bh, grid[1] * bw), jnp.float32),
@@ -154,10 +146,33 @@ def masked_median_pallas(stack, valid, block: int = 128,
             pl.BlockSpec((bh, bw), lambda i, j: (i, j)),
         ),
         interpret=interpret,
-    )(stack2, valid2)
-    med = med[:H, : W * B].reshape(H, W, B)
-    cnt = cnt[:H, : W * B].reshape(H, W, B)
-    return med, cnt > 0
+    )
+
+    def run(stack2, valid2):
+        med, cnt = call(stack2, valid2)
+        med = med[:H, : W * B].reshape(H, W, B)
+        cnt = cnt[:H, : W * B].reshape(H, W, B)
+        return med, cnt > 0
+
+    return jax.jit(run)
+
+
+def masked_median_pallas(stack, valid, block: int = 128,
+                         interpret: Optional[bool] = None):
+    """Pallas masked median: blocks over (H, W), whole scene column in
+    VMEM. Same outputs as masked_median."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    stack = jnp.asarray(stack, jnp.float32)
+    if valid.ndim == stack.ndim - 1:
+        valid = valid[..., None]
+    valid = jnp.broadcast_to(valid, stack.shape).astype(jnp.float32)
+    S, H, W, B = stack.shape
+    # move bands into the W axis for 128-lane friendliness: (S, H, W*B)
+    stack2 = stack.reshape(S, H, W * B)
+    valid2 = valid.reshape(S, H, W * B)
+    fn = _median_pallas_fn(S, H, W, B, block, bool(interpret))
+    return fn(stack2, valid2)
 
 
 def masked_median_composite(stack, valid, backend: str = "auto"
@@ -222,10 +237,17 @@ def nearest_valid_mosaic(stack: jnp.ndarray, valid: jnp.ndarray,
 
 def pad_stack(stack: np.ndarray, valid: np.ndarray, to_depth: int
               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad the scene axis to a static depth (padding scenes invalid)."""
+    """Pad the scene axis to a static depth (padding scenes invalid).
+
+    Never truncates: dropping scenes would silently change the
+    composite -- raise so the caller picks to_depth >= S."""
     S = stack.shape[0]
-    if S >= to_depth:
-        return stack[:to_depth], valid[:to_depth]
+    if S > to_depth:
+        raise ValueError(
+            f"stack has {S} scenes, more than to_depth={to_depth}; "
+            "padding must not silently drop scenes")
+    if S == to_depth:
+        return stack, valid
     pad_s = [(0, to_depth - S)] + [(0, 0)] * (stack.ndim - 1)
     pad_v = [(0, to_depth - S)] + [(0, 0)] * (valid.ndim - 1)
     return (np.pad(stack, pad_s), np.pad(valid, pad_v))

@@ -67,7 +67,13 @@ def pack_features(
             r = np.asarray(ring, dtype=np.float32)
             if len(r) < 2:
                 continue
-            if not np.allclose(r[0], r[-1]):
+            # EXACT closure test: with allclose, a nearly-closed dirty
+            # ring at large pixel coords (rtol dominates) got no
+            # closing segment, leaving a sub-pixel boundary gap that
+            # flips even-odd parity for half a row. Appending a
+            # zero-length closing segment to an already-closed ring is
+            # harmless (no straddle, no new touch), so err that way.
+            if not np.array_equal(r[0], r[-1]):
                 r = np.concatenate([r, r[:1]], axis=0)
             a = r[:-1]
             b = r[1:]
@@ -79,13 +85,30 @@ def pack_features(
         return (np.full((1, 1, 4), _FAR, np.float32),
                 np.zeros((1,), np.float32),
                 np.array([[-1.0e9, 1.0e9]], np.float32))
-    e_max = max_edges or max(len(e) for e, _, _ in feats)
+    biggest = max(len(e) for e, _, _ in feats)
+    if max_edges is not None and biggest > max_edges:
+        # numpy slice clamping would silently drop edges, leaving the
+        # polygon boundary open and inverting even-odd parity -- a
+        # wrong mask with no diagnostic
+        raise ValueError(
+            f"feature has {biggest} edges, over max_edges={max_edges}")
+    e_max = max_edges or biggest
     F = len(feats)
-    edges = np.full((F, e_max, 4), _FAR, dtype=np.float32)
-    values = np.zeros((F,), dtype=np.float32)
-    windows = np.zeros((F, 2), dtype=np.float32)
+    if max_edges is None:
+        # bucket BOTH padded axes to powers of two: every distinct
+        # (F, E) pair is a fresh trace/compile of the jitted kernels,
+        # and per-tile burns see different counts per tile. Padded
+        # rows are _FAR sentinel edges with empty effect, so output is
+        # identical; compile count becomes O(log^2) instead of O(tiles)
+        e_max = 1 << max(0, e_max - 1).bit_length()
+        F_pad = 1 << max(0, F - 1).bit_length()
+    else:
+        F_pad = F
+    edges = np.full((F_pad, e_max, 4), _FAR, dtype=np.float32)
+    values = np.zeros((F_pad,), dtype=np.float32)
+    windows = np.zeros((F_pad, 2), dtype=np.float32)
     for i, (e, v, w) in enumerate(feats):
-        edges[i, : len(e)] = e[:e_max]
+        edges[i, : len(e)] = e
         values[i] = v
         windows[i] = w
     return edges, values, windows
@@ -168,9 +191,12 @@ def _rasterize_jnp(edges: jnp.ndarray, values: jnp.ndarray,
 # Pallas backend
 # ---------------------------------------------------------------------------
 
-def _rasterize_pallas(edges, values, background, height, width, all_touched,
-                      block=256, interpret=False, windows=None):
-    """Pallas burn kernel.
+@functools.lru_cache(maxsize=64)
+def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
+                         interpret):
+    """Shape-keyed cached builder for the Pallas burn kernel (a fresh
+    pallas_call per invocation would retrace every burn; the jit
+    wrapper gives repeat shapes the dispatch-cache fast path).
 
     Grid = (row blocks, col blocks, features) with the FEATURE axis
     innermost: consecutive grid steps revisit the same output block, so
@@ -183,11 +209,6 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    F, E, _ = edges.shape
-    if windows is None:
-        windows = jnp.broadcast_to(
-            jnp.asarray([-1.0e9, 1.0e9], jnp.float32), (F, 2))
-    windows = jnp.asarray(windows, jnp.float32)
     bh = min(block, height)
     bw = min(block, width)
     grid = (-(-height // bh), -(-width // bw), F)
@@ -250,14 +271,33 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
         ],
         out_specs=pl.BlockSpec((bh, bw), lambda i, j, f, *_: (i, j)),
     )
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (grid[0] * bh, grid[1] * bw), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(values, background.reshape(1), windows, edges)
-    return out[:height, :width]
+    )
+
+    def run(values, background, windows, edges):
+        out = call(values, background.reshape(1), windows, edges)
+        return out[:height, :width]
+
+    return jax.jit(run)
+
+
+def _rasterize_pallas(edges, values, background, height, width, all_touched,
+                      block=256, interpret=False, windows=None):
+    """Pallas burn kernel entry (see _rasterize_pallas_fn)."""
+    F, E, _ = edges.shape
+    if windows is None:
+        windows = jnp.broadcast_to(
+            jnp.asarray([-1.0e9, 1.0e9], jnp.float32), (F, 2))
+    windows = jnp.asarray(windows, jnp.float32)
+    fn = _rasterize_pallas_fn(F, E, int(height), int(width),
+                              bool(all_touched), int(block),
+                              bool(interpret))
+    return fn(values, background, windows, edges)
 
 
 # ---------------------------------------------------------------------------

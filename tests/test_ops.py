@@ -351,3 +351,62 @@ class TestRandomInvert:
         out, _ = random_invert_pairs(jax.random.PRNGKey(1), imgs, lbls,
                                      prob=1.0)
         np.testing.assert_allclose(np.asarray(out), 0.75)
+
+
+class TestPackFeatureEdges:
+    def test_max_edges_overflow_raises(self):
+        from dl_image_segmentation_tpu.ops.rasterize import pack_features
+        ring = np.array([[0, 0], [4, 0], [4, 4], [2, 6], [0, 4], [0, 0]],
+                        np.float32)
+        with pytest.raises(ValueError, match="over max_edges"):
+            pack_features([([ring], 1.0)], max_edges=2)
+
+    def test_pow2_bucketing_identical_output(self):
+        """(F, E) pad to powers of two with _FAR sentinels: output must
+        be identical to the burn result, and the padded axes bounded."""
+        from dl_image_segmentation_tpu.ops.rasterize import (pack_features,
+                                                             rasterize)
+        rings = []
+        for k in range(3):  # 3 features -> F_pad 4
+            r = np.array([[k * 3, 0], [k * 3 + 2, 0], [k * 3 + 2, 2],
+                          [k * 3, 2], [k * 3, 0]], np.float32)
+            rings.append(([r], float(k + 1)))
+        edges, values, windows = pack_features(rings)
+        assert edges.shape[0] == 4 and edges.shape[1] == 4  # pow2 pads
+        out = rasterize(rings, (4, 12), background=0, all_touched=False,
+                        dtype=np.uint8)
+        for k in range(3):
+            assert out[1, k * 3 + 1] == k + 1
+
+    def test_nearly_closed_ring_is_closed_exactly(self):
+        """A dirty ring whose endpoints differ by a sub-pixel amount at
+        large coordinates must still get its closing segment (allclose
+        rtol used to swallow the gap and corrupt parity)."""
+        from dl_image_segmentation_tpu.ops.rasterize import rasterize
+        ring = np.array([[5000.0, 5000.0], [5008.0, 5000.0],
+                         [5008.0, 5008.0], [5000.0, 5008.0],
+                         [5000.0, 5000.05]], np.float32)  # 0.05 px gap
+        shifted = [r - 4998.0 for r in [ring]]
+        out = rasterize([(shifted, 1.0)], (12, 12), background=0,
+                        all_touched=False, dtype=np.uint8)
+        # interior fully burned despite the dirty closure
+        assert out[3:9, 3:9].all()
+
+
+class TestAugmentRectangles:
+    def test_rot90_rectangular_raises_clearly(self):
+        import jax
+        from dl_image_segmentation_tpu.ops.augment import augment_pairs
+        imgs = jnp.zeros((2, 8, 16, 3), jnp.float32)
+        lbls = jnp.zeros((2, 8, 16), jnp.int32)
+        with pytest.raises(ValueError, match="square tiles"):
+            augment_pairs(jax.random.PRNGKey(0), imgs, lbls)
+
+    def test_pad_stack_never_truncates(self):
+        from dl_image_segmentation_tpu.ops.compositing import pad_stack
+        stack = np.zeros((5, 4, 4, 2), np.float32)
+        valid = np.ones((5, 4, 4), bool)
+        with pytest.raises(ValueError, match="drop scenes"):
+            pad_stack(stack, valid, 3)
+        s2, v2 = pad_stack(stack, valid, 8)
+        assert s2.shape[0] == 8 and not v2[5:].any()
