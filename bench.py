@@ -149,12 +149,23 @@ def bench_tifarr() -> dict:
         dt = time.perf_counter() - t0
         shutil.rmtree(out_dir, ignore_errors=True)
         value = max(value, n / dt)
+    # per-core normalization vs the reference (VERDICT r2 item 7): the
+    # reference translates ~6,000 chips in "a few seconds" on a
+    # 12-VCORE laptop (README.md:29, translate nb cells 12/16), i.e.
+    # 1,200-3,000 pairs/s total = 100-250 pairs/s per vcore (midpoint
+    # 175). This box exposes os.cpu_count() cores; the per-core rate
+    # here is directly comparable.
+    ncores = os.cpu_count() or 1
+    per_core = value / ncores
     return {
         "metric": "256x256 uint16 4-band LZW GeoTIFF pairs -> "
                   "decoded-array TFRecords (tifarr, 4 shards)",
         "value": round(value, 1),
         "unit": "pairs/s",
         "vs_r1": round(value / 180.0, 2),
+        "cores": ncores,
+        "pairs_per_sec_per_core": round(per_core, 1),
+        "vs_ref_per_core": round(per_core / 175.0, 2),
     }
 
 

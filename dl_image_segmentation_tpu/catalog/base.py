@@ -46,16 +46,24 @@ class Catalog:
         """Scenes of ``product`` intersecting ``tile``, date-filtered
         (inclusive) and cloud-filtered (strict <, matching the
         reference's `cloud_fraction < max` query,
-        _descartes_img_chips.py:610). Sorted by date ascending."""
+        _descartes_img_chips.py:610). Sorted by date ascending.
+
+        Implementations may accept a ``processing_level`` keyword
+        (e.g. "surface", the reference's surface-reflectance request at
+        _descartes_img_chips.py:617-627) for remote backends that
+        serve multiple processing levels; the local backends store
+        scenes at a single level and ignore it."""
         raise NotImplementedError
 
     def load(self, scenes: Sequence[SceneMeta], tile,
-             bands: Sequence[str]
+             bands: Sequence[str], resampler: str = "near"
              ) -> Tuple[np.ndarray, np.ndarray]:
         """Materialise the scene stack on the tile's padded geocontext.
 
         Returns (stack (S, H, W, B) source dtype, valid (S, H, W) bool)
-        where H = W = tile.raster_size, nearest-resampled."""
+        where H = W = tile.raster_size, resampled with ``resampler``
+        ("near" or "bilinear", matching the reference's mosaic
+        resampler argument, _descartes_img_chips.py:483, 512-513)."""
         raise NotImplementedError
 
 
@@ -99,15 +107,26 @@ def equator_referenced_gt(gt: Sequence[float],
 
 def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
                      nodata: Optional[float] = None,
-                     src_epsg: Optional[int] = None
+                     src_epsg: Optional[int] = None,
+                     method: str = "near"
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """Nearest-neighbour resample of a source raster (H', W', B) with
-    geotransform ``src_gt`` (same UTM zone as the tile; pass
-    ``src_epsg`` so a southern false northing is normalized away) onto
-    the tile's padded grid. Returns (out (H, W, B), valid (H, W)).
+    """Resample a source raster (H', W', B) with geotransform
+    ``src_gt`` (same UTM zone as the tile; pass ``src_epsg`` so a
+    southern false northing is normalized away) onto the tile's padded
+    grid. Returns (out (H, W, B), valid (H, W)).
+
+    method: "near" (nearest neighbour) or "bilinear" (4-neighbour
+    weighted; a target pixel is valid only when all four contributing
+    source pixels are in-bounds and not nodata -- conservative vs
+    GDAL's nodata-excluding weights, documented deviation). Matches
+    the reference's resampler values passed to SceneCollection.mosaic
+    (_descartes_img_chips.py:483, 512-513).
 
     This is the local equivalent of the server-side windowing/resample
     the DL API performed for ctx-shaped mosaics."""
+    if method not in ("near", "bilinear"):
+        raise ValueError(f"unknown resampler {method!r} "
+                         "(expected 'near' or 'bilinear')")
     src_gt = equator_referenced_gt(src_gt, src_epsg)
     n = tile.raster_size
     gt = tile.geotrans_equator
@@ -115,9 +134,38 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
     cols = np.arange(n, dtype=np.float64) + 0.5
     x = gt[0] + cols * gt[1]          # (W,)
     y = gt[3] + rows * gt[5]          # (H,)
+    h_src, w_src = src.shape[:2]
+    if method == "bilinear":
+        # fractional source pixel-CENTRE coordinates
+        fx = (x - src_gt[0]) / src_gt[1] - 0.5                    # (W,)
+        fy = (y - src_gt[3]) / src_gt[5] - 0.5                    # (H,)
+        c0 = np.floor(fx).astype(np.int64)
+        r0 = np.floor(fy).astype(np.int64)
+        wx = (fx - c0)[None, :, None]                             # (1,W,1)
+        wy = (fy - r0)[:, None, None]                             # (H,1,1)
+        in_bounds = (((r0 >= 0) & (r0 + 1 < h_src))[:, None]
+                     & ((c0 >= 0) & (c0 + 1 < w_src))[None, :])
+        r0c = np.clip(r0, 0, h_src - 2)
+        c0c = np.clip(c0, 0, w_src - 2)
+        q00 = src[r0c[:, None], c0c[None, :]].astype(np.float64)
+        q01 = src[r0c[:, None], c0c[None, :] + 1].astype(np.float64)
+        q10 = src[r0c[:, None] + 1, c0c[None, :]].astype(np.float64)
+        q11 = src[r0c[:, None] + 1, c0c[None, :] + 1].astype(np.float64)
+        res = (q00 * (1 - wx) * (1 - wy) + q01 * wx * (1 - wy)
+               + q10 * (1 - wx) * wy + q11 * wx * wy)
+        valid = in_bounds
+        if nodata is not None:
+            corner_nodata = (np.all(q00 == nodata, axis=-1)
+                             | np.all(q01 == nodata, axis=-1)
+                             | np.all(q10 == nodata, axis=-1)
+                             | np.all(q11 == nodata, axis=-1))
+            valid = valid & ~corner_nodata
+        if np.issubdtype(src.dtype, np.integer):
+            res = np.rint(res)
+        out = np.where(valid[:, :, None], res, 0).astype(src.dtype)
+        return out, valid
     sc = np.floor((x - src_gt[0]) / src_gt[1]).astype(np.int64)   # (W,)
     sr = np.floor((y - src_gt[3]) / src_gt[5]).astype(np.int64)   # (H,)
-    h_src, w_src = src.shape[:2]
     in_c = (sc >= 0) & (sc < w_src)
     in_r = (sr >= 0) & (sr < h_src)
     scc = np.clip(sc, 0, w_src - 1)

@@ -153,7 +153,8 @@ class LocalCatalog(Catalog):
         return out
 
     def load(self, scenes: Sequence[SceneMeta], tile,
-             bands: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+             bands: Sequence[str], resampler: str = "near"
+             ) -> Tuple[np.ndarray, np.ndarray]:
         band_names = None
         stacks = []
         valids = []
@@ -168,7 +169,8 @@ class LocalCatalog(Catalog):
                 nodata = g.info.nodata
             out, valid = resample_to_tile(arr, g.info.geotransform, tile,
                                           nodata=nodata,
-                                          src_epsg=g.info.epsg)
+                                          src_epsg=g.info.epsg,
+                                          method=resampler)
             stacks.append(out)
             valids.append(valid)
         if not stacks:

@@ -73,7 +73,14 @@ class SyntheticCatalog(Catalog):
         return out
 
     def load(self, scenes: Sequence[SceneMeta], tile,
-             bands: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+             bands: Sequence[str], resampler: str = "near"
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        # scenes are generated directly on the tile grid, so "near"
+        # and "bilinear" coincide; still reject unknown values so a
+        # caller's typo fails the same way as on LocalCatalog
+        if resampler not in ("near", "bilinear"):
+            raise ValueError(f"unknown resampler {resampler!r} "
+                             "(expected 'near' or 'bilinear')")
         n = tile.raster_size
         stacks = []
         valids = []

@@ -94,7 +94,8 @@ def cmd_train(args) -> int:
                       n_model=args.n_model,
                       spatial=args.spatial,
                       remat=args.remat,
-                      model=args.model)
+                      model=args.model,
+                      precision=args.precision)
     trainer = Trainer(cfg)
     if args.restore:
         trainer.restore_checkpoint(args.restore)
@@ -434,6 +435,12 @@ def main(argv=None) -> int:
     tr.add_argument("--remat", action="store_true",
                     help="rematerialise activations in the backward "
                          "pass (more FLOPs, much less HBM)")
+    tr.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp32"],
+                    help="compute precision: bf16 conv/matmul compute "
+                         "with fp32 params+optimizer (MXU-native, "
+                         "default) or fp32 everywhere; checkpoints are "
+                         "interchangeable between the two")
     tr.add_argument("--scan-steps", type=int, default=0,
                     help="steps per dispatch via a device-resident pool "
                          "(0 = classic per-step feed)")

@@ -213,7 +213,8 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
     bw = min(block, width)
     grid = (-(-height // bh), -(-width // bw), F)
 
-    def kernel(values_ref, bg_ref, windows_ref, edges_ref, out_ref):
+    def kernel(values_ref, bg_ref, windows_ref, bbox_ref, edges_ref,
+               out_ref):
         f = pl.program_id(2)
 
         @pl.when(f == 0)
@@ -222,48 +223,73 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
 
         i = pl.program_id(0)
         j = pl.program_id(1)
-        cy = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-              .astype(jnp.float32) + (i * bh).astype(jnp.float32) + 0.5)
-        cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
-              .astype(jnp.float32) + (j * bw).astype(jnp.float32) + 0.5)
 
-        # loop carries are int32, not bool: Mosaic crashes on large i1
-        # vector carries through scf.for (observed on v5e)
-        def edge_body(e, carry):
-            parity, touch = carry
-            x0 = edges_ref[0, e, 0]
-            y0 = edges_ref[0, e, 1]
-            x1 = edges_ref[0, e, 2]
-            y1 = edges_ref[0, e, 3]
-            straddle = (y0 > cy) != (y1 > cy)
-            dy = y1 - y0
-            safe_dy = jnp.where(dy == 0, 1.0, dy)
-            xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
-            parity = parity ^ (straddle & (cx < xint)).astype(jnp.int32)
-            if all_touched:
-                bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
-                        & (cx - 0.5 <= jnp.maximum(x0, x1))
-                        & (cy + 0.5 >= jnp.minimum(y0, y1))
-                        & (cy - 0.5 <= jnp.maximum(y0, y1)))
-                nx = y1 - y0
-                ny = x0 - x1
-                dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
-                reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
-                touch = touch | (bbox & (dist <= reach)).astype(jnp.int32)
-            return parity, touch
+        # per-feature bbox BLOCK CULLING: skip the whole edge loop when
+        # the feature cannot touch this block. Pixel centres in the
+        # block span [i*bh+0.5, i*bh+bh-0.5] x [j*bw+0.5, ...]; the
+        # ALL_TOUCHED test reaches at most 0.5 px beyond the edge bbox
+        # (the pixel square's half-extent), and the interior lies
+        # inside the edge bbox, so a 0.5-px-dilated bbox is a sound
+        # cull bound. The feature's row window also bounds its reach.
+        bx0 = (j * bw).astype(jnp.float32) + 0.5
+        by0 = (i * bh).astype(jnp.float32) + 0.5
+        bx1 = bx0 + jnp.float32(bw - 1)
+        by1 = by0 + jnp.float32(bh - 1)
+        hit = ((bbox_ref[f, 0] - 0.5 <= bx1)
+               & (bbox_ref[f, 2] + 0.5 >= bx0)
+               & (bbox_ref[f, 1] - 0.5 <= by1)
+               & (bbox_ref[f, 3] + 0.5 >= by0)
+               & (windows_ref[f, 0] <= by1)
+               & (windows_ref[f, 1] > by0))
 
-        parity0 = jnp.zeros((bh, bw), jnp.int32)
-        touch0 = jnp.zeros((bh, bw), jnp.int32)
-        parity, touch = jax.lax.fori_loop(0, E, edge_body,
-                                          (parity0, touch0))
-        mask = (parity | touch if all_touched else parity) > 0
-        # per-feature row window (batched multi-tile canvases)
-        mask = mask & (cy >= windows_ref[f, 0]) & (cy < windows_ref[f, 1])
-        out_ref[:, :] = jnp.where(mask, values_ref[f], out_ref[:, :])
+        @pl.when(hit)
+        def _():
+            cy = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+                  .astype(jnp.float32) + by0)
+            cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+                  .astype(jnp.float32) + bx0)
+
+            # loop carries are int32, not bool: Mosaic crashes on large
+            # i1 vector carries through scf.for (observed on v5e)
+            def edge_body(e, carry):
+                parity, touch = carry
+                x0 = edges_ref[0, e, 0]
+                y0 = edges_ref[0, e, 1]
+                x1 = edges_ref[0, e, 2]
+                y1 = edges_ref[0, e, 3]
+                straddle = (y0 > cy) != (y1 > cy)
+                dy = y1 - y0
+                safe_dy = jnp.where(dy == 0, 1.0, dy)
+                xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
+                parity = parity ^ (straddle
+                                   & (cx < xint)).astype(jnp.int32)
+                if all_touched:
+                    bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
+                            & (cx - 0.5 <= jnp.maximum(x0, x1))
+                            & (cy + 0.5 >= jnp.minimum(y0, y1))
+                            & (cy - 0.5 <= jnp.maximum(y0, y1)))
+                    nx = y1 - y0
+                    ny = x0 - x1
+                    dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
+                    reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
+                    touch = touch | (bbox
+                                     & (dist <= reach)).astype(jnp.int32)
+                return parity, touch
+
+            parity0 = jnp.zeros((bh, bw), jnp.int32)
+            touch0 = jnp.zeros((bh, bw), jnp.int32)
+            parity, touch = jax.lax.fori_loop(0, E, edge_body,
+                                              (parity0, touch0))
+            mask = (parity | touch if all_touched else parity) > 0
+            # per-feature row window (batched multi-tile canvases)
+            mask = mask & (cy >= windows_ref[f, 0]) \
+                & (cy < windows_ref[f, 1])
+            out_ref[:, :] = jnp.where(mask, values_ref[f],
+                                      out_ref[:, :])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # values (F,), background (1,), windows
-                                # (F, 2) in SMEM
+        num_scalar_prefetch=4,  # values (F,), background (1,), windows
+                                # (F, 2), bboxes (F, 4) in SMEM
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, E, 4), lambda i, j, f, *_: (f, 0, 0),
@@ -280,7 +306,23 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
     )
 
     def run(values, background, windows, edges):
-        out = call(values, background.reshape(1), windows, edges)
+        # per-feature [minx, miny, maxx, maxy] over REAL edges only:
+        # padding rows are _FAR sentinels (all four coords), so a plain
+        # min would stretch every bbox to -1e9 and defeat the cull. A
+        # fully-padded feature gets an inverted (empty) bbox and is
+        # culled from every block.
+        real = edges[:, :, 0] != _FAR
+        xs = jnp.stack([edges[:, :, 0], edges[:, :, 2]], axis=-1)
+        ys = jnp.stack([edges[:, :, 1], edges[:, :, 3]], axis=-1)
+        big = jnp.float32(2.0e9)
+        m = real[:, :, None]
+        bbox = jnp.stack([
+            jnp.min(jnp.where(m, xs, big), axis=(1, 2)),
+            jnp.min(jnp.where(m, ys, big), axis=(1, 2)),
+            jnp.max(jnp.where(m, xs, -big), axis=(1, 2)),
+            jnp.max(jnp.where(m, ys, -big), axis=(1, 2)),
+        ], axis=-1)
+        out = call(values, background.reshape(1), windows, bbox, edges)
         return out[:height, :width]
 
     return jax.jit(run)

@@ -387,7 +387,15 @@ def _gather_s2_masked(ctx, min_date, max_date, band_list, cat):
 def stack_products_for_tile(ctx, products, bands_per_product,
                             resampler="near", catalog=None) -> np.ndarray:
     """First-wins mosaic per product, all bands stacked (reference
-    :472-518). No date filtering (whole-collection mosaic)."""
+    :472-518). No date filtering (whole-collection mosaic).
+
+    resampler: "near" or "bilinear", applied when scene rasters are
+    windowed/resampled onto the tile grid (the reference forwards it
+    to SceneCollection.mosaic, _descartes_img_chips.py:483, 512-513);
+    unknown values raise ValueError."""
+    if resampler not in ("near", "bilinear"):
+        raise ValueError(f"unknown resampler {resampler!r} "
+                         "(expected 'near' or 'bilinear')")
     cat = _resolve_catalog(catalog)
     all_arrays = []
     for i, product in enumerate(products):
@@ -395,7 +403,8 @@ def stack_products_for_tile(ctx, products, bands_per_product,
         band_list = band_list.split() if isinstance(band_list, str) \
             else list(band_list)
         scenes = cat.search(ctx, product)
-        stack, valid = cat.load(scenes, ctx, band_list)
+        stack, valid = cat.load(scenes, ctx, band_list,
+                                resampler=resampler)
         if len(stack) == 0:
             raise RuntimeError(f"no scenes for product {product}")
         # first-wins == nearest with distance = scene index

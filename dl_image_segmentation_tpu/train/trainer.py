@@ -56,6 +56,12 @@ class TrainConfig:
     remat: bool = False
     seed: int = 0
     model: str = "unet"  # "unet" | "deeplab" | "segformer"
+    # precision policy: "bf16" = bfloat16 conv/matmul compute with
+    # float32 params, optimizer state and loss (MXU-native, the TPU
+    # default); "fp32" = float32 everywhere (numerics reference).
+    # Params/optimizer are float32 in BOTH modes -- only the compute
+    # dtype changes, so checkpoints are interchangeable.
+    precision: str = "bf16"
     # schedule: "constant" or "cosine" (with linear warmup)
     schedule: str = "constant"
     warmup_steps: int = 0
@@ -123,18 +129,29 @@ class Trainer:
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             n_model=config.n_model)
+        if config.precision == "bf16":
+            compute_dtype = jnp.bfloat16
+        elif config.precision == "fp32":
+            compute_dtype = jnp.float32
+        else:
+            raise ValueError(f"unknown precision {config.precision!r} "
+                             "(expected 'bf16' or 'fp32')")
+        self.compute_dtype = compute_dtype
         if config.model == "deeplab":
             from ..models.deeplab import DeepLabLite
             self.model = DeepLabLite(num_classes=config.num_classes,
-                                     base_features=config.base_features)
+                                     base_features=config.base_features,
+                                     dtype=compute_dtype)
         elif config.model == "segformer":
             from ..models.segformer import SegFormerLite
             self.model = SegFormerLite(num_classes=config.num_classes,
-                                       base_features=config.base_features)
+                                       base_features=config.base_features,
+                                       dtype=compute_dtype)
         elif config.model == "unet":
             self.model = UNet(num_classes=config.num_classes,
                               base_features=config.base_features,
-                              levels=config.levels)
+                              levels=config.levels,
+                              dtype=compute_dtype)
         else:
             raise ValueError(f"unknown model {config.model!r} "
                              "(expected 'unet', 'deeplab' or "
@@ -358,55 +375,115 @@ class Trainer:
 
         return predict
 
+    def _pad_to_data_axis(self, images: np.ndarray,
+                          labels: Optional[np.ndarray] = None):
+        """Pad a host batch up to a multiple of the mesh's data-axis
+        size so it can be batch-sharded instead of replicated. Padded
+        samples carry nodata labels, so they contribute nothing to any
+        masked metric; callers slice predictions back to the original
+        count. Returns (images, labels, original_n)."""
+        n = images.shape[0]
+        n_data = self.mesh.shape["data"]
+        pad = (-n) % n_data
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:],
+                                  images.dtype)])
+            if labels is not None:
+                labels = np.concatenate(
+                    [labels, np.full((pad,) + labels.shape[1:],
+                                     self.config.label_nodata,
+                                     labels.dtype)])
+        return images, labels, n
+
     def predict(self, images) -> np.ndarray:
         """Class map for a host batch (N, H, W, C) -> (N, H, W) int32.
 
-        Inputs are replicated (not batch-sharded): prediction batches
-        are arbitrary sizes, unlike training batches which must divide
-        the data axis."""
+        Host batches of arbitrary size are padded up to the data-axis
+        size and SHARDED over "data" (each device runs ~1/N of the
+        batch), then sliced back; pre-placed device arrays run as
+        given."""
         if not hasattr(self, "_predict_fn"):
             self._predict_fn = self._build_predict()
         if isinstance(images, np.ndarray):
-            images = jax.device_put(images, replicated_sharding(self.mesh))
+            images, _, n = self._pad_to_data_axis(images)
+            images = shard_batch_local(self.mesh, images,
+                                       spatial=self.config.spatial)
+            out = self._predict_fn(self.state.params, images)
+            return np.asarray(out)[:n]
         return np.asarray(self._predict_fn(self.state.params, images))
 
     def _build_eval_step(self):
+        """Per-batch SUMS (not means): loss over valid pixels, correct
+        count, valid count, and a num_classes^2 confusion matrix --
+        the host accumulates across batches and derives dataset-level
+        loss/accuracy/mIoU once, so results are batch-size-invariant
+        (the standard protocol; fixes the per-batch-mean bias where
+        batches containing rare classes were weighted wrongly)."""
         cfg = self.config
         model = self.model
+        K = cfg.num_classes
 
         @jax.jit
         def eval_step(params, images, labels):
             logits = model.apply({"params": params}, images)
-            loss, acc = masked_xent_loss(logits, labels, cfg.label_nodata)
-            pred = jnp.argmax(logits, axis=-1)
-            miou = masked_miou(pred, labels, cfg.num_classes,
-                               cfg.label_nodata)
-            return loss, acc, miou
+            valid = labels != cfg.label_nodata
+            safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            loss_sum = -jnp.sum(jnp.where(valid, ll, 0.0))
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            correct = jnp.sum(jnp.where(valid, pred == safe, False)
+                              .astype(jnp.int32))
+            n_valid = jnp.sum(valid.astype(jnp.int32))
+            # confusion matrix cm[true, pred] over valid pixels; invalid
+            # pixels route to an overflow bin that is dropped
+            flat = jnp.where(valid, safe * K + pred, K * K).reshape(-1)
+            cm = jnp.bincount(flat, length=K * K + 1)[: K * K]
+            return loss_sum, correct, n_valid, cm.reshape(K, K)
 
         return eval_step
 
     def evaluate(self, batches, max_batches: Optional[int] = None
                  ) -> Dict[str, float]:
-        """mIoU / accuracy / loss over an iterator of (images, labels)."""
+        """Dataset-level mIoU / accuracy / loss over an iterator of
+        (images, labels): per-class intersection/union counts accumulate
+        across ALL batches in a confusion matrix and mIoU is computed
+        once at the end. Host batches are padded to the data-axis size
+        and sharded (each device does ~1/N of the work); padded samples
+        are all-nodata so the sums are unaffected."""
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = self._build_eval_step()
         eval_step = self._eval_fn
-        losses, accs, mious = [], [], []
+        K = self.config.num_classes
+        total_cm = np.zeros((K, K), np.int64)
+        loss_sum = 0.0
+        correct = 0
+        n_valid = 0
+        n_batches = 0
         for i, (images, labels) in enumerate(batches):
             if max_batches is not None and i >= max_batches:
                 break
             if isinstance(images, np.ndarray):
-                # replicate: eval batches may not divide the data axis
-                sh = replicated_sharding(self.mesh)
-                images = jax.device_put(images, sh)
-                labels = jax.device_put(labels, sh)
-            loss, acc, miou = eval_step(self.state.params, images, labels)
-            losses.append(float(loss))
-            accs.append(float(acc))
-            mious.append(float(miou))
-        n = max(len(losses), 1)
-        return {"loss": sum(losses) / n, "accuracy": sum(accs) / n,
-                "miou": sum(mious) / n, "batches": len(losses)}
+                images, labels, _ = self._pad_to_data_axis(images, labels)
+                images, labels = shard_batch_local(
+                    self.mesh, (images, labels),
+                    spatial=self.config.spatial)
+            ls, cor, nv, cm = eval_step(self.state.params, images, labels)
+            loss_sum += float(ls)
+            correct += int(cor)
+            n_valid += int(nv)
+            total_cm += np.asarray(cm, np.int64)
+            n_batches += 1
+        inter = np.diag(total_cm).astype(np.float64)
+        union = (total_cm.sum(axis=0) + total_cm.sum(axis=1)
+                 - np.diag(total_cm)).astype(np.float64)
+        present = union > 0
+        miou = float((inter[present] / union[present]).mean()) \
+            if present.any() else float("nan")
+        denom = max(n_valid, 1)
+        return {"loss": loss_sum / denom, "accuracy": correct / denom,
+                "miou": miou, "batches": n_batches}
 
     # -- metrics -------------------------------------------------------------
     def throughput_stats(self) -> Dict[str, float]:

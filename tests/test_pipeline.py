@@ -95,6 +95,72 @@ class TestMosaics:
             ["red green", "red green blue"], catalog=catalog)
         assert arr.shape == (64, 64, 5)
 
+    def test_stack_products_rejects_unknown_resampler(self, catalog):
+        with pytest.raises(ValueError, match="resampler"):
+            stack_products_for_tile(TILE, ["sentinel-2:L1C"],
+                                    ["red green"], resampler="cubic",
+                                    catalog=catalog)
+
+    def test_stack_products_accepts_bilinear(self, catalog):
+        arr = stack_products_for_tile(TILE, ["sentinel-2:L1C"],
+                                      ["red green"],
+                                      resampler="bilinear",
+                                      catalog=catalog)
+        assert arr.shape == (64, 64, 2)
+
+
+class TestResample:
+    def _src(self):
+        """4x oversampled source raster covering the tile (2.5 m px vs
+        the tile's 10 m), with a smooth gradient so bilinear and
+        nearest genuinely differ."""
+        x0, y0, x1, y1 = TILE.bounds  # equator-referenced, padded
+        res = 2.5
+        w = int(round((x1 - x0) / res))
+        h = int(round((y1 - y0) / res))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        src = (xx * 2 + yy)[:, :, None]
+        gt = (x0, res, 0.0, y1, 0.0, -res)
+        return src, gt
+
+    def test_bilinear_interpolates_gradient(self):
+        from dl_image_segmentation_tpu.catalog.base import resample_to_tile
+        src, gt = self._src()
+        near, v_n = resample_to_tile(src, gt, TILE, method="near")
+        bil, v_b = resample_to_tile(src, gt, TILE, method="bilinear")
+        assert near.shape == bil.shape == (64, 64, 1)
+        assert v_b[2:-2, 2:-2].all()
+        # on a linear ramp, bilinear reconstructs the exact centre
+        # value; nearest is off by up to half a source pixel step
+        interior = v_b & v_n
+        # the tile centre at (r, c) maps to source (4r+1.5, 4c+1.5):
+        # expected = 2*(4c+1.5) + (4r+1.5)
+        rr, cc = np.mgrid[0:64, 0:64].astype(np.float32)
+        expected = 2 * (4 * cc + 1.5) + (4 * rr + 1.5)
+        np.testing.assert_allclose(bil[interior, 0],
+                                   expected[interior], rtol=1e-5)
+        assert np.abs(near[interior, 0] - expected[interior]).max() > 0.4
+
+    def test_bilinear_integer_rounding_and_nodata(self):
+        from dl_image_segmentation_tpu.catalog.base import resample_to_tile
+        src, gt = self._src()
+        src_u16 = src.astype(np.uint16)
+        out, valid = resample_to_tile(src_u16, gt, TILE,
+                                      method="bilinear")
+        assert out.dtype == np.uint16
+        # nodata hole in the source invalidates pixels that touch it
+        src_hole = src_u16.copy()
+        src_hole[100:120, 100:120] = 0
+        out2, valid2 = resample_to_tile(src_hole, gt, TILE, nodata=0,
+                                        method="bilinear")
+        assert valid2.sum() < valid.sum()
+
+    def test_unknown_method_raises(self):
+        from dl_image_segmentation_tpu.catalog.base import resample_to_tile
+        src, gt = self._src()
+        with pytest.raises(ValueError, match="resampler"):
+            resample_to_tile(src, gt, TILE, method="lanczos")
+
 
 class TestLabelBurn:
     def test_attribute_burn(self, labels_path):

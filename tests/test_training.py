@@ -312,6 +312,90 @@ class TestEvalAndPredict:
         assert p.shape == (8, 16, 16) and p.dtype == np.int32
         assert set(np.unique(p)) <= {0, 1}
 
+    def test_evaluate_batch_size_invariant(self):
+        """Dataset mIoU/accuracy/loss must not depend on how the
+        dataset is split into batches (confusion-matrix accumulation,
+        not per-batch-mean averaging)."""
+        cfg = TrainConfig(num_classes=3, in_channels=3, base_features=8,
+                          levels=1, image_size=16, batch_size=8)
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(1)
+        imgs = rng.rand(16, 16, 16, 3).astype(np.float32)
+        lbls = rng.randint(0, 3, (16, 16, 16)).astype(np.int32)
+        # skew class balance across batches: the old per-batch mean
+        # weighted the rare class's batches wrongly
+        lbls[:4] = np.where(lbls[:4] == 2, 2, 0)
+        lbls[4:] = np.where(lbls[4:] == 2, 1, lbls[4:])
+        one = tr.evaluate([(imgs, lbls)])
+        four = tr.evaluate([(imgs[i:i + 4], lbls[i:i + 4])
+                            for i in range(0, 16, 4)])
+        ragged = tr.evaluate([(imgs[:5], lbls[:5]),
+                              (imgs[5:11], lbls[5:11]),
+                              (imgs[11:], lbls[11:])])
+        for k in ("loss", "accuracy", "miou"):
+            np.testing.assert_allclose(one[k], four[k], rtol=1e-5)
+            np.testing.assert_allclose(one[k], ragged[k], rtol=1e-5)
+
+    def test_predict_sharded_matches_any_batch_size(self):
+        """predict shards host batches over the data axis (padding the
+        remainder) -- results must be identical for any batch split,
+        including sizes not divisible by the 8-device mesh."""
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=1, image_size=16, batch_size=8)
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(2)
+        imgs = rng.rand(11, 16, 16, 3).astype(np.float32)
+        whole = tr.predict(imgs)
+        assert whole.shape == (11, 16, 16)
+        parts = np.concatenate([tr.predict(imgs[:3]),
+                                tr.predict(imgs[3:])])
+        np.testing.assert_array_equal(whole, parts)
+        # eval inputs actually land sharded over "data", not replicated
+        padded, lbl_p, n = tr._pad_to_data_axis(
+            imgs, rng.randint(0, 2, (11, 16, 16)).astype(np.int32))
+        assert n == 11 and padded.shape[0] == 16
+        from dl_image_segmentation_tpu.parallel.sharding import (
+            shard_batch_local)
+        placed = shard_batch_local(tr.mesh, padded)
+        assert not placed.sharding.is_fully_replicated
+
+
+class TestPrecisionPolicy:
+    def test_bf16_matches_fp32_trajectory(self):
+        """bf16 compute / fp32 params must track the fp32 loss
+        trajectory on the learnable task within bf16 tolerance, and
+        params stay float32 in both modes (checkpoint compatibility)."""
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(16, 16, 16, 3).astype(np.float32)
+        lbls = (imgs[:, :, :, 0] > 0.5).astype(np.int32)
+
+        def run(precision):
+            cfg = TrainConfig(num_classes=2, in_channels=3,
+                              base_features=8, levels=1, image_size=16,
+                              batch_size=8, learning_rate=3e-3,
+                              precision=precision, seed=0)
+            tr = Trainer(cfg)
+            p = jax.tree_util.tree_leaves(tr.state.params)[0]
+            assert p.dtype == jnp.float32
+            losses = []
+            for step in range(12):
+                i = (step * 8) % 16
+                m = tr.train_step(imgs[i:i + 8], lbls[i:i + 8])
+                losses.append(m["loss"])
+            return np.array(losses)
+
+        l32 = run("fp32")
+        l16 = run("bf16")
+        assert l32[-1] < l32[0] * 0.8  # the task is actually learned
+        assert l16[-1] < l16[0] * 0.8
+        np.testing.assert_allclose(l16, l32, rtol=0.08, atol=0.02)
+
+    def test_unknown_precision_rejected(self):
+        with pytest.raises(ValueError, match="precision"):
+            Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                base_features=8, levels=1, image_size=16,
+                                batch_size=8, precision="fp16"))
+
 
 class TestRotateAugment:
     def test_rotation_preserves_alignment_and_fill(self):

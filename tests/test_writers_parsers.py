@@ -90,6 +90,50 @@ class TestMTWriter:
                 np.testing.assert_array_equal(img, exp_img)
                 np.testing.assert_array_equal(lbl, exp_lbl)
 
+    def test_native_rejection_preserves_record_set(self, tmp_path,
+                                                    monkeypatch):
+        """Documented deviation (records/writers.py native path): a
+        pair the C++ engine rejects is retried through the Python path
+        and lands at the END of the shard rather than at its shuffled
+        position. The record SET must be bit-identical to a pure-Python
+        run; only the order may differ."""
+        from dl_image_segmentation_tpu import _native
+        if not _native.available():
+            pytest.skip("native extension unavailable")
+        root = str(tmp_path / "chips")
+        truth = make_tif_dataset(root, n=6)
+        # rewrite one mid-list image as Deflate: outside the native
+        # none/LZW TIFF subset, so fc_write_shard_tifarr rejects it
+        keys = sorted(truth)
+        odd = keys[2]
+        fn = odd.replace(":", "#") + ".tif"
+        gt = (272696.0, 10.0, 0.0, 2115548.0, 0.0, -10.0)
+        write_geotiff(os.path.join(root, "images", fn), truth[odd][0],
+                      geotransform=gt, epsg=32643, compress="deflate")
+
+        out_native = str(tmp_path / "recs_native")
+        n1 = images_to_tfrecords_mp("t", root, out_native, num_shards=1,
+                                    num_proc=1, store_as_array=True)
+        monkeypatch.setattr(_native, "available", lambda: False)
+        out_py = str(tmp_path / "recs_py")
+        n2 = images_to_tfrecords_mp("t", root, out_py, num_shards=1,
+                                    num_proc=1, store_as_array=True)
+        assert n1 == n2 == 6
+        rec_n = list(read_records(
+            os.path.join(out_native, "t-00000-of-00001")))
+        rec_p = list(read_records(
+            os.path.join(out_py, "t-00000-of-00001")))
+        # set identity, bit-exact records
+        assert sorted(rec_n) == sorted(rec_p)
+        # the rejected pair is the LAST native record; in the Python
+        # run it sits at its seed-12345 shuffled position
+        _, _, last_ident = parsers.parse_higher_dtype_array_proto(
+            rec_n[-1])
+        assert last_ident.decode() == odd
+        py_pos = [parsers.parse_higher_dtype_array_proto(r)[2].decode()
+                  for r in rec_p].index(odd)
+        assert py_pos != len(rec_p) - 1  # genuinely reordered
+
     def test_shard_divisibility_enforced(self, tmp_path):
         root = str(tmp_path / "chips")
         make_png_dataset(root, n=4)
