@@ -47,7 +47,8 @@ class SRAttention(nn.Module):
                             dtype=self.dtype,
                             param_dtype=jnp.float32)(kv_in)
             kv_in = kv_in.reshape(n, -1, self.dim)
-            kv_in = nn.LayerNorm(dtype=jnp.float32)(kv_in)
+            kv_in = nn.LayerNorm(dtype=self.dtype,
+                                 param_dtype=jnp.float32)(kv_in)
         else:
             kv_in = x
         k = nn.Dense(self.dim, dtype=self.dtype,
@@ -102,9 +103,11 @@ class Block(nn.Module):
     def __call__(self, x, h: int, w: int):
         x = x + SRAttention(self.dim, self.heads, self.sr_ratio,
                             dtype=self.dtype)(
-            nn.LayerNorm(dtype=jnp.float32)(x), h, w)
+            nn.LayerNorm(dtype=self.dtype,
+                           param_dtype=jnp.float32)(x), h, w)
         x = x + MixFFN(self.dim, dtype=self.dtype)(
-            nn.LayerNorm(dtype=jnp.float32)(x), h, w)
+            nn.LayerNorm(dtype=self.dtype,
+                           param_dtype=jnp.float32)(x), h, w)
         return x
 
 
@@ -137,11 +140,13 @@ class SegFormerLite(nn.Module):
                         param_dtype=jnp.float32)(x)
             n_, h, w, c = x.shape
             x = x.reshape(n_, h * w, c)
-            x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+            x = nn.LayerNorm(dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
             for _ in range(self.depths[s]):
                 x = Block(dims[s], self.heads[s], self.sr_ratios[s],
                           dtype=self.dtype)(x, h, w)
-            x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+            x = nn.LayerNorm(dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
             x = x.reshape(n_, h, w, c)
             feats.append(x)
 

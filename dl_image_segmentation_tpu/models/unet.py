@@ -32,9 +32,14 @@ class ConvBlock(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
+            # norm OUTPUT in the compute dtype: flax forces float32
+            # reductions for the statistics regardless (numerically
+            # safe), while a float32 output would materialise every
+            # activation at 2x the HBM traffic between the convs
             x = nn.GroupNorm(num_groups=None,
                              group_size=min(16, self.features),
-                             dtype=jnp.float32)(x)
+                             dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
             x = nn.relu(x)
         return x
 

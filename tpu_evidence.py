@@ -217,26 +217,37 @@ def _fit_step_time(trainer, pool, k_small: int, k_long: int):
     """Device seconds/step s and per-dispatch relay overhead h from
     synced wall times of two scanned dispatches (T = h + K*s)."""
     def t_of(k, reps=2):
+        t0 = time.perf_counter()
         trainer.train_scanned(pool, total_steps=k,
                               steps_per_dispatch=k)  # compile warmup
+        print(f"[fit] warmup k={k}: {time.perf_counter() - t0:.0f}s",
+              flush=True)
         return min(_timed(lambda: trainer.train_scanned(
             pool, total_steps=k, steps_per_dispatch=k))
             for _ in range(reps))
 
     t1 = t_of(k_small)
+    print(f"[fit] t({k_small})={t1:.1f}s", flush=True)
     t_long = t_of(k_long, reps=1)
+    print(f"[fit] t({k_long})={t_long:.1f}s", flush=True)
     s = (t_long - t1) / (k_long - k_small)
     h = max(t1 - k_small * s, 0.0)
     return s, h, t_long
 
 
-def mfu(k_small: int = 40, k_long: int = 400):
-    """Model FLOP utilisation of the train step, fp32 vs bf16, at the
-    judge's shape (U-Net bf=32, 256^2, batch 8). FLOPs come from XLA's
-    own cost analysis of the compiled step; step time from the
+def _mfu_one(precision: str, k_small: int = 50, k_long: int = 1500):
+    # K values must be FAR apart: the ~15 s relay overhead varies by
+    # seconds run-to-run, and the step-time slope error is
+    # dh / (k_long - k_small) -- at 40/400 that was +-11 ms/step of
+    # noise on a ~26 ms step; at 50/1500 it is +-3 ms
+    """Model FLOP utilisation of the train step for one precision, at
+    the judge's shape (U-Net bf=32, 256^2, batch 8). FLOPs come from
+    XLA's own cost analysis of the compiled step; step time from the
     K-vs-2K scanned-dispatch fit (relay-overhead-free). Peak is the
-    v5e MXU bf16 number (197 TFLOP/s) for both precisions, so the two
-    MFU figures are directly comparable."""
+    v5e MXU bf16 number (197 TFLOP/s) for BOTH precisions so the two
+    MFU figures are directly comparable. Derived cross-precision
+    numbers (bf16_speedup_over_fp32) are computed in main() from the
+    merged JSON."""
     import jax
     import jax.numpy as jnp
 
@@ -249,43 +260,43 @@ def mfu(k_small: int = 40, k_long: int = 400):
     imgs = rng.randint(0, 255, (64, 256, 256, 3), np.uint8)
     lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
     out = {}
-    for precision in ("bf16", "fp32"):
-        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=32,
-                          levels=4, image_size=256, batch_size=8,
-                          precision=precision)
-        trainer = Trainer(cfg)
-        # FLOPs of ONE optimizer step from the compiled module
-        x = jnp.zeros((8, 256, 256, 3), jnp.float32)
-        y = jnp.zeros((8, 256, 256), jnp.int32)
-        flops = None
-        try:
-            ca = trainer._step_fn.lower(trainer.state, x, y) \
-                .compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca["flops"])
-        except Exception as e:  # noqa: BLE001 -- relay may not expose it
-            out[f"mfu_{precision}_cost_analysis_error"] = str(e)[:120]
-        pool = DeviceDataPool(imgs, lbls)
-        s, h, _ = _fit_step_time(trainer, pool, k_small, k_long)
-        out[f"train_{precision}_ms_per_step"] = round(s * 1e3, 2)
-        if flops is not None:
-            out[f"train_{precision}_gflops_per_step"] = round(flops / 1e9,
-                                                              1)
-            out[f"train_{precision}_tflops_per_sec"] = round(
-                flops / s / 1e12, 1)
-            out[f"train_{precision}_mfu_vs_bf16_peak"] = round(
-                flops / s / PEAK, 3)
-        del trainer, pool
-    if ("train_bf16_ms_per_step" in out
-            and "train_fp32_ms_per_step" in out):
-        out["bf16_speedup_over_fp32"] = round(
-            out["train_fp32_ms_per_step"]
-            / out["train_bf16_ms_per_step"], 2)
+    cfg = TrainConfig(num_classes=2, in_channels=3, base_features=32,
+                      levels=4, image_size=256, batch_size=8,
+                      precision=precision)
+    trainer = Trainer(cfg)
+    # FLOPs of ONE optimizer step from the compiled module
+    x = jnp.zeros((8, 256, 256, 3), jnp.float32)
+    y = jnp.zeros((8, 256, 256), jnp.int32)
+    flops = None
+    try:
+        ca = trainer._step_fn.lower(trainer.state, x, y) \
+            .compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception as e:  # noqa: BLE001 -- relay may not expose it
+        out[f"mfu_{precision}_cost_analysis_error"] = str(e)[:120]
+    pool = DeviceDataPool(imgs, lbls)
+    s, h, _ = _fit_step_time(trainer, pool, k_small, k_long)
+    out[f"train_{precision}_ms_per_step"] = round(s * 1e3, 2)
+    if flops is not None:
+        out[f"train_{precision}_gflops_per_step"] = round(flops / 1e9, 1)
+        out[f"train_{precision}_tflops_per_sec"] = round(
+            flops / s / 1e12, 1)
+        out[f"train_{precision}_mfu_vs_bf16_peak"] = round(
+            flops / s / PEAK, 3)
     return out
 
 
-def feed_duty(steps: int = 30):
+def mfu_bf16():
+    return _mfu_one("bf16")
+
+
+def mfu_fp32():
+    return _mfu_one("fp32")
+
+
+def feed_duty(steps: int = 10):
     """Duty cycle of the HOST-FEED path (TFRecordFeed ->
     DevicePrefetcher -> train_step_async), the BASELINE.md ">95% TPU
     duty" input pipeline. Through the relay every per-step dispatch
@@ -433,18 +444,46 @@ def duty_cycle(k_small: int = 50, k_long: int = 1500):
             "unet_base_features": 32, "image_size": 256, "batch_size": 8}
 
 
+SECTIONS = {
+    "smoke": kernel_smoke,
+    "median": median_timing,
+    "rasterize": rasterize_timing,
+    "rasterize_scale": rasterize_at_scale,
+    "mfu_bf16": mfu_bf16,
+    "mfu_fp32": mfu_fp32,
+    "feed": feed_duty,
+    "duty": duty_cycle,
+}
+
+
 def main():
+    """Run all sections, or a subset: python tpu_evidence.py mfu feed.
+    Section results MERGE into an existing TPU_EVIDENCE.json so the
+    slow sections can be refreshed independently (each full section
+    run still uses fresh nonce-keyed inputs)."""
+    import sys
+
     import jax
 
-    evidence = {"jax_backend": jax.default_backend(),
-                "device": str(jax.devices()[0])}
-    evidence.update(kernel_smoke())
-    evidence.update(median_timing())
-    evidence.update(rasterize_timing())
-    evidence.update(rasterize_at_scale())
-    evidence.update(mfu())
-    evidence.update(feed_duty())
-    evidence.update(duty_cycle())
+    wanted = sys.argv[1:] or list(SECTIONS)
+    unknown = [w for w in wanted if w not in SECTIONS]
+    if unknown:
+        raise SystemExit(f"unknown section(s) {unknown}; "
+                         f"choose from {list(SECTIONS)}")
+    evidence = {}
+    if os.path.exists("TPU_EVIDENCE.json") and len(wanted) < len(SECTIONS):
+        with open("TPU_EVIDENCE.json") as f:
+            evidence = json.load(f)
+    evidence.update({"jax_backend": jax.default_backend(),
+                     "device": str(jax.devices()[0])})
+    for name in wanted:
+        evidence.update(SECTIONS[name]())
+        print(f"[tpu_evidence] section {name} done", flush=True)
+    if ("train_bf16_ms_per_step" in evidence
+            and "train_fp32_ms_per_step" in evidence):
+        evidence["bf16_speedup_over_fp32"] = round(
+            evidence["train_fp32_ms_per_step"]
+            / evidence["train_bf16_ms_per_step"], 2)
     # duty of the host-FEED path, derived from its measured wall time
     # and the relay-free device step time (BASELINE.md's ">95% duty"
     # row): via-relay is honest-but-tunnel-bound; the attached bound
