@@ -191,6 +191,17 @@ def _rasterize_jnp(edges: jnp.ndarray, values: jnp.ndarray,
 # Pallas backend
 # ---------------------------------------------------------------------------
 
+def _block_hw(block, height, width):
+    """block may be an int (square) or an (bh, bw) tuple -- rectangular
+    lane-aligned blocks (e.g. (32, 256)) cut the per-(feature, block)
+    VPU work for small features while keeping the 128-lane dim full."""
+    if isinstance(block, tuple):
+        bh, bw = block
+    else:
+        bh = bw = block
+    return min(bh, height), min(bw, width)
+
+
 @functools.lru_cache(maxsize=64)
 def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
                          interpret):
@@ -209,17 +220,22 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bh = min(block, height)
-    bw = min(block, width)
+    bh, bw = _block_hw(block, height, width)
     grid = (-(-height // bh), -(-width // bw), F)
 
-    def kernel(values_ref, bg_ref, windows_ref, bbox_ref, edges_ref,
+    def kernel(values_ref, windows_ref, bbox_ref, edges_ref, init_ref,
                out_ref):
         f = pl.program_id(2)
 
+        # the canvas arrives as an INPUT (background-filled for the
+        # first feature chunk, the previous chunk's output after):
+        # Mosaic's SMEM bookkeeping grows ~1 KB per innermost grid
+        # step, so feature counts beyond ~512 must be split across
+        # sequential pallas calls (see _F_CHUNK) -- threading the
+        # canvas preserves last-writer-wins emit order across chunks
         @pl.when(f == 0)
         def _():
-            out_ref[:, :] = jnp.full((bh, bw), bg_ref[0], jnp.float32)
+            out_ref[:, :] = init_ref[:, :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -288,12 +304,13 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
                                       out_ref[:, :])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # values (F,), background (1,), windows
-                                # (F, 2), bboxes (F, 4) in SMEM
+        num_scalar_prefetch=3,  # values (F,), windows (F, 2),
+                                # bboxes (F, 4) in SMEM
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, E, 4), lambda i, j, f, *_: (f, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((bh, bw), lambda i, j, f, *_: (i, j)),
         ],
         out_specs=pl.BlockSpec((bh, bw), lambda i, j, f, *_: (i, j)),
     )
@@ -305,7 +322,7 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
         interpret=interpret,
     )
 
-    def run(values, background, windows, edges):
+    def run(values, canvas, windows, edges):
         # per-feature [minx, miny, maxx, maxy] over REAL edges only:
         # padding rows are _FAR sentinels (all four coords), so a plain
         # min would stretch every bbox to -1e9 and defeat the cull. A
@@ -322,24 +339,246 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
             jnp.max(jnp.where(m, xs, -big), axis=(1, 2)),
             jnp.max(jnp.where(m, ys, -big), axis=(1, 2)),
         ], axis=-1)
-        out = call(values, background.reshape(1), windows, bbox, edges)
-        return out[:height, :width]
+        return call(values, windows, bbox, edges, canvas)
 
     return jax.jit(run)
 
 
+# Mosaic SMEM bookkeeping grows with the innermost grid dimension
+# (~1 KB/step, measured: F=1024 needs 1.25 MB of the 1 MB SMEM; F=512
+# fits); feature counts beyond this are split across sequential calls
+# that thread the canvas through.
+_F_CHUNK = 512
+
+# dense-kernel grid is blocks x F; above this feature count the binned
+# kernel (blocks x max-features-per-block) wins -- grid-step sequencing
+# costs ~20 us whether or not the feature is culled, so at production
+# scale (1,024 scattered features on a 1,024^2 canvas) the dense grid
+# burns ~16k steps where the binned one needs ~2k.
+_BIN_THRESHOLD = 64
+
+
+@functools.lru_cache(maxsize=64)
+def _rasterize_pallas_binned_fn(F, E, S, height, width, all_touched,
+                                block, interpret):
+    """Spatially-BINNED burn kernel. Grid = (row blocks, col blocks,
+    slots): slot s of block (i, j) dereferences ``table[i, j, s]`` -- a
+    host-computed per-block feature list riding the scalar-prefetch
+    channel and consumed by the edge stream's INDEX MAP, so each canvas
+    block only streams and evaluates the features whose (0.5-px
+    dilated) bbox / row window intersects it. Binning is conservative
+    (over-inclusion is safe: the in-kernel predicates are exact), and
+    per-block lists are in ascending emit order, preserving
+    last-writer-wins within each block; blocks touch disjoint pixels,
+    so cross-block order is irrelevant."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, bw = _block_hw(block, height, width)
+    grid = (-(-height // bh), -(-width // bw), S)
+
+    def kernel(values_ref, windows_ref, count_ref, table_ref, edges_ref,
+               init_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        s = pl.program_id(2)
+
+        @pl.when(s == 0)
+        def _():
+            out_ref[:, :] = init_ref[:, :]
+
+        @pl.when(s < count_ref[i, j])
+        def _():
+            fidx = table_ref[i, j, s]
+            cy = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+                  .astype(jnp.float32)
+                  + (i * bh).astype(jnp.float32) + 0.5)
+            cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+                  .astype(jnp.float32)
+                  + (j * bw).astype(jnp.float32) + 0.5)
+
+            def edge_body(e, carry):
+                parity, touch = carry
+                x0 = edges_ref[0, e, 0]
+                y0 = edges_ref[0, e, 1]
+                x1 = edges_ref[0, e, 2]
+                y1 = edges_ref[0, e, 3]
+                straddle = (y0 > cy) != (y1 > cy)
+                dy = y1 - y0
+                safe_dy = jnp.where(dy == 0, 1.0, dy)
+                xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
+                parity = parity ^ (straddle
+                                   & (cx < xint)).astype(jnp.int32)
+                if all_touched:
+                    bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
+                            & (cx - 0.5 <= jnp.maximum(x0, x1))
+                            & (cy + 0.5 >= jnp.minimum(y0, y1))
+                            & (cy - 0.5 <= jnp.maximum(y0, y1)))
+                    nx = y1 - y0
+                    ny = x0 - x1
+                    dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
+                    reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
+                    touch = touch | (bbox
+                                     & (dist <= reach)).astype(jnp.int32)
+                return parity, touch
+
+            parity0 = jnp.zeros((bh, bw), jnp.int32)
+            touch0 = jnp.zeros((bh, bw), jnp.int32)
+            parity, touch = jax.lax.fori_loop(0, E, edge_body,
+                                              (parity0, touch0))
+            mask = (parity | touch if all_touched else parity) > 0
+            mask = mask & (cy >= windows_ref[fidx, 0]) \
+                & (cy < windows_ref[fidx, 1])
+            out_ref[:, :] = jnp.where(mask, values_ref[fidx],
+                                      out_ref[:, :])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # values (F,), windows (F, 2),
+                                # count (Gi, Gj), table (Gi, Gj, S)
+        grid=grid,
+        in_specs=[
+            # the slot's feature edges, chosen BY the prefetch table
+            pl.BlockSpec((1, E, 4),
+                         lambda i, j, s, values, windows, count, table:
+                         (table[i, j, s], 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bh, bw),
+                         lambda i, j, s, *_: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((bh, bw), lambda i, j, s, *_: (i, j)),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * bh, grid[1] * bw), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def _bin_features(edges_np: np.ndarray, windows_np: np.ndarray,
+                  height: int, width: int, bh: int, bw: int,
+                  dilate: float = 1.0):
+    """Host-side spatial binning: per-block feature lists (ascending
+    emit order) from dilated bboxes intersected with row windows.
+    Conservative (``dilate`` extra pixels each side; callers that will
+    shift geometry after binning pass a wider margin) -- the kernel's
+    predicates are exact, so over-inclusion only costs work. Returns
+    (count (Gi, Gj) int32, table (Gi, Gj, S) int32) with S a power of
+    two."""
+    gi = -(-height // bh)
+    gj = -(-width // bw)
+    real = edges_np[:, :, 0] != _FAR
+    xs = np.stack([edges_np[:, :, 0], edges_np[:, :, 2]], axis=-1)
+    ys = np.stack([edges_np[:, :, 1], edges_np[:, :, 3]], axis=-1)
+    big = 2.0e9
+    m = real[:, :, None]
+    minx = np.min(np.where(m, xs, big), axis=(1, 2))
+    miny = np.min(np.where(m, ys, big), axis=(1, 2))
+    maxx = np.max(np.where(m, xs, -big), axis=(1, 2))
+    maxy = np.max(np.where(m, ys, -big), axis=(1, 2))
+    lists = [[[] for _ in range(gj)] for _ in range(gi)]
+    F = len(edges_np)
+    for f in range(F):
+        if minx[f] > maxx[f]:
+            continue  # fully-padded feature
+        ylo = max(miny[f] - dilate, windows_np[f, 0] - 1.0)
+        yhi = min(maxy[f] + dilate, windows_np[f, 1] + 1.0)
+        if ylo > yhi:
+            continue
+        bi0 = max(0, int(ylo) // bh)
+        bi1 = min(gi - 1, int(yhi) // bh)
+        bj0 = max(0, int(max(minx[f] - dilate, 0.0)) // bw)
+        bj1 = min(gj - 1, int(max(maxx[f] + dilate, 0.0)) // bw)
+        if bi0 > bi1 or bj0 > bj1:
+            continue
+        for bi in range(bi0, bi1 + 1):
+            for bj in range(bj0, bj1 + 1):
+                lists[bi][bj].append(f)
+    smax = max(1, max(len(c) for row in lists for c in row))
+    S = 1 << max(0, smax - 1).bit_length()
+    count = np.zeros((gi, gj), np.int32)
+    table = np.zeros((gi, gj, S), np.int32)
+    for bi in range(gi):
+        for bj in range(gj):
+            lst = lists[bi][bj]
+            count[bi, bj] = len(lst)
+            table[bi, bj, : len(lst)] = lst
+    return count, table
+
+
+def _binned_burn(values, windows, count, table, edges, canvas,
+                 height: int, width: int, all_touched: bool,
+                 block, interpret: bool):
+    """Run the binned kernel over slot chunks, threading the canvas.
+    count/table come from _bin_features (or a caller's conservative
+    precomputation); canvas is the block-padded initial canvas."""
+    F, E, _ = edges.shape
+    S = table.shape[2]
+    Sc = min(S, _F_CHUNK)
+    fn = _rasterize_pallas_binned_fn(F, E, Sc, height, width,
+                                     all_touched, block, interpret)
+    for lo in range(0, S, Sc):
+        # per-chunk slot counts: how many of THIS chunk's slots are
+        # live in each block
+        c = np.clip(count - lo, 0, Sc).astype(np.int32)
+        canvas = fn(values, windows, jnp.asarray(c),
+                    jnp.asarray(table[:, :, lo:lo + Sc]), edges, canvas)
+    return canvas[:height, :width]
+
+
 def _rasterize_pallas(edges, values, background, height, width, all_touched,
-                      block=256, interpret=False, windows=None):
-    """Pallas burn kernel entry (see _rasterize_pallas_fn)."""
+                      block=None, interpret=False, windows=None):
+    """Pallas burn kernel entry: dense feature scan for small feature
+    counts (see _rasterize_pallas_fn), spatially binned above
+    _BIN_THRESHOLD (see _rasterize_pallas_binned_fn).
+
+    block defaults: 256x256 for the dense scan (one VMEM-resident
+    canvas block per tile burn); (32, 256) for the binned kernel --
+    measured 9.6x jnp at 1,024 features x 256 edges on a 1,024^2 v5e
+    canvas (vs 5.3x at 256x256): rows stay full 128-lane vectors while
+    small features stop paying for a mostly-missed 256-row block."""
     F, E, _ = edges.shape
     if windows is None:
         windows = jnp.broadcast_to(
             jnp.asarray([-1.0e9, 1.0e9], jnp.float32), (F, 2))
     windows = jnp.asarray(windows, jnp.float32)
-    fn = _rasterize_pallas_fn(F, E, int(height), int(width),
-                              bool(all_touched), int(block),
+    binned = F > _BIN_THRESHOLD
+    if block is None:
+        block = (32, 256) if binned else 256
+    bh, bw = _block_hw(block, height, width)
+    ph = -(-height // bh) * bh
+    pw = -(-width // bw) * bw
+    canvas = jnp.full((ph, pw), background, jnp.float32)
+
+    if binned:
+        count, table = _bin_features(np.asarray(edges),
+                                     np.asarray(windows),
+                                     int(height), int(width), bh, bw)
+        return _binned_burn(values, windows, count, table, edges,
+                            canvas, int(height), int(width),
+                            bool(all_touched), block,
+                            bool(interpret))
+
+    if F > _F_CHUNK and F % _F_CHUNK:
+        # pad to a chunk multiple with inert features (empty bboxes,
+        # culled from every block) so every chunk hits one compile
+        pad = _F_CHUNK - F % _F_CHUNK
+        edges = jnp.concatenate(
+            [edges, jnp.full((pad, E, 4), _FAR, edges.dtype)])
+        values = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((pad, 2), windows.dtype)])
+        F += pad
+    Fc = min(F, _F_CHUNK)
+    fn = _rasterize_pallas_fn(Fc, E, int(height), int(width),
+                              bool(all_touched), block,
                               bool(interpret))
-    return fn(values, background, windows, edges)
+    for lo in range(0, F, Fc):
+        canvas = fn(values[lo:lo + Fc], canvas,
+                    windows[lo:lo + Fc], edges[lo:lo + Fc])
+    return canvas[:height, :width]
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,27 @@ class TestRasterize:
         out = rasterize([], (8, 8), background=255, backend="jnp")
         assert (out == 255).all()
 
+    def test_pallas_chunked_many_features_matches_jnp(self):
+        """Feature counts past _F_CHUNK split across sequential kernel
+        calls threading the canvas (Mosaic SMEM limit) -- output must
+        stay identical to jnp, including last-writer-wins ordering of
+        overlapping features in DIFFERENT chunks."""
+        rng = np.random.RandomState(2)
+        feats = []
+        for v in range(1, 521):  # > _F_CHUNK=512 after pow2 pad -> 1024
+            c = rng.rand(2) * 56 + 4
+            tri = c + (rng.rand(3, 2) - 0.5) * 8
+            feats.append(([tri], (v % 250) + 1))
+        # overlapping pair straddling the chunk boundary: feature 511
+        # (chunk 0) and 512 (chunk 1) burn the same pixels
+        sq = np.array([[10, 10], [30, 10], [30, 30], [10, 30]], float)
+        feats[510] = ([sq], 77)
+        feats[512] = ([sq + 0.5], 99)
+        a = rasterize(feats, (64, 64), 255, backend="jnp")
+        b = rasterize(feats, (64, 64), 255, backend="pallas")
+        np.testing.assert_array_equal(a, b)
+        assert 99 in np.unique(b)  # the later feature won the overlap
+
     def test_attribute_values_and_nodata(self):
         sq = np.array([[1, 1], [4, 1], [4, 4], [1, 4]], float)
         out = rasterize([([sq], 3)], (8, 8), background=255, backend="jnp")
