@@ -92,6 +92,18 @@ def get_default_catalog() -> Catalog:
         "$DLSEG_CATALOG to a local catalog root")
 
 
+RESAMPLERS = ("near", "bilinear")
+
+
+def validate_resampler(name: str) -> None:
+    """Reject unknown resampler names with one shared message (used by
+    every entry point that accepts the reference's ``resampler``
+    argument, _descartes_img_chips.py:483, 512-513)."""
+    if name not in RESAMPLERS:
+        raise ValueError(f"unknown resampler {name!r} "
+                         "(expected 'near' or 'bilinear')")
+
+
 def equator_referenced_gt(gt: Sequence[float],
                           epsg: Optional[int]) -> Tuple[float, ...]:
     """Normalize a geotransform to the grid's internal
@@ -116,17 +128,17 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
     grid. Returns (out (H, W, B), valid (H, W)).
 
     method: "near" (nearest neighbour) or "bilinear" (4-neighbour
-    weighted; a target pixel is valid only when all four contributing
-    source pixels are in-bounds and not nodata -- conservative vs
+    weighted; a target pixel is valid only when every source pixel
+    with NONZERO interpolation weight is in-bounds and not nodata --
+    zero-weight corners are don't-care, so a source exactly aligned
+    with the tile grid keeps its full extent; still conservative vs
     GDAL's nodata-excluding weights, documented deviation). Matches
     the reference's resampler values passed to SceneCollection.mosaic
     (_descartes_img_chips.py:483, 512-513).
 
     This is the local equivalent of the server-side windowing/resample
     the DL API performed for ctx-shaped mosaics."""
-    if method not in ("near", "bilinear"):
-        raise ValueError(f"unknown resampler {method!r} "
-                         "(expected 'near' or 'bilinear')")
+    validate_resampler(method)
     src_gt = equator_referenced_gt(src_gt, src_epsg)
     n = tile.raster_size
     gt = tile.geotrans_equator
@@ -139,26 +151,37 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
         # fractional source pixel-CENTRE coordinates
         fx = (x - src_gt[0]) / src_gt[1] - 0.5                    # (W,)
         fy = (y - src_gt[3]) / src_gt[5] - 0.5                    # (H,)
-        c0 = np.floor(fx).astype(np.int64)
-        r0 = np.floor(fy).astype(np.int64)
-        wx = (fx - c0)[None, :, None]                             # (1,W,1)
-        wy = (fy - r0)[:, None, None]                             # (H,1,1)
-        in_bounds = (((r0 >= 0) & (r0 + 1 < h_src))[:, None]
-                     & ((c0 >= 0) & (c0 + 1 < w_src))[None, :])
-        r0c = np.clip(r0, 0, h_src - 2)
-        c0c = np.clip(c0, 0, w_src - 2)
-        q00 = src[r0c[:, None], c0c[None, :]].astype(np.float64)
-        q01 = src[r0c[:, None], c0c[None, :] + 1].astype(np.float64)
-        q10 = src[r0c[:, None] + 1, c0c[None, :]].astype(np.float64)
-        q11 = src[r0c[:, None] + 1, c0c[None, :] + 1].astype(np.float64)
+        # valid where the target centre lies within the span of source
+        # centres; corner indices clamp so the boundary case (wx or wy
+        # exactly 0/1, e.g. a grid-aligned source) reads in-bounds
+        # pixels and zero-weight corners never invalidate.
+        in_bounds = (((fy >= 0.0) & (fy <= h_src - 1.0))[:, None]
+                     & ((fx >= 0.0) & (fx <= w_src - 1.0))[None, :])
+        r0 = np.clip(np.floor(fy).astype(np.int64), 0,
+                     max(h_src - 2, 0))
+        c0 = np.clip(np.floor(fx).astype(np.int64), 0,
+                     max(w_src - 2, 0))
+        wx = np.clip(fx - c0, 0.0, 1.0)[None, :, None]            # (1,W,1)
+        wy = np.clip(fy - r0, 0.0, 1.0)[:, None, None]            # (H,1,1)
+        r1 = np.minimum(r0 + 1, h_src - 1)
+        c1 = np.minimum(c0 + 1, w_src - 1)
+        q00 = src[r0[:, None], c0[None, :]].astype(np.float64)
+        q01 = src[r0[:, None], c1[None, :]].astype(np.float64)
+        q10 = src[r1[:, None], c0[None, :]].astype(np.float64)
+        q11 = src[r1[:, None], c1[None, :]].astype(np.float64)
         res = (q00 * (1 - wx) * (1 - wy) + q01 * wx * (1 - wy)
                + q10 * (1 - wx) * wy + q11 * wx * wy)
         valid = in_bounds
         if nodata is not None:
-            corner_nodata = (np.all(q00 == nodata, axis=-1)
-                             | np.all(q01 == nodata, axis=-1)
-                             | np.all(q10 == nodata, axis=-1)
-                             | np.all(q11 == nodata, axis=-1))
+            w00 = ((1 - wx) * (1 - wy))[:, :, 0]
+            w01 = (wx * (1 - wy))[:, :, 0]
+            w10 = ((1 - wx) * wy)[:, :, 0]
+            w11 = (wx * wy)[:, :, 0]
+            corner_nodata = (
+                ((w00 > 0) & np.all(q00 == nodata, axis=-1))
+                | ((w01 > 0) & np.all(q01 == nodata, axis=-1))
+                | ((w10 > 0) & np.all(q10 == nodata, axis=-1))
+                | ((w11 > 0) & np.all(q11 == nodata, axis=-1)))
             valid = valid & ~corner_nodata
         if np.issubdtype(src.dtype, np.integer):
             res = np.rint(res)

@@ -33,6 +33,7 @@ import numpy as np
 
 from ..raster.geotiff import read_geotiff
 from .base import (Catalog, SceneMeta, equator_referenced_gt,
+                   validate_resampler,
                    resample_to_tile)
 
 
@@ -155,6 +156,7 @@ class LocalCatalog(Catalog):
     def load(self, scenes: Sequence[SceneMeta], tile,
              bands: Sequence[str], resampler: str = "near"
              ) -> Tuple[np.ndarray, np.ndarray]:
+        validate_resampler(resampler)  # even when scenes is empty
         band_names = None
         stacks = []
         valids = []

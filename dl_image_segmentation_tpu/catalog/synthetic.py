@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .base import Catalog, SceneMeta
+from .base import Catalog, SceneMeta, validate_resampler
 
 
 def _seed_for(*parts) -> int:
@@ -78,9 +78,7 @@ class SyntheticCatalog(Catalog):
         # scenes are generated directly on the tile grid, so "near"
         # and "bilinear" coincide; still reject unknown values so a
         # caller's typo fails the same way as on LocalCatalog
-        if resampler not in ("near", "bilinear"):
-            raise ValueError(f"unknown resampler {resampler!r} "
-                             "(expected 'near' or 'bilinear')")
+        validate_resampler(resampler)
         n = tile.raster_size
         stacks = []
         valids = []

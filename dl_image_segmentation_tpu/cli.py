@@ -152,7 +152,8 @@ def cmd_predict(args) -> int:
     cfg = TrainConfig(num_classes=args.classes, in_channels=args.channels,
                       base_features=args.features, levels=args.levels,
                       image_size=args.image_size,
-                      batch_size=args.batch_size, model=args.model)
+                      batch_size=args.batch_size, model=args.model,
+                      precision=args.precision)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     os.makedirs(args.out, exist_ok=True)
@@ -205,7 +206,8 @@ def cmd_eval(args) -> int:
                       base_features=args.features, levels=args.levels,
                       image_size=args.image_size,
                       batch_size=args.batch_size,
-                      label_nodata=args.nodata, model=args.model)
+                      label_nodata=args.nodata, model=args.model,
+                      precision=args.precision)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     feed = TFRecordFeed(args.records, args.mode,
@@ -465,6 +467,11 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", type=int, default=8)
     pr.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
+    pr.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp32"],
+                    help="compute precision; match the checkpoint's "
+                         "training run for identical numerics "
+                         "(checkpoints themselves are fp32 either way)")
     pr.add_argument("--scale", default="auto",
                     help="input scaling, matching how the checkpoint "
                          "was TRAINED: 'auto' = by chip dtype "
@@ -490,6 +497,10 @@ def main(argv=None) -> int:
     ev.add_argument("--nodata", type=int, default=255)
     ev.add_argument("--workers", type=int, default=2)
     ev.add_argument("--max-batches", type=int, default=None)
+    ev.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp32"],
+                    help="compute precision; match the checkpoint's "
+                         "training run for identical numerics")
     ev.set_defaults(fn=cmd_eval)
 
     stp = sub.add_parser("stitch", help="chips -> one GeoTIFF mosaic")

@@ -157,6 +157,63 @@ def _feature_masks(edges: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
     return inside | touch
 
 
+def _feature_bboxes(edges, xp):
+    """Per-feature [minx, miny, maxx, maxy] over REAL edges only (xp is
+    np or jnp -- same code serves the host binner and the in-graph
+    dense-kernel cull). Padding rows are _FAR sentinels (all four
+    coords), so a plain min would stretch every bbox to -1e9 and defeat
+    culling. A fully-padded feature gets an inverted (empty) bbox and
+    is culled from every block."""
+    real = edges[:, :, 0] != _FAR
+    xs = xp.stack([edges[:, :, 0], edges[:, :, 2]], axis=-1)
+    ys = xp.stack([edges[:, :, 1], edges[:, :, 3]], axis=-1)
+    big = 2.0e9
+    m = real[:, :, None]
+    return (xp.min(xp.where(m, xs, big), axis=(1, 2)),
+            xp.min(xp.where(m, ys, big), axis=(1, 2)),
+            xp.max(xp.where(m, xs, -big), axis=(1, 2)),
+            xp.max(xp.where(m, ys, -big), axis=(1, 2)))
+
+
+def _edge_mask(edges_ref, cx, cy, E, all_touched):
+    """The per-(feature, block) predicate loop shared by BOTH Pallas
+    kernels: stream E edges from SMEM (edges_ref block is (1, E, 4)),
+    accumulate even-odd parity and the ALL_TOUCHED touch predicate over
+    the (bh, bw) pixel-centre grids cx/cy, and return the bool burn
+    mask. Same math as _feature_masks, restructured as a scalar edge
+    stream (no gathers, no dynamic VMEM indexing)."""
+
+    # loop carries are int32, not bool: Mosaic crashes on large
+    # i1 vector carries through scf.for (observed on v5e)
+    def edge_body(e, carry):
+        parity, touch = carry
+        x0 = edges_ref[0, e, 0]
+        y0 = edges_ref[0, e, 1]
+        x1 = edges_ref[0, e, 2]
+        y1 = edges_ref[0, e, 3]
+        straddle = (y0 > cy) != (y1 > cy)
+        dy = y1 - y0
+        safe_dy = jnp.where(dy == 0, 1.0, dy)
+        xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
+        parity = parity ^ (straddle & (cx < xint)).astype(jnp.int32)
+        if all_touched:
+            bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
+                    & (cx - 0.5 <= jnp.maximum(x0, x1))
+                    & (cy + 0.5 >= jnp.minimum(y0, y1))
+                    & (cy - 0.5 <= jnp.maximum(y0, y1)))
+            nx = y1 - y0
+            ny = x0 - x1
+            dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
+            reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
+            touch = touch | (bbox & (dist <= reach)).astype(jnp.int32)
+        return parity, touch
+
+    parity0 = jnp.zeros(cx.shape, jnp.int32)
+    touch0 = jnp.zeros(cx.shape, jnp.int32)
+    parity, touch = jax.lax.fori_loop(0, E, edge_body, (parity0, touch0))
+    return (parity | touch if all_touched else parity) > 0
+
+
 # ---------------------------------------------------------------------------
 # jnp backend
 # ---------------------------------------------------------------------------
@@ -264,39 +321,7 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
                   .astype(jnp.float32) + by0)
             cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
                   .astype(jnp.float32) + bx0)
-
-            # loop carries are int32, not bool: Mosaic crashes on large
-            # i1 vector carries through scf.for (observed on v5e)
-            def edge_body(e, carry):
-                parity, touch = carry
-                x0 = edges_ref[0, e, 0]
-                y0 = edges_ref[0, e, 1]
-                x1 = edges_ref[0, e, 2]
-                y1 = edges_ref[0, e, 3]
-                straddle = (y0 > cy) != (y1 > cy)
-                dy = y1 - y0
-                safe_dy = jnp.where(dy == 0, 1.0, dy)
-                xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
-                parity = parity ^ (straddle
-                                   & (cx < xint)).astype(jnp.int32)
-                if all_touched:
-                    bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
-                            & (cx - 0.5 <= jnp.maximum(x0, x1))
-                            & (cy + 0.5 >= jnp.minimum(y0, y1))
-                            & (cy - 0.5 <= jnp.maximum(y0, y1)))
-                    nx = y1 - y0
-                    ny = x0 - x1
-                    dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
-                    reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
-                    touch = touch | (bbox
-                                     & (dist <= reach)).astype(jnp.int32)
-                return parity, touch
-
-            parity0 = jnp.zeros((bh, bw), jnp.int32)
-            touch0 = jnp.zeros((bh, bw), jnp.int32)
-            parity, touch = jax.lax.fori_loop(0, E, edge_body,
-                                              (parity0, touch0))
-            mask = (parity | touch if all_touched else parity) > 0
+            mask = _edge_mask(edges_ref, cx, cy, E, all_touched)
             # per-feature row window (batched multi-tile canvases)
             mask = mask & (cy >= windows_ref[f, 0]) \
                 & (cy < windows_ref[f, 1])
@@ -323,22 +348,7 @@ def _rasterize_pallas_fn(F, E, height, width, all_touched, block,
     )
 
     def run(values, canvas, windows, edges):
-        # per-feature [minx, miny, maxx, maxy] over REAL edges only:
-        # padding rows are _FAR sentinels (all four coords), so a plain
-        # min would stretch every bbox to -1e9 and defeat the cull. A
-        # fully-padded feature gets an inverted (empty) bbox and is
-        # culled from every block.
-        real = edges[:, :, 0] != _FAR
-        xs = jnp.stack([edges[:, :, 0], edges[:, :, 2]], axis=-1)
-        ys = jnp.stack([edges[:, :, 1], edges[:, :, 3]], axis=-1)
-        big = jnp.float32(2.0e9)
-        m = real[:, :, None]
-        bbox = jnp.stack([
-            jnp.min(jnp.where(m, xs, big), axis=(1, 2)),
-            jnp.min(jnp.where(m, ys, big), axis=(1, 2)),
-            jnp.max(jnp.where(m, xs, -big), axis=(1, 2)),
-            jnp.max(jnp.where(m, ys, -big), axis=(1, 2)),
-        ], axis=-1)
+        bbox = jnp.stack(_feature_bboxes(edges, jnp), axis=-1)
         return call(values, windows, bbox, edges, canvas)
 
     return jax.jit(run)
@@ -396,37 +406,7 @@ def _rasterize_pallas_binned_fn(F, E, S, height, width, all_touched,
             cx = (jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
                   .astype(jnp.float32)
                   + (j * bw).astype(jnp.float32) + 0.5)
-
-            def edge_body(e, carry):
-                parity, touch = carry
-                x0 = edges_ref[0, e, 0]
-                y0 = edges_ref[0, e, 1]
-                x1 = edges_ref[0, e, 2]
-                y1 = edges_ref[0, e, 3]
-                straddle = (y0 > cy) != (y1 > cy)
-                dy = y1 - y0
-                safe_dy = jnp.where(dy == 0, 1.0, dy)
-                xint = x0 + (cy - y0) / safe_dy * (x1 - x0)
-                parity = parity ^ (straddle
-                                   & (cx < xint)).astype(jnp.int32)
-                if all_touched:
-                    bbox = ((cx + 0.5 >= jnp.minimum(x0, x1))
-                            & (cx - 0.5 <= jnp.maximum(x0, x1))
-                            & (cy + 0.5 >= jnp.minimum(y0, y1))
-                            & (cy - 0.5 <= jnp.maximum(y0, y1)))
-                    nx = y1 - y0
-                    ny = x0 - x1
-                    dist = jnp.abs(nx * (cx - x0) + ny * (cy - y0))
-                    reach = (jnp.abs(nx) + jnp.abs(ny)) * 0.5
-                    touch = touch | (bbox
-                                     & (dist <= reach)).astype(jnp.int32)
-                return parity, touch
-
-            parity0 = jnp.zeros((bh, bw), jnp.int32)
-            touch0 = jnp.zeros((bh, bw), jnp.int32)
-            parity, touch = jax.lax.fori_loop(0, E, edge_body,
-                                              (parity0, touch0))
-            mask = (parity | touch if all_touched else parity) > 0
+            mask = _edge_mask(edges_ref, cx, cy, E, all_touched)
             mask = mask & (cy >= windows_ref[fidx, 0]) \
                 & (cy < windows_ref[fidx, 1])
             out_ref[:, :] = jnp.where(mask, values_ref[fidx],
@@ -469,15 +449,7 @@ def _bin_features(edges_np: np.ndarray, windows_np: np.ndarray,
     two."""
     gi = -(-height // bh)
     gj = -(-width // bw)
-    real = edges_np[:, :, 0] != _FAR
-    xs = np.stack([edges_np[:, :, 0], edges_np[:, :, 2]], axis=-1)
-    ys = np.stack([edges_np[:, :, 1], edges_np[:, :, 3]], axis=-1)
-    big = 2.0e9
-    m = real[:, :, None]
-    minx = np.min(np.where(m, xs, big), axis=(1, 2))
-    miny = np.min(np.where(m, ys, big), axis=(1, 2))
-    maxx = np.max(np.where(m, xs, -big), axis=(1, 2))
-    maxy = np.max(np.where(m, ys, -big), axis=(1, 2))
+    minx, miny, maxx, maxy = _feature_bboxes(edges_np, np)
     lists = [[[] for _ in range(gj)] for _ in range(gi)]
     F = len(edges_np)
     for f in range(F):
@@ -538,13 +510,21 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
     canvas block per tile burn); (32, 256) for the binned kernel --
     measured 9.6x jnp at 1,024 features x 256 edges on a 1,024^2 v5e
     canvas (vs 5.3x at 256x256): rows stay full 128-lane vectors while
-    small features stop paying for a mostly-missed 256-row block."""
+    small features stop paying for a mostly-missed 256-row block.
+
+    Binning needs CONCRETE geometry (the per-block feature table is
+    computed on the host); when edges/windows are jit tracers the
+    dense kernel handles any F instead, splitting feature counts past
+    _F_CHUNK across sequential canvas-threading calls (Mosaic SMEM
+    limit) with its in-graph bbox cull standing in for the bins."""
     F, E, _ = edges.shape
     if windows is None:
         windows = jnp.broadcast_to(
             jnp.asarray([-1.0e9, 1.0e9], jnp.float32), (F, 2))
     windows = jnp.asarray(windows, jnp.float32)
-    binned = F > _BIN_THRESHOLD
+    concrete = not (isinstance(edges, jax.core.Tracer)
+                    or isinstance(windows, jax.core.Tracer))
+    binned = F > _BIN_THRESHOLD and concrete
     if block is None:
         block = (32, 256) if binned else 256
     bh, bw = _block_hw(block, height, width)

@@ -26,7 +26,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..catalog.base import Catalog, get_default_catalog
+from ..catalog.base import (Catalog, get_default_catalog,
+                            validate_resampler)
 from ..geo import crs as _crs
 from ..geo.tilegrid import Tile, tiles_from_shape
 from ..geo.vector import VectorLayer, open_vector
@@ -393,9 +394,7 @@ def stack_products_for_tile(ctx, products, bands_per_product,
     windowed/resampled onto the tile grid (the reference forwards it
     to SceneCollection.mosaic, _descartes_img_chips.py:483, 512-513);
     unknown values raise ValueError."""
-    if resampler not in ("near", "bilinear"):
-        raise ValueError(f"unknown resampler {resampler!r} "
-                         "(expected 'near' or 'bilinear')")
+    validate_resampler(resampler)
     cat = _resolve_catalog(catalog)
     all_arrays = []
     for i, product in enumerate(products):

@@ -78,7 +78,8 @@ class TestCLIFlow:
             "predict", "--images", os.path.join(chip_dir, "images"),
             "--checkpoint", ck, "--out", preds, "--classes", "2",
             "--channels", "3", "--features", "8", "--levels", "1",
-            "--image-size", "32", "--batch-size", "4"])
+            "--image-size", "32", "--batch-size", "4",
+            "--precision", "fp32"])
         assert rc == 0
         assert len(os.listdir(preds)) == n_chips
 

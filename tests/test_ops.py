@@ -127,19 +127,17 @@ class TestRasterize:
         out = rasterize([], (8, 8), background=255, backend="jnp")
         assert (out == 255).all()
 
-    def test_pallas_chunked_many_features_matches_jnp(self):
-        """Feature counts past _F_CHUNK split across sequential kernel
-        calls threading the canvas (Mosaic SMEM limit) -- output must
-        stay identical to jnp, including last-writer-wins ordering of
-        overlapping features in DIFFERENT chunks."""
+    def test_pallas_binned_many_features_matches_jnp(self):
+        """520 concrete features route to the BINNED kernel (above
+        _BIN_THRESHOLD=64) -- output must stay identical to jnp,
+        including last-writer-wins ordering of overlapping features."""
         rng = np.random.RandomState(2)
         feats = []
-        for v in range(1, 521):  # > _F_CHUNK=512 after pow2 pad -> 1024
+        for v in range(1, 521):
             c = rng.rand(2) * 56 + 4
             tri = c + (rng.rand(3, 2) - 0.5) * 8
             feats.append(([tri], (v % 250) + 1))
-        # overlapping pair straddling the chunk boundary: feature 511
-        # (chunk 0) and 512 (chunk 1) burn the same pixels
+        # overlapping pair: the later feature must win
         sq = np.array([[10, 10], [30, 10], [30, 30], [10, 30]], float)
         feats[510] = ([sq], 77)
         feats[512] = ([sq + 0.5], 99)
@@ -147,6 +145,69 @@ class TestRasterize:
         b = rasterize(feats, (64, 64), 255, backend="pallas")
         np.testing.assert_array_equal(a, b)
         assert 99 in np.unique(b)  # the later feature won the overlap
+
+    def test_pallas_traced_chunked_dense_matches_jnp(self):
+        """Under jit, edges are tracers so host binning is impossible:
+        _rasterize_pallas must route ANY feature count through the
+        dense kernel, splitting F > _F_CHUNK across sequential
+        canvas-threading calls (Mosaic SMEM limit). Exercises the
+        cross-chunk last-writer-wins ordering for real (F padded to a
+        chunk multiple -> two chunks)."""
+        from dl_image_segmentation_tpu.ops.rasterize import (
+            _F_CHUNK, _rasterize_jnp, _rasterize_pallas, pack_features)
+        rng = np.random.RandomState(3)
+        feats = []
+        for v in range(1, 521):
+            c = rng.rand(2) * 56 + 4
+            tri = c + (rng.rand(3, 2) - 0.5) * 8
+            feats.append(([tri], (v % 250) + 1))
+        sq = np.array([[10, 10], [30, 10], [30, 30], [10, 30]], float)
+        feats[200] = ([sq], 77)       # chunk 0
+        feats[515] = ([sq + 0.5], 99)  # chunk 1 overwrites the overlap
+        edges, values, windows = pack_features(feats)
+        assert len(edges) > _F_CHUNK  # pow2 pad -> 1024 -> two chunks
+
+        @jax.jit
+        def traced(e, v, w):
+            return _rasterize_pallas(e, v, jnp.float32(255), 64, 64,
+                                     True, interpret=True, windows=w)
+
+        b = np.asarray(traced(jnp.asarray(edges), jnp.asarray(values),
+                              jnp.asarray(windows)))
+        a = np.asarray(_rasterize_jnp(
+            jnp.asarray(edges), jnp.asarray(values), jnp.float32(255),
+            64, 64, True, windows=jnp.asarray(windows)))
+        np.testing.assert_array_equal(a, b)
+        assert 99 in np.unique(b)
+
+    def test_pallas_binned_slot_chunking_matches_jnp(self):
+        """More than _F_CHUNK features binned into the SAME canvas
+        block forces _binned_burn's slot-chunk loop (lo > 0) to thread
+        the canvas across sequential kernel calls; ordering across the
+        chunk boundary must stay last-writer-wins."""
+        import importlib
+        rz = importlib.import_module(
+            "dl_image_segmentation_tpu.ops.rasterize")
+        old = rz._F_CHUNK
+        rz._F_CHUNK = 8  # force multi-chunk without 512 real features
+        try:
+            rng = np.random.RandomState(4)
+            feats = []
+            # 70 features all overlapping one small region -> one block
+            # holds all 70 slots -> 9 chunks of 8
+            for v in range(1, 71):
+                c = rng.rand(2) * 10 + 10
+                tri = c + (rng.rand(3, 2) - 0.5) * 6
+                feats.append(([tri], (v % 250) + 1))
+            sq = np.array([[12, 12], [18, 12], [18, 18], [12, 18]], float)
+            feats[3] = ([sq], 77)        # early chunk
+            feats[69] = ([sq + 0.3], 99)  # last chunk overwrites
+            a = rasterize(feats, (32, 32), 255, backend="jnp")
+            b = rasterize(feats, (32, 32), 255, backend="pallas")
+            np.testing.assert_array_equal(a, b)
+            assert 99 in np.unique(b)
+        finally:
+            rz._F_CHUNK = old
 
     def test_attribute_values_and_nodata(self):
         sq = np.array([[1, 1], [4, 1], [4, 4], [1, 4]], float)

@@ -161,6 +161,37 @@ class TestResample:
         with pytest.raises(ValueError, match="resampler"):
             resample_to_tile(src, gt, TILE, method="lanczos")
 
+    def test_bilinear_aligned_source_is_identity(self):
+        """A source exactly co-registered with the tile grid (the
+        model-output-chips use case) must keep its FULL extent: the
+        boundary pixels have wx/wy == 0 toward the out-of-range
+        neighbour, and zero-weight corners are don't-care (regression:
+        the last row/column used to come back nodata)."""
+        from dl_image_segmentation_tpu.catalog.base import resample_to_tile
+        x0, y0, x1, y1 = TILE.bounds
+        n = TILE.raster_size
+        src = (np.arange(n * n, dtype=np.uint16).reshape(n, n) % 997
+               + 1)[:, :, None]
+        gt = (x0, 10.0, 0.0, y1, 0.0, -10.0)
+        bil, v_b = resample_to_tile(src, gt, TILE, method="bilinear")
+        assert v_b.all()
+        np.testing.assert_array_equal(bil, src)
+        # a nodata hole invalidates exactly itself on an aligned grid
+        # (zero-weight neighbours must not spread it)
+        hole = src.copy()
+        hole[5, 7] = 0
+        out, v = resample_to_tile(hole, gt, TILE, nodata=0,
+                                  method="bilinear")
+        assert not v[5, 7]
+        assert v.sum() == n * n - 1
+
+    def test_local_catalog_load_rejects_unknown_resampler_when_empty(
+            self, tmp_path):
+        from dl_image_segmentation_tpu.catalog.local import LocalCatalog
+        cat = LocalCatalog.create(str(tmp_path / "cat"))
+        with pytest.raises(ValueError, match="resampler"):
+            cat.load([], TILE, ["red"], resampler="cubic")
+
 
 class TestLabelBurn:
     def test_attribute_burn(self, labels_path):

