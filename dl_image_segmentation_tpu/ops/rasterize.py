@@ -519,9 +519,8 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
     limit) with its in-graph bbox cull standing in for the bins."""
     F, E, _ = edges.shape
     if windows is None:
-        windows = jnp.broadcast_to(
-            jnp.asarray([-1.0e9, 1.0e9], jnp.float32), (F, 2))
-    windows = jnp.asarray(windows, jnp.float32)
+        windows = np.broadcast_to(
+            np.asarray([-1.0e9, 1.0e9], np.float32), (F, 2))
     concrete = not (isinstance(edges, jax.core.Tracer)
                     or isinstance(windows, jax.core.Tracer))
     binned = F > _BIN_THRESHOLD and concrete
@@ -533,14 +532,20 @@ def _rasterize_pallas(edges, values, background, height, width, all_touched,
     canvas = jnp.full((ph, pw), background, jnp.float32)
 
     if binned:
+        # bin BEFORE any device upload: production callers hand numpy
+        # geometry, so np.asarray is free here, whereas binning a
+        # jnp array would fetch it back through the relay (~16 MB at
+        # F=1024 x E=256, ~0.5-1 s of pure transfer per burn)
         count, table = _bin_features(np.asarray(edges),
                                      np.asarray(windows),
                                      int(height), int(width), bh, bw)
-        return _binned_burn(values, windows, count, table, edges,
-                            canvas, int(height), int(width),
+        return _binned_burn(values, jnp.asarray(windows, jnp.float32),
+                            count, table, jnp.asarray(edges), canvas,
+                            int(height), int(width),
                             bool(all_touched), block,
                             bool(interpret))
 
+    windows = jnp.asarray(windows, jnp.float32)
     if F > _F_CHUNK and F % _F_CHUNK:
         # pad to a chunk multiple with inert features (empty bboxes,
         # culled from every block) so every chunk hits one compile
@@ -589,11 +594,13 @@ def rasterize(
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu")
     if use_pallas:
+        # geometry stays numpy: the binned path needs it on host (see
+        # _rasterize_pallas) and the kernel jit uploads it exactly once
         out = _rasterize_pallas(
-            jnp.asarray(edges_np), jnp.asarray(values_np), background_arr,
+            edges_np, values_np, background_arr,
             height, width, all_touched,
             interpret=jax.default_backend() != "tpu",
-            windows=jnp.asarray(windows_np))
+            windows=windows_np)
     else:
         out = _rasterize_jnp(jnp.asarray(edges_np), jnp.asarray(values_np),
                              background_arr, height, width, all_touched,

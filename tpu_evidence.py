@@ -488,20 +488,10 @@ def duty_cycle(k_small: int = 50, k_long: int = 1500):
                       levels=4, image_size=256, batch_size=8)
     trainer = Trainer(cfg)
 
-    def t_of(k, reps=2):
-        trainer.train_scanned(pool, total_steps=k,
-                              steps_per_dispatch=k)  # compile warmup
-        return min(_timed(lambda: trainer.train_scanned(
-            pool, total_steps=k, steps_per_dispatch=k))
-            for _ in range(reps))
-
-    t1 = t_of(k_small)
-    t_long = t_of(k_long, reps=1)
-    # fit over the two most-separated points (T = h + K*s); the long
-    # dispatch dominates the slope so transient host noise in the
-    # small run cannot flip the estimate
-    s = (t_long - t1) / (k_long - k_small)  # device seconds / step
-    h = max(t1 - k_small * s, 0.0)          # tunnel overhead / dispatch
+    # shared K-vs-2K slope fit (T = h + K*s): the long dispatch
+    # dominates the slope so transient host noise in the small run
+    # cannot flip the estimate
+    s, h, t_long = _fit_step_time(trainer, pool, k_small, k_long)
     duty_long = min(k_long * s / t_long, 1.0)
     duty_native = k_long * s / (0.005 + k_long * s)
     return {"train_ms_per_step_device": round(s * 1e3, 2),
@@ -537,7 +527,11 @@ def main():
 
     import jax
 
-    wanted = sys.argv[1:] or list(SECTIONS)
+    aliases = {"mfu": ["mfu_bf16", "mfu_fp32"],
+               "mfu_width": ["mfu_w64", "mfu_w128"]}
+    wanted = []
+    for w in sys.argv[1:] or list(SECTIONS):
+        wanted.extend(aliases.get(w, [w]))
     unknown = [w for w in wanted if w not in SECTIONS]
     if unknown:
         raise SystemExit(f"unknown section(s) {unknown}; "
