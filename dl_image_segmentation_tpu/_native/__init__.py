@@ -40,8 +40,11 @@ def _build(so: str) -> bool:
     # a shared tmp name would interleave linker writes and could
     # promote a corrupt .so that poisons every later run
     tmp = f"{so}.{os.getpid()}.tmp"
+    # -ldl: fc_png_decode dlopens libdeflate at load time (no hard
+    # dependency; explicit -ldl for pre-2.34 glibc where dlopen is not
+    # in libc)
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", tmp, _SRC]
+           "-o", tmp, _SRC, "-ldl"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
@@ -123,6 +126,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_char_p]
+        lib.fc_png_decode.restype = ctypes.c_uint64
+        lib.fc_png_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_uint64]
         lib.fc_lzw_encode.restype = ctypes.c_uint64
         lib.fc_lzw_encode.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_char_p, ctypes.c_uint64]
@@ -332,6 +340,51 @@ def tiff_decode_f32(data: bytes):
     out = np.frombuffer(buf, dtype="<f4", count=h * w * c).reshape(
         h, w, c).copy()
     return out
+
+
+_png_buf = threading.local()
+
+
+def png_decode(data: bytes):
+    """Decode an 8-bit non-interlaced grey/RGB PNG to an (H, W, C)
+    uint8 array via libdeflate (inflate is the bottleneck of the
+    training-feed PNG lane; libdeflate runs it 2-3x faster than
+    PIL's zlib). Returns None when the extension or libdeflate is
+    unavailable or the container is outside the supported subset
+    (palette/alpha/16-bit/interlaced) -- callers fall back to PIL."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or len(data) < 33:
+        return None
+    # IHDR dims at fixed offsets size the output buffer
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    colour = data[25]
+    c = 1 if colour == 0 else 3
+    need = h * w * c
+    if need == 0 or need > 1 << 30:
+        return None
+    scratch_need = len(data) + h * (w * c + 1) + 64
+    buf = getattr(_png_buf, "buf", None)
+    if buf is None or len(buf) < need:
+        buf = bytearray(max(need, 1 << 20))
+        _png_buf.buf = buf
+    scratch = getattr(_png_buf, "scratch", None)
+    if scratch is None or len(scratch) < scratch_need:
+        scratch = bytearray(max(scratch_need, 1 << 20))
+        _png_buf.scratch = scratch
+    cbuf = (ctypes.c_char * len(buf)).from_buffer(buf)
+    cscr = (ctypes.c_char * len(scratch)).from_buffer(scratch)
+    r = lib.fc_png_decode(data, len(data), cbuf, len(buf),
+                          cscr, len(scratch))
+    del cbuf, cscr
+    if r == 0:
+        return None
+    rh = int(r >> 32)
+    rw = int((r >> 16) & 0xFFFF)
+    rc = int(r & 0xFFFF)
+    return np.frombuffer(buf, dtype=np.uint8, count=rh * rw * rc) \
+        .reshape(rh, rw, rc).copy()
 
 
 _lzw_buf = threading.local()

@@ -85,8 +85,16 @@ def _is_gif(data: bytes) -> bool:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, B) array. Mirrors ImageCoder.decode_png
-    asserts: 3-D result, <=3 bands (_img_to_tf_threaded.py:56-62)."""
-    arr = _pil_decode(data)
+    asserts: 3-D result, <=3 bands (_img_to_tf_threaded.py:56-62).
+
+    Fast path: the C++ libdeflate decoder for 8-bit non-interlaced
+    grey/RGB (the chip contract; ~2x PIL on the training-feed lane,
+    byte-identical -- tests/test_native.py); PIL for everything
+    else."""
+    from .._native import png_decode
+    arr = png_decode(data)
+    if arr is None:
+        arr = _pil_decode(data)
     assert arr.ndim == 3
     assert arr.shape[2] <= 3
     return arr
@@ -141,7 +149,14 @@ def decode_image_bytes(data: bytes) -> GeoTIFF:
     if _is_tiff(data):
         return decode_geotiff(data)
     if _is_png(data) or _is_jpeg(data) or _is_bmp(data) or _is_gif(data):
-        arr = _pil_decode(data)
+        arr = None
+        if _is_png(data):
+            # libdeflate fast path (the training-feed hot lane);
+            # None -> PIL handles the full format space
+            from .._native import png_decode
+            arr = png_decode(data)
+        if arr is None:
+            arr = _pil_decode(data)
         info = RasterInfo(width=arr.shape[1], height=arr.shape[0],
                           count=arr.shape[2], dtype=arr.dtype.name)
         return GeoTIFF(arr, info)

@@ -556,3 +556,122 @@ class TestCraftedTiffHeaders:
         # python oracle identical
         from dl_image_segmentation_tpu.raster import lzw as pylzw
         assert pylzw.lzw_decode(enc, max_size=1000) == out
+
+
+class TestNativePngDecode:
+    """fc_png_decode: libdeflate fast path for the training-feed PNG
+    lane -- byte-identical to PIL on the chip contract (8-bit
+    non-interlaced grey/RGB), None (-> PIL fallback) everywhere else."""
+
+    def _pil(self, data):
+        from dl_image_segmentation_tpu.raster.image import _pil_decode
+        return _pil_decode(data)
+
+    def _png(self, arr):
+        from dl_image_segmentation_tpu.raster.image import encode_png
+        return encode_png(arr)
+
+    @pytest.mark.skipif(not _native.available(), reason="no toolchain")
+    def test_identical_to_pil_across_shapes_and_filters(self):
+        if _native.png_decode(self._png(
+                np.zeros((4, 4, 3), np.uint8))) is None:
+            pytest.skip("libdeflate unavailable")
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 255, (32, 32, 3), np.uint8)
+        chip = np.kron(base, np.ones((8, 8, 1), np.uint8))
+        chip = np.clip(chip.astype(np.int16)
+                       + rng.randint(-20, 20, chip.shape),
+                       0, 255).astype(np.uint8)  # filters 1/2/4 mix
+        cases = [
+            chip,
+            rng.randint(0, 255, (256, 256, 3), np.uint8),  # noise
+            rng.randint(0, 255, (100, 101, 1), np.uint8),  # gray odd W
+            np.zeros((64, 64, 3), np.uint8),               # filter 0
+            np.tile(np.arange(256, dtype=np.uint8),
+                    (256, 1))[:, :, None],                 # ramp
+            rng.randint(0, 255, (1, 1, 3), np.uint8),      # 1 px
+            rng.randint(0, 255, (3, 513, 3), np.uint8),    # wide odd
+        ]
+        for arr in cases:
+            data = self._png(arr)
+            out = _native.png_decode(data)
+            assert out is not None, arr.shape
+            np.testing.assert_array_equal(out, self._pil(data))
+
+    @pytest.mark.skipif(not _native.available(), reason="no toolchain")
+    def test_unsupported_subsets_fall_back(self):
+        """Palette / alpha / 16-bit / corrupt containers must return
+        None (PIL keeps handling them), never a wrong array."""
+        import io
+
+        from PIL import Image
+        rng = np.random.RandomState(1)
+        buf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 255, (16, 16, 4), np.uint8),
+                        "RGBA").save(buf, "PNG")
+        assert _native.png_decode(buf.getvalue()) is None
+        buf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 255, (16, 16), np.uint8)) \
+            .convert("P").save(buf, "PNG")
+        assert _native.png_decode(buf.getvalue()) is None
+        data = bytearray(self._png(rng.randint(0, 255, (16, 16, 3),
+                                               np.uint8)))
+        import struct
+        pos = 8
+        while pos < len(data):
+            ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+            if typ == b"IDAT":
+                data[pos + 8:pos + 16] = b"\x00" * 8
+                break
+            pos += 12 + ln
+        assert _native.png_decode(bytes(data)) is None
+
+    @pytest.mark.skipif(not _native.available(), reason="no toolchain")
+    def test_multiple_idat_chunks(self):
+        """The IDAT stream may be split across chunks at ANY byte
+        boundary (spec); the decoder must concatenate before
+        inflating."""
+        import io
+        import struct
+        import zlib as _zlib
+
+        from PIL import Image
+        rng = np.random.RandomState(2)
+        buf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)) \
+            .save(buf, "PNG")
+        d = buf.getvalue()
+        pos, chunks = 8, []
+        while pos < len(d):
+            ln, typ = struct.unpack(">I4s", d[pos:pos + 8])
+            chunks.append((typ, d[pos + 8:pos + 8 + ln]))
+            pos += 12 + ln
+        out = bytearray(d[:8])
+
+        def put(typ, payload):
+            out.extend(struct.pack(">I", len(payload)))
+            out.extend(typ)
+            out.extend(payload)
+            out.extend(struct.pack(
+                ">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+        for typ, payload in chunks:
+            if typ == b"IDAT" and len(payload) > 10:
+                put(b"IDAT", payload[:7])
+                put(b"IDAT", payload[7:])
+            else:
+                put(typ, payload)
+        got = _native.png_decode(bytes(out))
+        if got is None:
+            pytest.skip("libdeflate unavailable")
+        np.testing.assert_array_equal(got, self._pil(bytes(out)))
+
+    @pytest.mark.skipif(not _native.available(), reason="no toolchain")
+    def test_decode_png_wrapper_uses_fast_path_transparently(self):
+        """The public decode_png must give identical results whether
+        or not the native path engages."""
+        from dl_image_segmentation_tpu.raster.image import decode_png
+        rng = np.random.RandomState(3)
+        arr = rng.randint(0, 255, (32, 48, 3), np.uint8)
+        data = self._png(arr)
+        np.testing.assert_array_equal(decode_png(data), arr)
