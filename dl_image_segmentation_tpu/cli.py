@@ -99,15 +99,17 @@ def cmd_train(args) -> int:
     trainer = Trainer(cfg)
     if args.restore:
         trainer.restore_checkpoint(args.restore)
-    # pool mode keeps the SOURCE dtype through the feed (scale="raw"):
-    # a uint8 pool is 4x less HBM than float32, and DeviceDataPool
-    # applies the dtype-appropriate [0,1] scale at sample time
+    # scale="raw" in BOTH modes: the feed keeps the SOURCE dtype, so a
+    # uint8 batch is 4x less host-copy + H2D traffic (and a uint8 POOL
+    # 4x less HBM). Scaling happens on device -- DeviceDataPool at
+    # sample time, the train step via normalize_images (trace-time
+    # dtype dispatch, numerics identical to host-side scaling).
     feed = TFRecordFeed(args.records, args.mode,
                         batch_size=args.batch_size,
                         image_size=args.image_size,
                         shuffle_buffer=args.shuffle_buffer,
                         num_workers=args.workers,
-                        scale="raw" if args.scan_steps > 0 else None)
+                        scale="raw")
     if args.scan_steps > 0:
         # device-resident pool mode: K steps per dispatch (fastest on
         # TPU; see train/pool.py)
@@ -210,11 +212,13 @@ def cmd_eval(args) -> int:
                       precision=args.precision)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
+    # source-dtype batches; eval_step normalizes on device (identical
+    # numerics to host-side scaling, 4x less copy/transfer for uint8)
     feed = TFRecordFeed(args.records, args.mode,
                         batch_size=args.batch_size,
                         image_size=args.image_size,
                         shuffle_buffer=1, num_workers=args.workers,
-                        repeat=False)
+                        repeat=False, scale="raw")
     out = trainer.evaluate(feed.batches(), max_batches=args.max_batches)
     print(f"eval: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
           f"miou={out['miou']:.4f} over {out['batches']} batches")

@@ -124,6 +124,25 @@ def masked_xent_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return loss, acc
 
 
+def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Device-side input scaling, resolved at TRACE time by dtype.
+
+    Integer batches can ship from the host as-is (a uint8 batch is 4x
+    less H2D transfer and host-copy traffic than float32 -- the feed
+    passes scale="raw") and are normalized here exactly as the feed's
+    host path would (pipeline/input.py _to_float_image: uint8/255,
+    uint16/65535, other ints cast); float batches pass through
+    untouched (the tifarr raw-DN contract). XLA fuses the scale into
+    the first conv, so the device cost is zero."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    if images.dtype == jnp.uint16:
+        return images.astype(jnp.float32) / 65535.0
+    if not jnp.issubdtype(images.dtype, jnp.floating):
+        return images.astype(jnp.float32)
+    return images
+
+
 class Trainer:
     def __init__(self, config: TrainConfig, mesh: Optional[Mesh] = None):
         self.config = config
@@ -225,6 +244,8 @@ class Trainer:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, images: jnp.ndarray,
                  labels: jnp.ndarray):
+            images = normalize_images(images)
+
             def loss_fn(params):
                 logits = apply_fn(params, images)
                 loss, acc = masked_xent_loss(logits, labels,
@@ -370,7 +391,8 @@ class Trainer:
 
         @jax.jit
         def predict(params, images):
-            logits = model.apply({"params": params}, images)
+            logits = model.apply({"params": params},
+                                 normalize_images(images))
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         return predict
@@ -426,7 +448,8 @@ class Trainer:
 
         @jax.jit
         def eval_step(params, images, labels):
-            logits = model.apply({"params": params}, images)
+            logits = model.apply({"params": params},
+                                 normalize_images(images))
             valid = labels != cfg.label_nodata
             safe = jnp.where(valid, labels, 0).astype(jnp.int32)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -728,3 +728,73 @@ class TestOddImageSizes:
         params = m.init(jax.random.PRNGKey(0), x)["params"]
         out = m.apply({"params": params}, x)
         assert out.shape == (1, 37, 51, 3)
+
+
+class TestDeviceSideNormalization:
+    """normalize_images: integer batches ship raw and scale on device
+    (trace-time dtype dispatch) with numerics identical to the feed's
+    host-side path."""
+
+    def _cfg(self, **kw):
+        return TrainConfig(num_classes=2, in_channels=3, base_features=4,
+                           levels=1, image_size=16, batch_size=8, seed=0,
+                           **kw)
+
+    def test_uint8_step_identical_to_host_scaled(self):
+        rng = np.random.RandomState(0)
+        imgs8 = rng.randint(0, 255, (8, 16, 16, 3), np.uint8)
+        lbls = rng.randint(0, 2, (8, 16, 16)).astype(np.int32)
+        t1, t2 = Trainer(self._cfg()), Trainer(self._cfg())
+        m1 = t1.train_step(imgs8, lbls)
+        m2 = t2.train_step(imgs8.astype(np.float32) / 255.0, lbls)
+        # same IEEE ops either side -> bitwise-identical loss and params
+        assert m1["loss"] == m2["loss"]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            t1.state.params, t2.state.params)
+
+    def test_uint16_step_identical_to_host_scaled(self):
+        rng = np.random.RandomState(1)
+        imgs16 = rng.randint(0, 65535, (8, 16, 16, 3)).astype(np.uint16)
+        lbls = rng.randint(0, 2, (8, 16, 16)).astype(np.int32)
+        t1, t2 = Trainer(self._cfg()), Trainer(self._cfg())
+        m1 = t1.train_step(imgs16, lbls)
+        m2 = t2.train_step(imgs16.astype(np.float32) / 65535.0, lbls)
+        assert m1["loss"] == m2["loss"]
+
+    def test_evaluate_and_predict_accept_uint8(self):
+        rng = np.random.RandomState(2)
+        imgs8 = rng.randint(0, 255, (8, 16, 16, 3), np.uint8)
+        lbls = rng.randint(0, 2, (8, 16, 16)).astype(np.int32)
+        t = Trainer(self._cfg())
+        e8 = t.evaluate([(imgs8, lbls)])
+        ef = t.evaluate([(imgs8.astype(np.float32) / 255.0, lbls)])
+        assert e8["loss"] == ef["loss"] and e8["miou"] == ef["miou"]
+        np.testing.assert_array_equal(
+            t.predict(imgs8),
+            t.predict(imgs8.astype(np.float32) / 255.0))
+
+    def test_raw_feed_batches_train(self, tmp_path):
+        """scale='raw' feed -> uint8 batches -> prefetcher -> step:
+        the production CLI path end-to-end."""
+        root = str(tmp_path / "chips")
+        make_learnable_dataset(root, n=16, size=32)
+        out = str(tmp_path / "recs")
+        images_to_tfrecords_mt("d", root, out, num_shards=2,
+                               num_threads=2, store_as_array=False)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=4,
+                          levels=1, image_size=32, batch_size=8, seed=0)
+        trainer = Trainer(cfg)
+        feed = TFRecordFeed(os.path.join(out, "d-*"), "rgbraw",
+                            batch_size=8, image_size=32,
+                            shuffle_buffer=8, num_workers=2,
+                            scale="raw")
+        with DevicePrefetcher(feed.batches(),
+                              trainer.place_batch) as pf:
+            it = iter(pf)
+            losses = []
+            for _ in range(6):
+                images, labels = next(it)
+                losses.append(trainer.train_step(images, labels)["loss"])
+        assert losses[-1] < losses[0]

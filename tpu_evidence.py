@@ -378,10 +378,12 @@ def feed_duty(steps: int = 10):
 
         # (a) host feed standalone: batches/s of parse+decode+batch
         def feed_rate(pat, mode):
+            # scale="raw" is the production train/eval CLI path: source
+            # dtype ships to the device, normalize_images scales there
             feed = TFRecordFeed(pat, mode, batch_size=8,
                                 image_size=256, shuffle_buffer=16,
                                 num_workers=max(os.cpu_count() or 1, 1),
-                                repeat=True)
+                                repeat=True, scale="raw")
             it = feed.batches()
             next(it)  # warm the worker pool
             n_meas = 24
@@ -425,7 +427,7 @@ def feed_duty(steps: int = 10):
         feed2 = TFRecordFeed(pattern, "rgbraw", batch_size=8,
                              image_size=256, shuffle_buffer=16,
                              num_workers=max(os.cpu_count() or 1, 1),
-                             repeat=True)
+                             repeat=True, scale="raw")
         with DevicePrefetcher(feed2.batches(),
                               trainer.place_batch) as pf:
             it2 = iter(pf)
