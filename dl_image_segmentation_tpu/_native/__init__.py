@@ -351,18 +351,30 @@ def png_decode(data: bytes):
     training-feed PNG lane; libdeflate runs it 2-3x faster than
     PIL's zlib). Returns None when the extension or libdeflate is
     unavailable or the container is outside the supported subset
-    (palette/alpha/16-bit/interlaced) -- callers fall back to PIL."""
+    (palette/alpha/16-bit/interlaced, >32 MiB of pixels) -- callers
+    fall back to PIL. Critical-chunk CRCs are validated in C (PIL
+    rejects CRC-damaged containers; the fast path must match)."""
     import numpy as np
     lib = get_lib()
     if lib is None or len(data) < 33:
         return None
-    # IHDR dims at fixed offsets size the output buffer
-    w = int.from_bytes(data[16:20], "big")
-    h = int.from_bytes(data[20:24], "big")
-    colour = data[25]
-    c = 1 if colour == 0 else 3
+    # header parse through the validated sniffer (checks the IHDR tag
+    # and maps every colour type to its true band count) -- the C side
+    # re-validates depth/colour/interlace before touching pixels
+    try:
+        from ..raster.image import sniff_image_info
+        info = sniff_image_info(data)
+    except Exception:
+        return None
+    if info.dtype != "uint8":
+        return None
+    h, w, c = info.height, info.width, info.count
     need = h * w * c
-    if need == 0 or need > 1 << 30:
+    # cap the native path at 32 MiB of pixels (~3300^2 RGB; chips are
+    # <=2048^2): a crafted 100-byte header claiming huge dims must not
+    # size the thread-retained buffers, and past the cap PIL's
+    # decompression-bomb guard takes over on the fallback path
+    if need == 0 or need > 1 << 25:
         return None
     scratch_need = len(data) + h * (w * c + 1) + 64
     buf = getattr(_png_buf, "buf", None)

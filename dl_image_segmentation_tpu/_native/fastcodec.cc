@@ -1537,9 +1537,11 @@ struct libdeflate_decompressor;
 typedef libdeflate_decompressor* (*ld_alloc_fn)();
 typedef int (*ld_zlib_fn)(libdeflate_decompressor*, const void*, size_t,
                           void*, size_t, size_t*);
+typedef uint32_t (*ld_crc_fn)(uint32_t, const void*, size_t);
 
 static ld_alloc_fn g_ld_alloc = nullptr;
 static ld_zlib_fn g_ld_zlib = nullptr;
+static ld_crc_fn g_ld_crc = nullptr;
 
 static const bool ld_init_at_load = [] {
     void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_GLOBAL);
@@ -1547,9 +1549,11 @@ static const bool ld_init_at_load = [] {
     if (!h) return false;
     g_ld_alloc = (ld_alloc_fn)dlsym(h, "libdeflate_alloc_decompressor");
     g_ld_zlib = (ld_zlib_fn)dlsym(h, "libdeflate_zlib_decompress");
-    if (!g_ld_alloc || !g_ld_zlib) {
+    g_ld_crc = (ld_crc_fn)dlsym(h, "libdeflate_crc32");
+    if (!g_ld_alloc || !g_ld_zlib || !g_ld_crc) {
         g_ld_alloc = nullptr;
         g_ld_zlib = nullptr;
+        g_ld_crc = nullptr;
         return false;
     }
     return true;
@@ -1586,9 +1590,11 @@ uint64_t fc_png_decode(const uint8_t* data, uint64_t len,
                        uint8_t* scratch, uint64_t scratch_cap) {
     static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
     if (!g_ld_zlib || len < 45 || memcmp(data, sig, 8) != 0) return 0;
-    // IHDR is mandatory-first (13-byte payload)
+    // IHDR is mandatory-first (13-byte payload); CRC covers type+data
+    // (PIL rejects critical-chunk CRC damage, so the fast path must too)
     if (be32(data + 8) != 13 || memcmp(data + 12, "IHDR", 4) != 0)
         return 0;
+    if (g_ld_crc(0, data + 12, 17) != be32(data + 29)) return 0;
     uint32_t w = be32(data + 16);
     uint32_t h = be32(data + 20);
     uint8_t depth = data[24], colour = data[25];
@@ -1611,6 +1617,11 @@ uint64_t fc_png_decode(const uint8_t* data, uint64_t len,
         uint32_t clen = be32(data + pos);
         const uint8_t* typ = data + pos + 4;
         if (pos + 12 + clen > len) return 0;
+        // critical chunks (bit 5 of the first type byte clear) get CRC
+        // validation, matching PIL; ancillary chunks are skipped as-is
+        if ((typ[0] & 0x20) == 0
+            && g_ld_crc(0, typ, clen + 4) != be32(data + pos + 8 + clen))
+            return 0;
         if (memcmp(typ, "IDAT", 4) == 0) {
             if (idat + clen > scratch_cap) return 0;
             memcpy(scratch + idat, data + pos + 8, clen);

@@ -16,7 +16,7 @@ trade-off; refresh cadence controls how quickly new data cycles in.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -32,15 +32,7 @@ class DeviceDataPool:
     """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
-                 sharding=None, scale: Optional[float] = None):
-        if scale is not None:
-            self.scale = scale
-        elif images.dtype == np.uint8:
-            self.scale = 1.0 / 255.0
-        elif images.dtype == np.uint16:
-            self.scale = 1.0 / 65535.0
-        else:
-            self.scale = 1.0
+                 sharding=None):
         put = (lambda x: jax.device_put(x, sharding)) if sharding \
             else jax.device_put
         self.images = put(images)
@@ -92,10 +84,12 @@ class DeviceDataPool:
             offset, axis=0)
 
 
-def sample_batch(key, pool_images, pool_labels, batch_size: int,
-                 scale: float):
-    """Uniform with-replacement batch gather, on device."""
+def sample_batch(key, pool_images, pool_labels, batch_size: int):
+    """Uniform with-replacement batch gather, on device. Images keep
+    the pool's source dtype -- the train step normalizes them with the
+    single dtype-dispatch rule (trainer.normalize_images), so the
+    scaling contract lives in exactly one place."""
     idx = jax.random.randint(key, (batch_size,), 0, pool_images.shape[0])
-    images = pool_images[idx].astype(jnp.float32) * scale
+    images = pool_images[idx]
     labels = pool_labels[idx].astype(jnp.int32)
     return images, labels

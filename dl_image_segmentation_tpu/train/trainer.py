@@ -262,7 +262,7 @@ class Trainer:
 
         return step
 
-    def _build_scan_step(self, batch_size: int, scale: float,
+    def _build_scan_step(self, batch_size: int,
                          augment: bool = False):
         """K optimizer steps per dispatch over a device-resident pool
         (see train/pool.py): batch sampling, optional dihedral
@@ -283,7 +283,8 @@ class Trainer:
                 st, ky = carry
                 ky, sub = jax.random.split(ky)
                 images, labels = sample_batch(
-                    sub, pool_images, pool_labels, batch_size, scale)
+                    sub, pool_images, pool_labels, batch_size)
+                images = normalize_images(images)
                 if augment:
                     ky, asub = jax.random.split(ky)
                     images, labels = augment_pairs(asub, images, labels)
@@ -319,8 +320,7 @@ class Trainer:
         used to rotate fresh data into the pool every ``refresh_every``
         dispatches. Returns final metrics + throughput stats."""
         cfg = self.config
-        scan = self._build_scan_step(cfg.batch_size, pool.scale,
-                                     augment=augment)
+        scan = self._build_scan_step(cfg.batch_size, augment=augment)
         key = jax.device_put(jax.random.PRNGKey(seed))
         if self.wall_start is None:
             self.wall_start = time.perf_counter()

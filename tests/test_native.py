@@ -667,6 +667,55 @@ class TestNativePngDecode:
         np.testing.assert_array_equal(got, self._pil(bytes(out)))
 
     @pytest.mark.skipif(not _native.available(), reason="no toolchain")
+    def test_bomb_header_rejected_before_allocation(self):
+        """A ~100-byte container claiming huge dimensions must not size
+        the thread-retained buffers (memory-exhaustion guard): the
+        native path declines >32 MiB of pixels and PIL's decompression
+        -bomb guard owns the fallback."""
+        import struct
+        import threading
+        import zlib as _zlib
+        ihdr = struct.pack(">IIBBBBB", 0xFFFF, 5461, 8, 2, 0, 0, 0)
+        data = bytearray(b"\x89PNG\r\n\x1a\n")
+        for typ, payload in ((b"IHDR", ihdr), (b"IDAT", b"\x00" * 16),
+                             (b"IEND", b"")):
+            data.extend(struct.pack(">I", len(payload)))
+            data.extend(typ + payload)
+            data.extend(struct.pack(
+                ">I", _zlib.crc32(typ + payload) & 0xFFFFFFFF))
+        sentinel = threading.local()
+        orig = _native._png_buf
+        _native._png_buf = sentinel  # fresh per-test buffer store
+        try:
+            assert _native.png_decode(bytes(data)) is None
+            buf = getattr(sentinel, "buf", None)
+            assert buf is None or len(buf) <= (1 << 25)
+        finally:
+            _native._png_buf = orig
+
+    @pytest.mark.skipif(not _native.available(), reason="no toolchain")
+    def test_critical_chunk_crc_damage_rejected(self):
+        """A bit-flipped CRC on a critical chunk must be rejected by
+        the native path (PIL rejects such containers; the fast path
+        must not silently train on them). The pixel data itself is
+        untouched, so only the CRC check can catch this."""
+        import struct
+        rng = np.random.RandomState(7)
+        good = self._png(rng.randint(0, 255, (16, 16, 3), np.uint8))
+        if _native.png_decode(good) is None:
+            pytest.skip("libdeflate unavailable")
+        for target in (b"IHDR", b"IDAT"):
+            data = bytearray(good)
+            pos = 8
+            while pos < len(data):
+                ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+                if typ == target:
+                    data[pos + 8 + ln] ^= 0x01  # first CRC byte
+                    break
+                pos += 12 + ln
+            assert _native.png_decode(bytes(data)) is None, target
+
+    @pytest.mark.skipif(not _native.available(), reason="no toolchain")
     def test_decode_png_wrapper_uses_fast_path_transparently(self):
         """The public decode_png must give identical results whether
         or not the native path engages."""

@@ -227,8 +227,9 @@ class TestScannedTraining:
 
         pool = DeviceDataPool.from_feed(gen(), 12)
         assert pool.size == 12
-        assert abs(pool.scale - 1 / 255.0) < 1e-9
-
+        # pool keeps the source dtype; the scan step normalizes via
+        # the single dtype-dispatch rule (trainer.normalize_images)
+        assert pool.images.dtype == jnp.uint8
 
     def test_pool_refresh_larger_than_pool_rejected(self):
         from dl_image_segmentation_tpu.train.pool import DeviceDataPool
@@ -240,12 +241,36 @@ class TestScannedTraining:
             pool.refresh(np.zeros((16, 8, 8, 3), np.uint8),
                          np.zeros((16, 8, 8), np.uint8))
 
-    def test_uint16_pool_scale_inferred(self):
+    def test_uint16_pool_keeps_source_dtype(self):
         from dl_image_segmentation_tpu.train.pool import DeviceDataPool
         imgs = np.zeros((4, 8, 8, 2), np.uint16)
         lbls = np.zeros((4, 8, 8), np.uint8)
         pool = DeviceDataPool(imgs, lbls)
-        assert abs(pool.scale - 1 / 65535.0) < 1e-12
+        assert pool.images.dtype == jnp.uint16
+
+    def test_pool_scan_uint8_matches_prescaled_float(self):
+        """Scanned training from a uint8 pool is bitwise-identical to
+        the same run from a pre-scaled float32 pool: the normalization
+        contract lives only in normalize_images."""
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(6)
+        imgs = rng.randint(0, 255, (16, 32, 32, 3), np.uint8)
+        lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=4)
+
+        def run(pool_imgs):
+            pool = DeviceDataPool(pool_imgs, lbls)
+            tr = Trainer(cfg)
+            tr.train_scanned(pool, total_steps=4, steps_per_dispatch=2,
+                             seed=7)
+            return tr.state.params
+
+        p_u8 = run(imgs)
+        p_f32 = run(imgs.astype(np.float32) / 255.0)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), p_u8, p_f32)
 
     def test_train_scanned_zero_steps_no_crash(self):
         from dl_image_segmentation_tpu.train.pool import DeviceDataPool
