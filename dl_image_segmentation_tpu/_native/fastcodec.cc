@@ -1590,8 +1590,11 @@ uint64_t fc_png_decode(const uint8_t* data, uint64_t len,
                        uint8_t* scratch, uint64_t scratch_cap) {
     static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
     if (!g_ld_zlib || len < 45 || memcmp(data, sig, 8) != 0) return 0;
-    // IHDR is mandatory-first (13-byte payload); CRC covers type+data
-    // (PIL rejects critical-chunk CRC damage, so the fast path must too)
+    // IHDR is mandatory-first (13-byte payload); CRC covers type+data.
+    // PIL verifies CRCs on chunks it reads through its chunk stream
+    // (IHDR et al.) though not IDAT during lazy load; we validate every
+    // critical chunk -- strictly safer, and a rejected container just
+    // falls back to PIL for the authoritative verdict.
     if (be32(data + 8) != 13 || memcmp(data + 12, "IHDR", 4) != 0)
         return 0;
     if (g_ld_crc(0, data + 12, 17) != be32(data + 29)) return 0;

@@ -173,6 +173,28 @@ class TestFeed:
         with pytest.raises(IOError, match="truncated"):
             list(feed.batches())
 
+    def test_feed_skips_and_counts_corrupt_record(self, tmp_path):
+        """A CRC-damaged PNG inside one record must be skipped and
+        counted (raw-bytes translation only header-sniffs, so the
+        corruption reaches the feed); the remaining records flow."""
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_learnable_dataset(root, n=4, size=32)
+        victim = os.path.join(root, "images",
+                              sorted(os.listdir(
+                                  os.path.join(root, "images")))[0])
+        data = bytearray(open(victim, "rb").read())
+        data[29] ^= 0x01  # IHDR CRC byte; header fields intact, so
+        open(victim, "wb").write(bytes(data))  # raw-mode sniff passes
+        images_to_tfrecords_mt("t", root, out, num_shards=1,
+                               num_threads=1)
+        feed = TFRecordFeed(os.path.join(out, "t-*"), "rgbraw",
+                            batch_size=1, repeat=False, num_workers=2,
+                            shuffle_buffer=1)
+        batches = list(feed.batches())
+        assert len(batches) == 3  # 4 records, 1 corrupt
+        assert feed._parse_failures == 1
+
     def test_feed_no_repeat_stops(self, tmp_path):
         root = str(tmp_path / "chips")
         out = str(tmp_path / "recs")
