@@ -63,7 +63,8 @@ class LocalCatalog(Catalog):
                   scene_id: str, date: _dt.date, array: np.ndarray,
                   geotransform, epsg: int,
                   cloud_fraction: Optional[float] = None,
-                  nodata: Optional[float] = None) -> None:
+                  nodata: Optional[float] = None,
+                  save_index: bool = True) -> None:
         from ..raster.geotiff import write_geotiff
         rel = os.path.join("scenes", f"{scene_id}.tif")
         write_geotiff(os.path.join(self.root, rel), array,
@@ -84,6 +85,10 @@ class LocalCatalog(Catalog):
         if nodata is not None:
             entry["nodata"] = nodata
         p["scenes"].append(entry)
+        if save_index:
+            self._save_index()
+
+    def _save_index(self) -> None:
         with open(os.path.join(self.root, "index.json"), "w",
                   encoding="utf-8") as f:
             json.dump(self._index, f)
@@ -98,6 +103,9 @@ class LocalCatalog(Catalog):
         Returns the number of scenes added."""
         import glob as _glob
         n = 0
+        # the index is written ONCE at the end: per-scene dumps would
+        # re-serialize the whole (growing) index N times -- O(N^2) over
+        # a large predict-output folder
         for f in sorted(_glob.glob(os.path.join(folder, "*.tif"))):
             g = read_geotiff(f)
             if g.info.geotransform is None or g.info.epsg is None:
@@ -107,8 +115,10 @@ class LocalCatalog(Catalog):
             self.add_scene(product, bands, sid, date, g.array,
                            g.info.geotransform, g.info.epsg,
                            cloud_fraction=cloud_fraction,
-                           nodata=g.info.nodata)
+                           nodata=g.info.nodata, save_index=False)
             n += 1
+        if n:
+            self._save_index()
         return n
 
     # -- Catalog interface ----------------------------------------------
@@ -157,13 +167,14 @@ class LocalCatalog(Catalog):
              bands: Sequence[str], resampler: str = "near"
              ) -> Tuple[np.ndarray, np.ndarray]:
         validate_resampler(resampler)  # even when scenes is empty
-        band_names = None
         stacks = []
         valids = []
         for m in scenes:
             g = self._load_scene(m.path)
-            if band_names is None:
-                band_names = self.bands(m.product)
+            # band indices resolved PER SCENE: a mixed-product scene
+            # list must not inherit the first product's band order
+            # (SyntheticCatalog.load resolves per scene too)
+            band_names = self.bands(m.product)
             sel = [band_names.index(b) for b in bands]
             arr = g.array[:, :, sel]
             nodata = m.extra.get("nodata")

@@ -32,8 +32,7 @@ class Geometry:
 
     def __init__(self, polygons: Sequence[PolygonRings]):
         self._polys: List[PolygonRings] = [
-            [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings]
-            for rings in polygons
+            [_ring2d(r) for r in rings] for rings in polygons
         ]
 
     # -- construction --------------------------------------------------
@@ -64,8 +63,17 @@ class Geometry:
         return self._polys
 
     @property
+    def is_empty(self) -> bool:
+        return not any(len(r) for rings in self._polys for r in rings)
+
+    @property
     def bounds(self) -> Tuple[float, float, float, float]:
-        allc = np.concatenate([r for rings in self._polys for r in rings], axis=0)
+        rings = [r for rings in self._polys for r in rings if len(r)]
+        if not rings:
+            raise ValueError("empty geometry has no bounds (null shapes "
+                             "from shapefiles reach here; check is_empty "
+                             "before asking)")
+        allc = np.concatenate(rings, axis=0)
         return (float(allc[:, 0].min()), float(allc[:, 1].min()),
                 float(allc[:, 0].max()), float(allc[:, 1].max()))
 
@@ -74,6 +82,24 @@ class Geometry:
         _descartes_img_chips.py:410; we skip the union -- tile dedup by
         key already removes the duplicates the union existed to avoid)."""
         return [Geometry([rings]) for rings in self._polys]
+
+
+def _ring2d(r) -> np.ndarray:
+    """Ring coordinates -> (N, 2) float64, dropping any z/m values.
+
+    RFC 7946 allows [lon, lat, elev] positions; a blind reshape(-1, 2)
+    on an (N, 3) array would interleave x/y/z into garbage coordinates
+    instead of dropping the third axis."""
+    arr = np.asarray(r, dtype=np.float64)
+    if arr.size == 0:
+        return arr.reshape(0, 2)
+    if arr.ndim >= 2:
+        arr = arr.reshape(-1, arr.shape[-1])
+        if arr.shape[1] < 2:
+            raise ValueError(
+                f"ring positions need >=2 coordinates, got {arr.shape[1]}")
+        return arr[:, :2]
+    return arr.reshape(-1, 2)
 
 
 def _polygons_from_mapping(obj: Mapping) -> Iterable[PolygonRings]:
@@ -89,12 +115,10 @@ def _polygons_from_mapping(obj: Mapping) -> Iterable[PolygonRings]:
         for g in obj.get("geometries", []):
             yield from _polygons_from_mapping(g)
     elif t == "Polygon":
-        yield [np.asarray(r, dtype=np.float64).reshape(-1, 2)[:, :2]
-               for r in obj["coordinates"]]
+        yield [_ring2d(r) for r in obj["coordinates"]]
     elif t == "MultiPolygon":
         for poly in obj["coordinates"]:
-            yield [np.asarray(r, dtype=np.float64).reshape(-1, 2)[:, :2]
-                   for r in poly]
+            yield [_ring2d(r) for r in poly]
     elif t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
         # Non-area geometries contribute no coverage polygons; the
         # reference only rasterises polygons. Represent points as

@@ -102,7 +102,11 @@ def _parse_gpkg_geom(blob: bytes) -> Optional[Geometry]:
             "GeoPackage extension-encoded geometry (flags bit 5) is "
             "not supported; re-export with standard WKB encoding")
     envelope_code = (flags >> 1) & 0x7
-    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(envelope_code, 0)
+    if envelope_code > 4:  # spec: codes 5-7 are invalid
+        raise ValueError(
+            f"invalid GeoPackage envelope contents code {envelope_code} "
+            "(spec allows 0-4); corrupt header?")
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[envelope_code]
     wkb_off = 8 + env_len
     if flags & 0x10:  # bit 4: empty geometry (GeoPackage spec 2.1.3)
         return None
@@ -124,6 +128,11 @@ def read_gpkg(path: str):
     """Read all feature layers of a GeoPackage. Returns the same
     VectorDataset shape as geo.vector.open_vector."""
     from .vector import Feature, VectorDataset, VectorLayer
+    # sqlite3.connect would CREATE an empty file for a typo'd path and
+    # then fail with an opaque "no such table: gpkg_contents" (leaving
+    # the junk file to shadow the typo on the next open)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no such GeoPackage: {path}")
     con = sqlite3.connect(path)
     con.row_factory = sqlite3.Row
     try:
@@ -211,6 +220,8 @@ def write_gpkg(path: str, layer, srs_id: Optional[int] = None) -> None:
                 [blob] + vals)
         bounds = None
         for f in layer.features:
+            if f.geometry.is_empty:  # null shapes have no envelope
+                continue
             b = f.geometry.bounds
             bounds = b if bounds is None else (
                 min(bounds[0], b[0]), min(bounds[1], b[1]),

@@ -281,6 +281,34 @@ def tiles_from_shape(
     # correctly touches every zone in between (no wrap guessing, which
     # would compute the COMPLEMENT of the right zone set for wide
     # AOIs).
+    def _zone_lon_band(zone: int, lat: float):
+        """Effective [lon0, lon1) ownership band of ``zone`` at ``lat``,
+        or None where the zone is unused -- the inverse of
+        crs.utm_zone_from_lonlat's Norway/Svalbard exceptions. Using
+        the NOMINAL 6-degree band here silently dropped coverage:
+        e.g. a part at lon 3..6, lat 56..64 is assigned zone 32, whose
+        nominal band (6..12) doesn't contain it, so the bbox clamp and
+        the longitude filter both rejected every tile."""
+        lon0 = (zone - 1) * 6.0 - 180.0
+        lon1 = lon0 + 6.0
+        if 56.0 <= lat < 64.0:  # Norway (32V)
+            if zone == 31:
+                lon1 = 3.0
+            elif zone == 32:
+                lon0 = 3.0
+        elif 72.0 <= lat < 84.0:  # Svalbard (31X..37X)
+            if zone == 31:
+                lon1 = 9.0
+            elif zone == 33:
+                lon0, lon1 = 9.0, 21.0
+            elif zone == 35:
+                lon0, lon1 = 21.0, 33.0
+            elif zone == 37:
+                lon0, lon1 = 33.0, 42.0
+            elif zone in (32, 34, 36):
+                return None
+        return lon0, lon1
+
     def _part_zones(lons: np.ndarray, lat_mid: float) -> List[int]:
         lo, hi = float(lons.min()), float(lons.max())
         z_lo = int(_crs.utm_zone_from_lonlat(lo, lat_mid))
@@ -290,12 +318,36 @@ def tiles_from_shape(
             return list(range(z_lo, z_hi + 1))
         return list(range(z_lo, 61)) + list(range(1, z_hi + 1))
 
+    def _lat_samples(lat_lo: float, lat_hi: float) -> List[float]:
+        """Latitudes at which zone ownership can change across a part:
+        the extremes, plus representatives of every exception regime
+        the range intersects (Norway 56..64, Svalbard 72..84) and the
+        regime boundaries themselves."""
+        ls = [lat_lo, lat_hi]
+        for b in (56.0, 64.0, 72.0, 84.0):
+            if lat_lo < b < lat_hi:
+                ls.append(b)
+                ls.append(b - 1e-6)
+        if lat_lo < 60.0 < lat_hi or (56.0 <= lat_lo < 64.0):
+            ls.append(min(max(58.0, lat_lo), lat_hi))
+        if lat_lo < 78.0 < lat_hi or (72.0 <= lat_lo < 84.0):
+            ls.append(min(max(78.0, lat_lo), lat_hi))
+        return sorted(set(ls))
+
     parts = []
     all_zones: set = set()
     for ring_set in geom.polygons():  # (exterior, holes) in lonlat
         exterior = ring_set[0]
-        lat_mid = float(exterior[:, 1].min() + exterior[:, 1].max()) / 2.0
-        zs = _part_zones(exterior[:, 0], lat_mid)
+        lat_lo = float(exterior[:, 1].min())
+        lat_hi = float(exterior[:, 1].max())
+        # union over the regime-aware latitude samples: a part whose
+        # lat span crosses 56/72 can touch exception zones (e.g. 32 at
+        # lon 3..6) that its mid-latitude alone would never name
+        zs: List[int] = []
+        for lat_s in _lat_samples(lat_lo, lat_hi):
+            for z in _part_zones(exterior[:, 0], lat_s):
+                if z not in zs:
+                    zs.append(z)
         parts.append((ring_set, zs))
         all_zones.update(zs)
     multi_zone = len(all_zones) > 1
@@ -305,9 +357,9 @@ def tiles_from_shape(
         exterior = ring_set[0]
         lats = exterior[:, 1]
         for zone in zones:
-            # tiles belong to the zone containing their centre longitude
-            # (only enforced when the AOI spans multiple zones)
-            zone_lon0 = (zone - 1) * 6.0 - 180.0
+            # a tile survives in a zone when its longitude range
+            # overlaps that zone's effective band (only enforced when
+            # the AOI spans multiple zones)
             ex, ey = _crs.lonlat_to_utm(exterior[:, 0], exterior[:, 1],
                                         zone)
             poly_utm = np.stack([ex, ey], axis=1)
@@ -317,19 +369,28 @@ def tiles_from_shape(
                 holes_utm.append(np.stack([hx, hy], axis=1))
             bb = bounds_of_coords(poly_utm)
             if multi_zone:
-                # clamp enumeration to this zone's 6-degree band (one
+                # clamp enumeration to this zone's EFFECTIVE band (one
                 # padded-tile margin): only band tiles survive the
                 # longitude filter below, and a wide part would
-                # otherwise enumerate its full width in EVERY zone
-                lat_samples = [float(lats.min()), float(lats.max())]
-                if lat_samples[0] < 0.0 < lat_samples[1]:
+                # otherwise enumerate its full width in EVERY zone.
+                # The band follows the Norway/Svalbard exceptions per
+                # sampled latitude; a zone unused across the part's
+                # whole latitude range contributes nothing.
+                lat_samples = _lat_samples(float(lats.min()),
+                                           float(lats.max()))
+                if lat_samples[0] < 0.0 < lat_samples[-1]:
                     lat_samples.append(0.0)  # widest easting at equator
                 edges = []
-                for lon_edge in (zone_lon0, zone_lon0 + 6.0):
-                    for lat_s in lat_samples:
+                for lat_s in lat_samples:
+                    band = _zone_lon_band(zone, lat_s)
+                    if band is None:
+                        continue
+                    for lon_edge in band:
                         e_edge, _ = _crs.lonlat_to_utm(lon_edge, lat_s,
                                                        zone)
                         edges.append(float(e_edge))
+                if not edges:
+                    continue
                 margin = (tilesize + 2 * pad) * resolution
                 bb = (max(bb[0], min(edges) - margin), bb[1],
                       min(bb[2], max(edges) + margin), bb[3])
@@ -342,9 +403,18 @@ def tiles_from_shape(
                                                x0, y0, x1, y1):
                     continue
                 if multi_zone:
-                    t_lon_min, _, t_lon_max, _ = tile.lonlat_bounds
-                    if (t_lon_max <= zone_lon0
-                            or t_lon_min >= zone_lon0 + 6.0):
+                    (t_lon_min, t_lat_min,
+                     t_lon_max, t_lat_max) = tile.lonlat_bounds
+                    keep = False
+                    for lat_s in (t_lat_min,
+                                  0.5 * (t_lat_min + t_lat_max),
+                                  t_lat_max):
+                        band = _zone_lon_band(zone, lat_s)
+                        if (band is not None and t_lon_max > band[0]
+                                and t_lon_min < band[1]):
+                            keep = True
+                            break
+                    if not keep:
                         continue
                 out.append(tile)
     # dedup preserving order (same client-side key-set pattern as

@@ -430,33 +430,36 @@ def write_shapefile(path: str, layer: VectorLayer) -> None:
 
     # DBF: infer fields from the first feature
     props0 = layer.features[0].properties if layer.features else {}
+    # DBF names are 10-char-truncated; values must still be looked up
+    # by the ORIGINAL property key or long-named fields come out blank
+    # (C) or crash on int('') (N)
     fields = []
     for k, v in props0.items():
         nm = str(k)[:10]
         if isinstance(v, bool) or isinstance(v, int):
-            fields.append((nm, "N", 18, 0))
+            fields.append((nm, k, "N", 18, 0))
         elif isinstance(v, float):
-            fields.append((nm, "N", 18, 6))
+            fields.append((nm, k, "N", 18, 6))
         else:
-            fields.append((nm, "C", 80, 0))
+            fields.append((nm, k, "C", 80, 0))
     if not fields:
-        fields = [("FID", "N", 18, 0)]
-    rec_size = 1 + sum(f[2] for f in fields)
+        fields = [("FID", "FID", "N", 18, 0)]
+    rec_size = 1 + sum(f[3] for f in fields)
     hdr_size = 32 + 32 * len(fields) + 1
     dbf = bytearray()
     dbf += struct.pack("<BBBBIHH", 3, 24, 1, 1, len(layer.features),
                        hdr_size, rec_size)
     dbf += b"\x00" * 20
-    for nm, t, ln, dec in fields:
+    for nm, _key, t, ln, dec in fields:
         dbf += nm.encode("ascii", "replace").ljust(11, b"\x00")
         dbf += t.encode() + b"\x00" * 4 + bytes([ln, dec]) + b"\x00" * 14
     dbf += b"\x0d"
     for i, f in enumerate(layer.features):
         dbf += b" "
-        for nm, t, ln, dec in fields:
-            v = f.properties.get(nm, i if nm == "FID" else "")
+        for nm, key, t, ln, dec in fields:
+            v = f.properties.get(key, i if nm == "FID" else "")
             if t == "N":
-                txt = ("" if v is None else
+                txt = ("" if v is None or v == "" else
                        (f"{float(v):.{dec}f}" if dec else str(int(v))))
                 dbf += txt.rjust(ln)[:ln].encode("ascii", "replace")
             else:

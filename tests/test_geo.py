@@ -527,3 +527,126 @@ class TestShapefileDeletedRecords:
         assert [f.properties["cls"] for f in fs] == [1, 3]
         # geometry 2 (cls 3) is the one at x 40..50, not 20..30
         assert fs[1].geometry.bounds[0] == 40.0
+
+
+class TestGeometry3D:
+    def test_geojson_3d_coordinates_drop_z(self):
+        """RFC 7946 allows [lon, lat, elev]; a blind reshape(-1, 2)
+        interleaved x/y/z into garbage coordinates."""
+        ring3 = [[0, 0, 5], [1, 0, 5], [1, 1, 5], [0, 1, 5], [0, 0, 5]]
+        want = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+        g = Geometry.coerce({"type": "Polygon", "coordinates": [ring3]})
+        np.testing.assert_array_equal(g.polygons()[0][0], want)
+        assert g.bounds == (0.0, 0.0, 1.0, 1.0)
+        mp = Geometry.coerce({"type": "MultiPolygon",
+                              "coordinates": [[ring3]]})
+        assert mp.bounds == (0.0, 0.0, 1.0, 1.0)
+        direct = Geometry([[np.asarray(ring3, float)]])
+        np.testing.assert_array_equal(direct.polygons()[0][0], want)
+
+    def test_empty_geometry_is_empty_and_bounds_raise(self):
+        g = Geometry([])
+        assert g.is_empty
+        with pytest.raises(ValueError, match="empty"):
+            g.bounds
+
+
+class TestNorwayZoneException:
+    def test_norway_band_part_keeps_coverage_in_multizone_plan(self):
+        """A part in zone 32's Norway exception band (lon 3..6,
+        lat 56..64) used to be clamped to the NOMINAL band (6..12) and
+        contribute zero tiles whenever the plan was multi-zone."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        norway = [[4.0, 58.0], [4.05, 58.0], [4.05, 58.04],
+                  [4.0, 58.04], [4.0, 58.0]]
+        other = [[-3.0, 58.0], [-2.96, 58.0], [-2.96, 58.04],
+                 [-3.0, 58.04], [-3.0, 58.0]]
+        tiles = tiles_from_shape(
+            {"type": "MultiPolygon", "coordinates": [[norway], [other]]},
+            resolution=10.0, tilesize=200, pad=0)
+        zones = {t.zone for t in tiles}
+        assert 32 in zones and 30 in zones
+        hit = False
+        for t in tiles:
+            if t.zone != 32:
+                continue
+            e, n = crs.lonlat_to_utm(4.02, 58.02, t.zone)
+            x0, y0, x1, y1 = t.bounds_unpadded
+            if x0 <= e <= x1 and y0 <= n <= y1:
+                hit = True
+        assert hit, "Norway-band part lost coverage"
+
+    def test_lat_span_crossing_56_names_zone_32(self):
+        """A part at lon 3..6 whose latitude span crosses 56N must plan
+        zone-32 tiles for its Norway-band portion even though its
+        mid-latitude is below the exception band."""
+        from dl_image_segmentation_tpu.geo.tilegrid import tiles_from_shape
+        part = [[4.0, 55.2], [4.05, 55.2], [4.05, 57.0], [4.0, 57.0],
+                [4.0, 55.2]]
+        other = [[-3.0, 55.5], [-2.96, 55.5], [-2.96, 55.54],
+                 [-3.0, 55.54], [-3.0, 55.5]]
+        tiles = tiles_from_shape(
+            {"type": "MultiPolygon", "coordinates": [[part], [other]]},
+            resolution=10.0, tilesize=2000, pad=0)
+        zones = {t.zone for t in tiles}
+        assert 31 in zones and 32 in zones
+        # the lat>56 slice is covered (zone 32 owns lon 3..12 there)
+        hit = False
+        for t in tiles:
+            if t.zone != 32:
+                continue
+            e, n = crs.lonlat_to_utm(4.02, 56.5, t.zone)
+            x0, y0, x1, y1 = t.bounds_unpadded
+            if x0 <= e <= x1 and y0 <= n <= y1:
+                hit = True
+        assert hit
+
+
+class TestShapefileLongNames:
+    def test_long_property_names_roundtrip(self, tmp_path):
+        """DBF truncates names to 10 chars; values must still be
+        looked up by the ORIGINAL key (long numeric names used to
+        crash on int(''), long string names wrote blanks)."""
+        from dl_image_segmentation_tpu.geo.vector import write_shapefile
+        g = Geometry([[np.array([[0, 0], [1, 0], [1, 1], [0, 1],
+                                 [0, 0]], float)]])
+        lyr = VectorLayer("t", [Feature(g, {"cloud_fraction": 0.12,
+                                            "description_text": "abc",
+                                            "sample_count_total": 7})],
+                          4326)
+        p = str(tmp_path / "ln.shp")
+        write_shapefile(p, lyr)
+        f = open_vector(p).get_layer(0).features[0]
+        assert abs(float(f.properties["cloud_frac"]) - 0.12) < 1e-6
+        assert str(f.properties["descriptio"]).strip() == "abc"
+        assert int(f.properties["sample_cou"]) == 7
+
+
+class TestGPKGRobustness:
+    def test_null_shape_feature_roundtrips(self, tmp_path):
+        """Shapefile null shapes arrive as empty Geometry; write_gpkg
+        must skip them in the contents envelope instead of crashing."""
+        from dl_image_segmentation_tpu.geo.gpkg import read_gpkg, write_gpkg
+        good = Geometry([[np.array([[0, 0], [1, 0], [1, 1], [0, 1],
+                                    [0, 0]], float)]])
+        lyr = VectorLayer("t", [Feature(Geometry([]), {"cls": 1}),
+                                Feature(good, {"cls": 2})], 4326)
+        p = str(tmp_path / "n.gpkg")
+        write_gpkg(p, lyr)
+        feats = read_gpkg(p).get_layer(0).features
+        assert len(feats) == 1 and feats[0].properties["cls"] == 2
+
+    def test_read_missing_gpkg_raises_without_creating_file(self, tmp_path):
+        from dl_image_segmentation_tpu.geo.gpkg import read_gpkg
+        p = str(tmp_path / "typo.gpkg")
+        with pytest.raises(FileNotFoundError):
+            read_gpkg(p)
+        assert not os.path.exists(p)  # sqlite must not leave junk
+
+    def test_invalid_envelope_code_rejected(self):
+        from dl_image_segmentation_tpu.geo.gpkg import _parse_gpkg_geom
+        import struct
+        bad = (b"GP\x00" + bytes([(5 << 1) | 0x01])
+               + struct.pack("<i", 4326) + b"\x00" * 8)
+        with pytest.raises(ValueError, match="envelope"):
+            _parse_gpkg_geom(bad)

@@ -383,6 +383,54 @@ class TestLocalCatalog:
         np.testing.assert_array_equal(stack[0, 0:2, 2:4, 0], 1)
 
 
+    def test_mixed_product_load_resolves_bands_per_scene(self, tmp_path):
+        """Scenes from products with DIFFERENT band orders in one load:
+        indices must resolve per scene, not from the first product."""
+        root = str(tmp_path / "cat")
+        cat = LocalCatalog.create(root)
+        gt = TILE.geotrans
+        a = np.stack([np.full((64, 64), v, np.uint16)
+                      for v in (10, 20, 30)], axis=-1)  # r,g,b
+        b = np.stack([np.full((64, 64), v, np.uint16)
+                      for v in (300, 200, 100)], axis=-1)  # b,g,r
+        cat.add_scene("prod-rgb", ["red", "green", "blue"], "sa",
+                      dt.date(2020, 1, 1), a, gt, epsg=32600 + ZONE)
+        cat.add_scene("prod-bgr", ["blue", "green", "red"], "sb",
+                      dt.date(2020, 1, 2), b, gt, epsg=32600 + ZONE)
+        scenes = (cat.search(TILE, "prod-rgb")
+                  + cat.search(TILE, "prod-bgr"))
+        stack, valid = cat.load(scenes, TILE, ["red", "blue"])
+        assert stack.shape == (2, 64, 64, 2)
+        np.testing.assert_array_equal(stack[0, :, :, 0], 10)   # rgb red
+        np.testing.assert_array_equal(stack[0, :, :, 1], 30)   # rgb blue
+        np.testing.assert_array_equal(stack[1, :, :, 0], 100)  # bgr red
+        np.testing.assert_array_equal(stack[1, :, :, 1], 300)  # bgr blue
+
+    def test_ingest_chips_writes_index_once(self, tmp_path, monkeypatch):
+        from dl_image_segmentation_tpu.catalog.local import LocalCatalog
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        folder = str(tmp_path / "preds")
+        os.makedirs(folder)
+        gt = TILE.geotrans
+        for i in range(3):
+            write_geotiff(os.path.join(folder, f"c{i}.tif"),
+                          np.full((8, 8, 1), i, np.uint8),
+                          geotransform=gt, epsg=32600 + ZONE)
+        cat = LocalCatalog.create(str(tmp_path / "cat"))
+        calls = {"n": 0}
+        orig = LocalCatalog._save_index
+
+        def counting(self):
+            calls["n"] += 1
+            return orig(self)
+
+        monkeypatch.setattr(LocalCatalog, "_save_index", counting)
+        n = cat.ingest_chips("p", ["b"], folder, dt.date(2020, 1, 1))
+        assert n == 3
+        assert calls["n"] == 1  # one dump, not one per chip
+        assert len(LocalCatalog(str(tmp_path / "cat"))
+                   ._index["products"]["p"]["scenes"]) == 3
+
     def test_search_without_indexed_bounds_is_header_only(self, tmp_path):
         """index.json without 'bounds' entries: search must resolve
         scene bounds from the GeoTIFF header alone -- the old fallback
