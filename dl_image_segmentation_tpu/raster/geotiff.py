@@ -257,6 +257,18 @@ def decode_geotiff(data: bytes) -> GeoTIFF:
     if predictor == 3 and dtype.kind != "f":
         raise ValueError(
             "TIFF floating-point predictor (3) on non-float samples")
+    if predictor == 2 and dtype.kind == "f":
+        # the int-domain cumsum would truncate fractional deltas --
+        # refuse rather than silently decode garbage (the symmetric
+        # guard to predictor 3 + non-float above)
+        raise ValueError(
+            "TIFF horizontal predictor (2) on float samples is not "
+            "supported; re-encode with predictor 1 or 3")
+    if int(tags.get(_T_PHOTOMETRIC, [1])[0]) == 3:
+        raise ValueError(
+            "palette-color TIFF (photometric 3) is not supported: "
+            "palette indices are not pixel values; convert to RGB "
+            "(e.g. gdal_translate -expand rgb) before ingestion")
 
     tiled = _T_TILE_OFFSETS in tags
     nplanes = spp if planar == 2 else 1
@@ -437,10 +449,12 @@ def encode_geotiff(
         chunks.append(compress_chunk(arr))
 
     if bigtiff == "auto":
-        # decided from real compressed bytes: data + a generous bound
-        # for header/IFD/overflow (they are KBs, not GBs)
+        # decided from real compressed bytes: data + header/IFD plus a
+        # PER-CHUNK budget -- offset/bytecount overflow arrays grow
+        # 8-16 bytes per chunk, which at ~100k+ tiles dwarfs the fixed
+        # kilobytes a flat bound would allow
         bigtiff = (sum(len(c) for c in chunks) + (1 << 20)
-                   > 0xFFFFFFFF)
+                   + 24 * len(chunks) > 0xFFFFFFFF)
 
     # assemble tags; photometric RGB for 3-band uint8 (like GDAL), else
     # MinIsBlack with ExtraSamples covering the additional bands

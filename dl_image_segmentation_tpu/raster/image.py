@@ -91,10 +91,7 @@ def decode_png(data: bytes) -> np.ndarray:
     grey/RGB (the chip contract; ~2x PIL on the training-feed lane,
     byte-identical -- tests/test_native.py); PIL for everything
     else."""
-    from .._native import png_decode
-    arr = png_decode(data)
-    if arr is None:
-        arr = _pil_decode(data)
+    arr = _decode_png_arr(data)
     assert arr.ndim == 3
     assert arr.shape[2] <= 3
     return arr
@@ -110,9 +107,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _pil_decode(data: bytes) -> np.ndarray:
     from PIL import Image
     img = Image.open(io.BytesIO(data))
+    if img.mode == "P":
+        # palette images expand to RGB -- tf.image.decode_png semantics
+        # (the reference's decoder, _img_to_tf_threaded.py:56-62); raw
+        # palette INDICES are not pixel values. Covers paletted PNGs
+        # and GIF first frames.
+        img = img.convert("RGB")
     arr = np.asarray(img)
     if arr.ndim == 2:
         arr = arr[:, :, None]
+    return arr
+
+
+def _decode_png_arr(data: bytes) -> np.ndarray:
+    """Native libdeflate fast path, PIL for the rest of the format
+    space -- the single implementation behind decode_png AND
+    decode_image_bytes (the fast-path conditions must not diverge)."""
+    from .._native import png_decode
+    arr = png_decode(data)
+    if arr is None:
+        arr = _pil_decode(data)
     return arr
 
 
@@ -149,13 +163,11 @@ def decode_image_bytes(data: bytes) -> GeoTIFF:
     if _is_tiff(data):
         return decode_geotiff(data)
     if _is_png(data) or _is_jpeg(data) or _is_bmp(data) or _is_gif(data):
-        arr = None
         if _is_png(data):
             # libdeflate fast path (the training-feed hot lane);
-            # None -> PIL handles the full format space
-            from .._native import png_decode
-            arr = png_decode(data)
-        if arr is None:
+            # PIL handles the rest of the format space
+            arr = _decode_png_arr(data)
+        else:
             arr = _pil_decode(data)
         info = RasterInfo(width=arr.shape[1], height=arr.shape[0],
                           count=arr.shape[2], dtype=arr.dtype.name)
@@ -190,8 +202,12 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         w, h = struct.unpack(">II", data[16:24])
         bit_depth = data[24]
         color_type = data[25]
-        bands = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        # palette (type 3) expands to RGB at decode, so the sniffed
+        # band count must match what the decoder will produce
+        bands = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[color_type]
         dtype = "uint16" if bit_depth == 16 else "uint8"
+        if color_type == 3:
+            dtype = "uint8"  # palette entries are 8-bit RGB
         return RasterInfo(width=w, height=h, count=bands, dtype=dtype)
     if _is_jpeg(data):
         import struct
@@ -202,6 +218,9 @@ def sniff_image_info(data: bytes) -> RasterInfo:
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:  # fill byte before a marker (spec-legal)
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -220,7 +239,27 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         import struct
         w, h = struct.unpack("<ii", data[18:26])
         (bpp,) = struct.unpack("<H", data[28:30])
-        return RasterInfo(width=w, height=abs(h), count=max(1, bpp // 8),
+        # band count AFTER decode (PIL): 16/24-bpp -> RGB, 32-bpp keeps
+        # alpha, 1-bpp is bilevel; 4/8-bpp depends on the palette --
+        # PIL yields "L" (1 band) for an all-grey palette, "P" -> RGB
+        # (3 bands) otherwise
+        if bpp == 32:
+            count = 4
+        elif bpp == 1:
+            count = 1
+        elif bpp in (4, 8):
+            (hdr_sz,) = struct.unpack("<I", data[14:18])
+            (used,) = struct.unpack("<I", data[46:50]) \
+                if hdr_sz >= 36 else (0,)
+            n_ent = used or (1 << bpp)
+            pal_off = 14 + hdr_sz
+            pal = data[pal_off:pal_off + 4 * n_ent]
+            grey = all(pal[j] == pal[j + 1] == pal[j + 2]
+                       for j in range(0, len(pal) - 3, 4))
+            count = 1 if grey else 3
+        else:
+            count = 3
+        return RasterInfo(width=w, height=abs(h), count=count,
                           dtype="uint8")
     if _is_gif(data):
         raise UnsupportedFormatError(

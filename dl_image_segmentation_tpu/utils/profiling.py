@@ -87,7 +87,13 @@ def duty_cycle(step_fn: Callable, batches: Iterator, n_steps: int,
     jax.block_until_ready(out)
     e2e = time.perf_counter() - t0
 
+    # the "device-only" window must actually be device-resident: the
+    # default batch comes from the (host numpy) feed, and leaving it on
+    # the host would re-upload images AND labels inside the timed
+    # window every step, inflating device_seconds and the duty ratio
     resident = device_only_batch if device_only_batch is not None else first
+    resident = jax.device_put(tuple(resident))
+    jax.block_until_ready(resident)
     rest = tuple(resident[1:])
     t0 = time.perf_counter()
     for i in range(n_steps):

@@ -511,6 +511,25 @@ class TestStitch:
         with pytest.raises(ValueError):
             stitch_tiles({a: np.zeros((64, 64)), b: np.zeros((64, 64))})
 
+    def test_stitch_skips_stray_tifs_and_is_rerunnable(self, tmp_path):
+        """A previous run's mosaic (or any non-tile-key .tif) in the
+        chip folder must be skipped, not crash the stitch."""
+        from dl_image_segmentation_tpu.pipeline.stitch import stitch_folder
+        from dl_image_segmentation_tpu.raster.geotiff import (
+            read_geotiff, write_geotiff)
+        chip_dir = str(tmp_path / "preds")
+        os.makedirs(chip_dir)
+        t = Tile(60, 2, 10.0, ZONE, -380, 3491)
+        write_geotiff(os.path.join(chip_dir, t.filename + ".tif"),
+                      np.full((64, 64), 7, np.uint8),
+                      geotransform=t.geotrans, epsg=32600 + ZONE)
+        out = os.path.join(chip_dir, "mosaic.tif")  # INSIDE the folder
+        n1, shape1 = stitch_folder(chip_dir, out)
+        assert n1 == 1 and shape1 == (60, 60)
+        n2, shape2 = stitch_folder(chip_dir, out)  # rerun: mosaic there
+        assert (n2, shape2) == (n1, shape1)
+        assert (read_geotiff(out).array == 7).all()
+
 
 class TestViz:
     def test_plot_tiles_and_chip_pair(self, tmp_path, labels_path):

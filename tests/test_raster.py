@@ -285,11 +285,11 @@ class TestFloatPredictor:
 
     @staticmethod
     def _minimal_tiff(h, w, spp, payload: bytes, predictor: int,
-                      bits: int, sfmt: int) -> bytes:
+                      bits: int, sfmt: int, photometric: int = 1) -> bytes:
         import struct
         tags = [  # (tag, type, count, value)
             (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
-            (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, spp),
+            (259, 3, 1, 1), (262, 3, 1, photometric), (277, 3, 1, spp),
             (278, 3, 1, h), (317, 3, 1, predictor), (339, 3, 1, sfmt),
         ]
         n = len(tags) + 2  # + StripOffsets/ByteCounts below
@@ -330,6 +330,26 @@ class TestFloatPredictor:
         tif = self._minimal_tiff(4, 4, 1, arr.tobytes(), predictor=3,
                                  bits=8, sfmt=1)
         with pytest.raises(ValueError, match="non-float"):
+            decode_geotiff(tif)
+
+    def test_predictor2_on_float_samples_raises(self):
+        """The int-domain cumsum would truncate fractional deltas --
+        must refuse, not silently decode garbage."""
+        from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
+        arr = np.zeros((4, 4, 1), np.float32)
+        tif = self._minimal_tiff(4, 4, 1, arr.tobytes(), predictor=2,
+                                 bits=32, sfmt=3)
+        with pytest.raises(ValueError, match="float samples"):
+            decode_geotiff(tif)
+
+    def test_palette_photometric_raises(self):
+        """Palette-color TIFFs (photometric 3) carry indices, not
+        pixels; decoding them as pixels would be silently wrong."""
+        from dl_image_segmentation_tpu.raster.geotiff import decode_geotiff
+        arr = np.zeros((4, 4, 1), np.uint8)
+        tif = self._minimal_tiff(4, 4, 1, arr.tobytes(), predictor=1,
+                                 bits=8, sfmt=1, photometric=3)
+        with pytest.raises(ValueError, match="palette"):
             decode_geotiff(tif)
 
 
@@ -376,3 +396,73 @@ class TestEncodeEdges:
             if _native.available():
                 got_c = _native.lzw_decode(enc, max_size=cap)
                 assert got_c == got_py
+
+
+class TestPaletteAndSniffConsistency:
+    def test_paletted_png_expands_to_rgb(self):
+        """tf.image.decode_png expands palettes to RGB (the reference's
+        decoder); palette INDICES must never be stored as pixels, and
+        the sniffed band count must match the decode."""
+        import io
+        from PIL import Image
+        from dl_image_segmentation_tpu.raster.image import (
+            decode_png, sniff_image_info)
+        rng = np.random.RandomState(0)
+        rgb = rng.randint(0, 255, (16, 16, 3), np.uint8)
+        p = Image.fromarray(rgb).quantize(colors=16)
+        buf = io.BytesIO()
+        p.save(buf, "PNG")
+        data = buf.getvalue()
+        arr = decode_png(data)
+        assert arr.shape == (16, 16, 3)
+        np.testing.assert_array_equal(
+            arr, np.asarray(p.convert("RGB")))
+        info = sniff_image_info(data)
+        assert info.count == 3 and info.dtype == "uint8"
+
+    def test_gif_first_frame_expands_to_rgb(self):
+        import io
+        from PIL import Image
+        from dl_image_segmentation_tpu.raster.image import decode_image
+        rng = np.random.RandomState(1)
+        rgb = rng.randint(0, 255, (8, 8, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "GIF")
+        arr = decode_image(buf.getvalue())
+        assert arr.shape == (8, 8, 3)
+
+    def test_bmp_sniff_matches_decode_bands(self):
+        import io
+        from PIL import Image
+        from dl_image_segmentation_tpu.raster.image import (
+            decode_image, sniff_image_info)
+        rng = np.random.RandomState(2)
+        cases = []
+        grey = Image.fromarray(rng.randint(0, 255, (8, 8), np.uint8), "L")
+        cases.append(grey)                       # 8-bpp grey palette
+        rgbi = Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8))
+        cases.append(rgbi)                       # 24-bpp
+        cases.append(rgbi.quantize(colors=16))   # 8-bpp colour palette
+        for img in cases:
+            buf = io.BytesIO()
+            img.save(buf, "BMP")
+            data = buf.getvalue()
+            assert (sniff_image_info(data).count
+                    == decode_image(data).shape[2]), img.mode
+
+    def test_jpeg_sniff_tolerates_fill_bytes(self):
+        """0xFF fill bytes before a marker are spec-legal; the SOF
+        walk must skip them instead of mis-parsing a length."""
+        import io
+        from PIL import Image
+        from dl_image_segmentation_tpu.raster.image import sniff_image_info
+        rng = np.random.RandomState(3)
+        buf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 255, (16, 24, 3), np.uint8)) \
+            .save(buf, "JPEG")
+        data = bytearray(buf.getvalue())
+        i = bytes(data).find(b"\xff\xc0")
+        assert i > 0
+        padded = bytes(data[:i]) + b"\xff\xff" + bytes(data[i:])
+        info = sniff_image_info(padded)
+        assert (info.height, info.width, info.count) == (16, 24, 3)
