@@ -109,7 +109,7 @@ def cmd_train(args) -> int:
                         image_size=args.image_size,
                         shuffle_buffer=args.shuffle_buffer,
                         num_workers=args.workers,
-                        scale="raw")
+                        scale="raw", verify_crc=args.verify_crc)
     if args.scan_steps > 0:
         # device-resident pool mode: K steps per dispatch (fastest on
         # TPU; see train/pool.py)
@@ -173,8 +173,9 @@ def cmd_predict(args) -> int:
         # dtype, like the feed's _to_float_image for decode modes (a
         # per-batch max heuristic would scale a batch of dark uint16
         # chips by 255, ~257x brighter than at training). Models
-        # trained on tifarr records (raw-DN FloatLists) need
-        # --scale none to see the same distribution.
+        # trained on tifraw or tifarr records (both feed raw DNs:
+        # float32 GDAL decode / FloatLists) need --scale none to see
+        # the same distribution.
         if args.scale == "auto":
             if src.dtype == np.uint8:
                 imgs /= 255.0
@@ -218,7 +219,8 @@ def cmd_eval(args) -> int:
                         batch_size=args.batch_size,
                         image_size=args.image_size,
                         shuffle_buffer=1, num_workers=args.workers,
-                        repeat=False, scale="raw")
+                        repeat=False, scale="raw",
+                        verify_crc=args.verify_crc)
     out = trainer.evaluate(feed.batches(), max_batches=args.max_batches)
     print(f"eval: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
           f"miou={out['miou']:.4f} over {out['batches']} batches")
@@ -456,6 +458,10 @@ def main(argv=None) -> int:
     tr.add_argument("--log-every", type=int, default=10)
     tr.add_argument("--checkpoint", default=None)
     tr.add_argument("--restore", default=None)
+    tr.add_argument("--verify-crc", action="store_true",
+                    help="validate TFRecord frame CRCs while feeding "
+                         "(array modes would otherwise accept corrupt "
+                         "payloads that reshape cleanly)")
     tr.set_defaults(fn=cmd_train)
 
     pr = sub.add_parser("predict", help="chips -> prediction GeoTIFFs")
@@ -480,9 +486,12 @@ def main(argv=None) -> int:
                     help="input scaling, matching how the checkpoint "
                          "was TRAINED: 'auto' = by chip dtype "
                          "(uint8/255, uint16/65535 -- matches rgbraw/"
-                         "rgbarr/tifraw training), 'none' = raw values "
-                         "(matches tifarr training: FloatList records "
-                         "store unscaled DNs), or a float multiplier")
+                         "rgbarr training), 'none' = raw values "
+                         "(matches tifraw AND tifarr training: both "
+                         "feed raw DNs -- the GDAL-wrapped parser "
+                         "decodes to float32 digital numbers and "
+                         "FloatList records store them unscaled), or "
+                         "a float multiplier")
     pr.set_defaults(fn=cmd_predict)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint on shards")
@@ -501,6 +510,10 @@ def main(argv=None) -> int:
     ev.add_argument("--nodata", type=int, default=255)
     ev.add_argument("--workers", type=int, default=2)
     ev.add_argument("--max-batches", type=int, default=None)
+    ev.add_argument("--verify-crc", action="store_true",
+                    help="validate TFRecord frame CRCs while feeding "
+                         "(array modes would otherwise accept corrupt "
+                         "payloads that reshape cleanly)")
     ev.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"],
                     help="compute precision; match the checkpoint's "

@@ -25,8 +25,16 @@ def initialize(coordinator_address: Optional[str] = None,
     default to the standard env vars / TPU metadata autodetection."""
     if num_processes is None:
         num_processes = int(os.environ.get("DLSEG_NUM_PROCESSES", "0")) or None
+    if coordinator_address is None:
+        # jax.distributed reads JAX_COORDINATOR_ADDRESS itself; the
+        # un-prefixed spelling must be forwarded explicitly or the
+        # env-var-driven startup crashes on coordinator_address=None
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if process_id is None:
+        pid = os.environ.get("DLSEG_PROCESS_ID")
+        process_id = int(pid) if pid is not None else None
     if num_processes in (None, 1) and coordinator_address is None \
-            and "COORDINATOR_ADDRESS" not in os.environ:
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ:
         return  # single host
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

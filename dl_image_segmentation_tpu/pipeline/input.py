@@ -40,7 +40,13 @@ PARSE_FNS = {
 
 
 def host_shard_files(files: Sequence[str]) -> List[str]:
-    """This host's slice of the shard list (round-robin by process)."""
+    """This host's slice of the shard list (round-robin by process).
+
+    Whole shards are assigned, so with ``repeat=False`` hosts may
+    yield UNEQUAL batch counts when shard record counts differ --
+    fine for training (repeating feeds), but a multi-process
+    evaluation must bound the loop (Trainer.evaluate docstring) or
+    the per-batch collectives deadlock on the ragged tail."""
     n = jax.process_count()
     i = jax.process_index()
     return [f for k, f in enumerate(sorted(files)) if k % n == i]
@@ -50,11 +56,21 @@ class TFRecordFeed:
     """Iterable over (images, labels) batches from sharded TFRecords.
 
     parse_mode: one of rgbraw | rgbarr | tifraw | tifarr (the on-disk
-    storage modes, parse nb cell 1). Images are scaled to [0, 1]
-    float32; labels are int32 (nodata preserved for loss masking).
-    ``scale``: None = dtype-appropriate [0,1] scaling; a float =
+    storage modes, parse nb cell 1). Labels are int32 (nodata preserved
+    for loss masking). Image scaling (``scale``): None = dtype-
+    appropriate [0,1] scaling for integer-dtype parses; a float =
     explicit multiplier (float32 output); the string ``"raw"`` = keep
-    the source dtype untouched (for uint8 device pools, 4x less HBM).
+    the parsed dtype untouched (for uint8 device pools, 4x less HBM).
+    NOTE the raw-DN modes: ``tifraw`` (the reference's GDAL-wrapped
+    parser) decodes to float32 RAW digital numbers, and ``tifarr``
+    stores raw-DN FloatLists -- float passes through EVERY scale
+    setting un-normalized, so models train on raw DNs in both modes
+    (predict with ``--scale none`` to match). Use ``tifraw_eager`` for
+    source-dtype parses that scale to [0,1] under scale=None.
+
+    ``verify_crc``: validate each record's TFRecord frame CRCs while
+    feeding (off by default -- the array modes would otherwise accept
+    silently corrupt payloads that reshape cleanly).
     """
 
     def __init__(self, shard_pattern, parse_mode: str, batch_size: int,
@@ -64,7 +80,8 @@ class TFRecordFeed:
                  scale: Optional[float] = None,
                  drop_remainder: bool = True,
                  per_host: bool = True,
-                 interleave: int = 4):
+                 interleave: int = 4,
+                 verify_crc: bool = False):
         if isinstance(shard_pattern, str):
             files = sorted(_glob.glob(shard_pattern))
         else:
@@ -88,10 +105,12 @@ class TFRecordFeed:
         self.scale = scale
         self.drop_remainder = drop_remainder
         self.interleave = interleave
+        self.verify_crc = verify_crc
         # throughput counters (SURVEY.md section 5: per-stage metrics)
         self.records_read = 0
         self.bytes_read = 0
         self._parse_failures = 0
+        self._any_parse_success = False
 
     # -- record iteration ---------------------------------------------------
     def _record_stream(self) -> Iterator[bytes]:
@@ -107,7 +126,8 @@ class TFRecordFeed:
             while order or open_iters:
                 while order and len(open_iters) < width:
                     open_iters.append(read_records(
-                        self.files[order.pop()], verify_crc=False))
+                        self.files[order.pop()],
+                        verify_crc=self.verify_crc))
                 alive = []
                 for it in open_iters:
                     rec = next(it, None)
@@ -149,18 +169,25 @@ class TFRecordFeed:
                     try:
                         img, lbl, _ident = self.parse(rec)
                     except Exception:  # skip corrupt records, keep feeding
-                        self._parse_failures += 1
+                        with lock:
+                            self._parse_failures += 1
+                            failures = self._parse_failures
                         # every record failing = wrong parse_mode; a
-                        # repeating stream would otherwise spin forever
-                        if (self.records_read == 0
-                                and self._parse_failures >= 1000):
+                        # repeating stream would otherwise spin forever.
+                        # Gate on producer-side successes, NOT the
+                        # consumer-side records_read counter: a slow
+                        # consumer (or one bad leading shard) must not
+                        # abort a feed whose other records parse fine.
+                        if (not self._any_parse_success
+                                and failures >= 1000):
                             put(RuntimeError(
-                                f"all {self._parse_failures} records "
+                                f"all {failures} records "
                                 f"failed to parse with parse_mode="
                                 f"{self.parse_mode!r}; wrong storage "
                                 "mode for these shards?"))
                             return
                         continue
+                    self._any_parse_success = True
                     if not put((img, lbl)):
                         return
             except BaseException as e:
@@ -326,5 +353,9 @@ class DevicePrefetcher:
             self._exhausted = True
             raise StopIteration
         if isinstance(item, BaseException):
+            # the fill thread died delivering this; a caller that
+            # catches the error and calls next() again must get
+            # StopIteration, not block forever on the dead queue
+            self._exhausted = True
             raise item
         return item

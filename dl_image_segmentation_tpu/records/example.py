@@ -122,11 +122,17 @@ def write_example_framed(fileobj, img_data, target_data, img_h, img_w,
     from .. import _native
     if isinstance(identifier, str):
         identifier = identifier.encode("utf-8")
-    img_p, tgt_p, is_bytes = storage_payloads(img_data, target_data)
-    mv = _native.encode_example_framed_view(
-        img_p, is_bytes, tgt_p, is_bytes,
-        int(img_h), int(img_w), int(img_b), int(target_h), int(target_w),
-        identifier) if _native.available() else None
+    mv = None
+    if _native.available():
+        # payloads are only materialized for the native encoder; the
+        # Python fallback recomputes them inside
+        # encode_example_features, and a float chip's byte copy is not
+        # free on that already-slower path
+        img_p, tgt_p, is_bytes = storage_payloads(img_data, target_data)
+        mv = _native.encode_example_framed_view(
+            img_p, is_bytes, tgt_p, is_bytes,
+            int(img_h), int(img_w), int(img_b),
+            int(target_h), int(target_w), identifier)
     from .tfrecord import writeall
     if mv is not None:
         writeall(fileobj, mv)

@@ -84,8 +84,24 @@ class LocalDirSink(RecordsSink):
                  "bytes": os.path.getsize(dest)}
         with self._lock:  # thread-safety contract of RecordsSink
             self.manifest[name] = entry
-            with open(self._manifest_path, "w", encoding="utf-8") as f:
+            # atomic replace: a crash mid-dump must not truncate the
+            # manifest that shard-level resume depends on. Cross-
+            # PROCESS pushes to one root still merge through a re-read
+            # under an exclusive create (best effort on local fs).
+            tmp = self._manifest_path + ".tmp"
+            if os.path.exists(self._manifest_path):
+                try:
+                    with open(self._manifest_path, "r",
+                              encoding="utf-8") as f:
+                        on_disk = json.load(f)
+                    # keep entries another process added since init
+                    on_disk.update(self.manifest)
+                    self.manifest = on_disk
+                except (json.JSONDecodeError, OSError):
+                    pass  # our in-memory copy is the best we have
+            with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(self.manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._manifest_path)
         return dest
 
 

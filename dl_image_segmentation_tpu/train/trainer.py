@@ -474,7 +474,13 @@ class Trainer:
         across ALL batches in a confusion matrix and mIoU is computed
         once at the end. Host batches are padded to the data-axis size
         and sharded (each device does ~1/N of the work); padded samples
-        are all-nodata so the sums are unaffected."""
+        are all-nodata so the sums are unaffected.
+
+        Multi-PROCESS meshes: every eval_step call is a collective, so
+        each host's ``batches`` iterator must yield the SAME number of
+        batches (per-host shard splits with unequal record counts do
+        not -- pass ``max_batches`` or use a single-process mesh for
+        evaluation; unequal counts deadlock the final step)."""
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = self._build_eval_step()
         eval_step = self._eval_fn

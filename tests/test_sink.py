@@ -110,3 +110,28 @@ class TestCLIPush:
         j.write_text(json.dumps({"a": "http://x/y"}))
         assert isinstance(sink_from_dest(str(j)), SignedURLSink)
         assert isinstance(sink_from_dest(str(tmp_path / "d")), LocalDirSink)
+
+
+class TestManifestRobustness:
+    def test_manifest_atomic_and_merges_concurrent_writers(self, tmp_path):
+        """Two sink instances on one root (two host processes of a
+        multi-host export): each push must preserve the other's
+        manifest entries, and the rewrite is atomic (tmp+replace)."""
+        from dl_image_segmentation_tpu.records.sink import LocalDirSink
+        s1 = str(tmp_path / "sh-00000-of-00002")
+        s2 = str(tmp_path / "sh-00001-of-00002")
+        open(s1, "wb").write(b"shard-one")
+        open(s2, "wb").write(b"shard-two")
+        root = str(tmp_path / "sink")
+        a = LocalDirSink(root)
+        b = LocalDirSink(root)  # loaded before a pushed anything
+        a.put_shard(s1)
+        b.put_shard(s2)  # must not clobber a's entry
+        import json
+        man = json.load(open(os.path.join(root, "manifest.json")))
+        assert set(man) == {"sh-00000-of-00002", "sh-00001-of-00002"}
+        assert not os.path.exists(
+            os.path.join(root, "manifest.json.tmp"))
+        c = LocalDirSink(root)
+        assert c.exists("sh-00000-of-00002")
+        assert c.exists("sh-00001-of-00002")

@@ -845,3 +845,70 @@ class TestDeviceSideNormalization:
                 images, labels = next(it)
                 losses.append(trainer.train_step(images, labels)["loss"])
         assert losses[-1] < losses[0]
+
+
+class TestFeedRobustness:
+    def test_prefetcher_exception_then_stopiteration(self):
+        """After the fill thread dies delivering an exception, a
+        caller that catches it and calls next() again must get
+        StopIteration, not block forever on the dead queue."""
+        def bad_batches():
+            yield (np.zeros((2, 4, 4, 3), np.float32),
+                   np.zeros((2, 4, 4), np.int32))
+            raise IOError("truncated shard")
+
+        pf = DevicePrefetcher(bad_batches(), lambda *b: b)
+        next(pf)
+        with pytest.raises(IOError, match="truncated"):
+            while True:
+                next(pf)
+        with pytest.raises(StopIteration):
+            next(pf)
+        pf.close()
+
+    def test_feed_verify_crc_catches_payload_corruption(self, tmp_path):
+        """Array-mode payload corruption reshapes cleanly and trains
+        silently by default; verify_crc=True must fail loudly."""
+        from dl_image_segmentation_tpu.records.writers import (
+            images_to_tfrecords_mt)
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        make_learnable_dataset(root, n=4, size=32)
+        images_to_tfrecords_mt("t", root, out, num_shards=1,
+                               num_threads=1, store_as_array=True)
+        shard = os.path.join(out, sorted(os.listdir(out))[0])
+        data = bytearray(open(shard, "rb").read())
+        data[len(data) // 2] ^= 0x01  # flip a payload byte mid-shard
+        open(shard, "wb").write(bytes(data))
+        feed = TFRecordFeed(os.path.join(out, "t-*"), "rgbarr",
+                            batch_size=1, repeat=False, num_workers=2,
+                            shuffle_buffer=1, verify_crc=True)
+        with pytest.raises(IOError, match="corrupt record"):
+            list(feed.batches())
+
+    def test_distributed_env_vars_forwarded(self, monkeypatch):
+        """COORDINATOR_ADDRESS / DLSEG_* env vars must reach
+        jax.distributed.initialize (JAX itself only reads the
+        JAX_-prefixed spellings)."""
+        from dl_image_segmentation_tpu.parallel import distributed
+        captured = {}
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: captured.update(kw))
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:9876")
+        monkeypatch.setenv("DLSEG_NUM_PROCESSES", "2")
+        monkeypatch.setenv("DLSEG_PROCESS_ID", "1")
+        distributed.initialize()
+        assert captured == {"coordinator_address": "127.0.0.1:9876",
+                            "num_processes": 2, "process_id": 1}
+
+    def test_distributed_single_host_noop(self, monkeypatch):
+        from dl_image_segmentation_tpu.parallel import distributed
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("DLSEG_NUM_PROCESSES", raising=False)
+        called = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: called.append(kw))
+        distributed.initialize()
+        assert called == []
