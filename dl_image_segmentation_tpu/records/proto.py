@@ -184,20 +184,25 @@ def _decode_feature(buf, start: int, end: int) -> FeatureValue:
                     items.append(bytes(buf[v2[0]:v2[1]]))
             return FeatureValue("bytes", bytes_list=items)
         if field == 2:  # FloatList
-            floats = None
+            # packed payloads may legally arrive in MULTIPLE length-
+            # delimited segments (protobuf parsers must concatenate);
+            # TF never splits, but foreign writers can
+            segs = []
             for f2, w2, v2 in _iter_fields(buf, s, e):
                 if f2 == 1 and w2 == _WIRE_LEN:
-                    floats = np.frombuffer(buf, dtype="<f4",
-                                           count=(v2[1] - v2[0]) // 4,
-                                           offset=v2[0])
+                    segs.append(np.frombuffer(buf, dtype="<f4",
+                                              count=(v2[1] - v2[0]) // 4,
+                                              offset=v2[0]))
                 elif f2 == 1 and w2 == _WIRE_I32:
-                    extra = np.frombuffer(struct.pack("<i", v2), dtype="<f4")
-                    floats = extra if floats is None else np.concatenate(
-                        [floats, extra])
-            return FeatureValue(
-                "float",
-                float_list=floats if floats is not None
-                else np.empty(0, np.float32))
+                    segs.append(np.frombuffer(struct.pack("<i", v2),
+                                              dtype="<f4"))
+            if not segs:
+                floats = np.empty(0, np.float32)
+            elif len(segs) == 1:
+                floats = segs[0]  # zero-copy view in the common case
+            else:
+                floats = np.concatenate(segs)
+            return FeatureValue("float", float_list=floats)
         if field == 3:  # Int64List
             ints: List[int] = []
             for f2, w2, v2 in _iter_fields(buf, s, e):

@@ -127,6 +127,23 @@ class TestExampleBitIdentical:
             tgt.astype(np.float32))
 
 
+    def test_split_packed_float_segments_concatenate(self):
+        # packed fields may legally arrive in multiple length-delimited
+        # segments; parsers must concatenate (TF never splits, foreign
+        # writers can). Build Example{features{feature{"f": FloatList}}}
+        # with the 4 floats split 1+3 across two packed segments.
+        vals = np.array([1.5, -2.0, 3.25, 4.0], np.float32)
+        seg1, seg2 = vals[:1].tobytes(), vals[1:].tobytes()
+        packed = (proto._tag(1, 2) + proto.encode_varint(len(seg1)) + seg1
+                  + proto._tag(1, 2) + proto.encode_varint(len(seg2)) + seg2)
+        feat = proto._len_delimited(2, packed)        # Feature.float_list
+        entry = (proto._len_delimited(1, b"f")
+                 + proto._len_delimited(2, feat))     # map entry
+        rec = proto._len_delimited(1, proto._len_delimited(1, entry))
+        d = proto.decode_example(rec)
+        np.testing.assert_array_equal(d["f"].float_list, vals)
+
+
 class TestVarint:
     @pytest.mark.parametrize("v", [0, 1, 127, 128, 300, 2 ** 32, 2 ** 63 - 1,
                                    -1, -2 ** 63])
