@@ -97,6 +97,20 @@ def cmd_train(args) -> int:
                       model=args.model,
                       precision=args.precision)
     trainer = Trainer(cfg)
+    manager = None
+    if args.save_every > 0:
+        if not args.checkpoint:
+            print("--save-every requires --checkpoint DIR", file=sys.stderr)
+            return 2
+        # rotating managed checkpoints + automatic latest-step resume:
+        # the trainer-side equivalent of the chip/shard resume
+        # invariants (a long run killed mid-way restarts where it left
+        # off with the same command line)
+        manager = trainer.checkpoint_manager(
+            os.path.abspath(args.checkpoint), keep=args.keep)
+        resumed = trainer.restore_latest(manager)
+        if resumed is not None:
+            print(f"resumed from managed checkpoint step {resumed}")
     if args.restore:
         trainer.restore_checkpoint(args.restore)
     # scale="raw" in BOTH modes: the feed keeps the SOURCE dtype, so a
@@ -110,31 +124,72 @@ def cmd_train(args) -> int:
                         shuffle_buffer=args.shuffle_buffer,
                         num_workers=args.workers,
                         scale="raw", verify_crc=args.verify_crc)
+    # with managed checkpoints, --steps is the run's TOTAL step budget:
+    # a resumed run does only the remainder (restartable with the same
+    # command line after a crash)
+    done_already = int(trainer.state.step)
+    remaining = max(0, args.steps - done_already)
+
+    def maybe_save():
+        # skip when this step is already on disk (e.g. a fully-resumed
+        # run's final save): orbax refuses to overwrite an existing step
+        if manager is not None and \
+                manager.latest_step() != int(trainer.state.step):
+            saved = trainer.save_managed(manager)
+            print(f"managed checkpoint saved at step {saved}")
+
     if args.scan_steps > 0:
         # device-resident pool mode: K steps per dispatch (fastest on
         # TPU; see train/pool.py)
         from .train.pool import DeviceDataPool
         pool = DeviceDataPool.from_feed(feed.batches(), args.pool_size)
-        out = trainer.train_scanned(
-            pool, total_steps=args.steps,
-            steps_per_dispatch=args.scan_steps,
-            refresh_feed=feed.batches())
-        print(f"final: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
-              f"imgs/s={out['examples_per_sec']:.1f} "
-              f"duty={out['duty_cycle']:.3f}")
-    else:
+        refresh = feed.batches()
+        out = None
+        while remaining > 0:
+            chunk = min(remaining, args.save_every) \
+                if args.save_every > 0 else remaining
+            out = trainer.train_scanned(
+                pool, total_steps=chunk,
+                steps_per_dispatch=args.scan_steps,
+                refresh_feed=refresh, augment=args.augment)
+            remaining -= chunk
+            if remaining > 0:  # the final save happens below
+                maybe_save()
+        if out is not None:
+            print(f"final: loss={out['loss']:.4f} "
+                  f"acc={out['accuracy']:.4f} "
+                  f"imgs/s={out['examples_per_sec']:.1f} "
+                  f"duty={out['duty_cycle']:.3f}")
+    elif remaining > 0:
+        if args.augment:
+            import jax
+            from .ops.augment import augment_pairs
+            akey = jax.random.PRNGKey(cfg.seed)
         with DevicePrefetcher(feed.batches(), trainer.place_batch) as pf:
             it = iter(pf)
-            for step in range(args.steps):
+            for step in range(remaining):
                 images, labels = next(it)
+                if args.augment:
+                    # on-device dihedral augmentation (exact, label-
+                    # safe; ops/augment.py), already-placed batches --
+                    # costs no host time
+                    images, labels = augment_pairs(
+                        jax.random.fold_in(akey, done_already + step),
+                        images, labels)
                 metrics = trainer.train_step(images, labels)
-                if step % args.log_every == 0 or step == args.steps - 1:
+                if step % args.log_every == 0 or step == remaining - 1:
                     stats = trainer.throughput_stats()
-                    print(f"step {step}: loss={metrics['loss']:.4f} "
+                    print(f"step {done_already + step}: "
+                          f"loss={metrics['loss']:.4f} "
                           f"acc={metrics['accuracy']:.4f} "
                           f"imgs/s={stats['examples_per_sec']:.1f} "
                           f"duty={stats['duty_cycle']:.3f}")
-    if args.checkpoint:
+                if (args.save_every > 0 and step != remaining - 1
+                        and (step + 1) % args.save_every == 0):
+                    maybe_save()
+    if manager is not None:
+        maybe_save()
+    elif args.checkpoint:
         trainer.save_checkpoint(os.path.abspath(args.checkpoint))
         print(f"checkpoint saved to {args.checkpoint}")
     return 0
@@ -456,12 +511,26 @@ def main(argv=None) -> int:
     tr.add_argument("--shuffle-buffer", type=int, default=256)
     tr.add_argument("--workers", type=int, default=4)
     tr.add_argument("--log-every", type=int, default=10)
-    tr.add_argument("--checkpoint", default=None)
+    tr.add_argument("--checkpoint", default=None,
+                    help="checkpoint path; with --save-every this is a "
+                         "managed rotating-checkpoint DIRECTORY")
+    tr.add_argument("--save-every", type=int, default=0,
+                    help="save a managed rotating checkpoint every N "
+                         "steps into --checkpoint and auto-resume the "
+                         "latest one on restart (--steps is the run's "
+                         "total budget); 0 = single save at the end")
+    tr.add_argument("--keep", type=int, default=3,
+                    help="managed checkpoints kept (with --save-every)")
     tr.add_argument("--restore", default=None)
     tr.add_argument("--verify-crc", action="store_true",
                     help="validate TFRecord frame CRCs while feeding "
                          "(array modes would otherwise accept corrupt "
                          "payloads that reshape cleanly)")
+    tr.add_argument("--augment", action="store_true",
+                    help="on-device random dihedral augmentation "
+                         "(flips + 90-degree rotations, applied "
+                         "identically to image and label; exact and "
+                         "label-safe -- ops/augment.py)")
     tr.set_defaults(fn=cmd_train)
 
     pr = sub.add_parser("predict", help="chips -> prediction GeoTIFFs")

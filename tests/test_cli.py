@@ -92,6 +92,85 @@ class TestCLIFlow:
         assert set(np.unique(g.array)) <= {0, 1}
 
 
+class TestManagedCheckpointTraining:
+    def _write_records(self, tmp_path):
+        from dl_image_segmentation_tpu.records.example import (
+            convert_to_example)
+        from dl_image_segmentation_tpu.records.tfrecord import (
+            TFRecordWriter, shard_filename)
+        rng = np.random.RandomState(0)
+        recs = tmp_path / "recs"
+        recs.mkdir()
+        path = str(recs / shard_filename("t", 0, 1))
+        with TFRecordWriter(path) as w:
+            for _ in range(16):
+                img = rng.rand(16, 16, 3).astype(np.float32)
+                lbl = rng.randint(0, 2, (16, 16), np.uint8)
+                w.write(convert_to_example(
+                    img, lbl, 16, 16, 3, 16, 16,
+                    "60:2:10.0:43:-380:3491").SerializeToString())
+        return os.path.join(str(recs), "t-*")
+
+    def test_save_every_and_auto_resume(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        ck = str(tmp_path / "ckpts")
+
+        def args(steps):
+            return ["train", "--records", pattern, "--mode", "tifarr",
+                    "--classes", "2", "--channels", "3",
+                    "--features", "4", "--levels", "1",
+                    "--image-size", "16", "--batch-size", "8",
+                    "--steps", str(steps), "--log-every", "1",
+                    "--workers", "1", "--checkpoint", ck,
+                    "--save-every", "2", "--keep", "2"]
+
+        assert cli_main(args(4)) == 0
+        out = capsys.readouterr().out
+        assert "managed checkpoint saved at step 2" in out
+        assert "managed checkpoint saved at step 4" in out
+        # rotation: only the newest --keep step dirs survive
+        steps = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
+        assert steps == [2, 4]
+
+        # same command line again: resumes at 4, runs nothing, and does
+        # NOT double-save the existing step
+        assert cli_main(args(4)) == 0
+        out = capsys.readouterr().out
+        assert "resumed from managed checkpoint step 4" in out
+        assert "managed checkpoint saved" not in out
+
+        # a higher budget trains only the remainder and rotates
+        assert cli_main(args(6)) == 0
+        out = capsys.readouterr().out
+        assert "resumed from managed checkpoint step 4" in out
+        assert "managed checkpoint saved at step 6" in out
+        steps = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
+        assert steps == [4, 6]
+
+    def test_augmented_training_both_modes(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        base = ["train", "--records", pattern, "--mode", "tifarr",
+                "--classes", "2", "--channels", "3", "--features", "4",
+                "--levels", "1", "--image-size", "16",
+                "--batch-size", "8", "--steps", "2", "--log-every", "1",
+                "--workers", "1", "--augment"]
+        assert cli_main(base) == 0              # per-step feed path
+        assert "loss=" in capsys.readouterr().out
+        assert cli_main(base + ["--scan-steps", "2",
+                                "--pool-size", "16"]) == 0  # pool path
+        assert "loss=" in capsys.readouterr().out
+
+    def test_save_every_requires_checkpoint(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        rc = cli_main(["train", "--records", pattern, "--mode", "tifarr",
+                       "--classes", "2", "--channels", "3",
+                       "--features", "4", "--levels", "1",
+                       "--image-size", "16", "--batch-size", "8",
+                       "--steps", "2", "--save-every", "1",
+                       "--workers", "1"])
+        assert rc == 2
+
+
 class TestTilePlanPersistence:
     def test_roundtrip_via_geojson(self, tmp_path):
         tiles = [Tile.from_key("60:2:10.0:43:-380:3491"),
