@@ -280,6 +280,7 @@ def _mfu_one(precision: str, base_features: int = 32,
                                                          Trainer)
 
     PEAK = 197e12
+    HBM_BW = 819e9  # v5e HBM bandwidth, bytes/s
     rng = np.random.RandomState(_NONCE % (2 ** 31))
     imgs = rng.randint(0, 255, (64, 256, 256, 3), np.uint8)
     lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
@@ -295,12 +296,14 @@ def _mfu_one(precision: str, base_features: int = 32,
     x = jnp.zeros((8, 256, 256, 3), jnp.float32)
     y = jnp.zeros((8, 256, 256), jnp.int32)
     flops = None
+    hbm_bytes = None
     try:
         ca = trainer._step_fn.lower(trainer.state, x, y) \
             .compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca["flops"])
+        hbm_bytes = float(ca.get("bytes accessed", 0.0)) or None
     except Exception as e:  # noqa: BLE001 -- relay may not expose it
         out[f"{key}_cost_analysis_error"] = str(e)[:120]
     pool = DeviceDataPool(imgs, lbls)
@@ -310,6 +313,23 @@ def _mfu_one(precision: str, base_features: int = 32,
         out[f"{key}_gflops_per_step"] = round(flops / 1e9, 1)
         out[f"{key}_tflops_per_sec"] = round(flops / s / 1e12, 1)
         out[f"{key}_mfu_vs_bf16_peak"] = round(flops / s / PEAK, 3)
+    if hbm_bytes is not None:
+        # two-resource roofline: the step can finish no faster than
+        # max(FLOPs at MXU peak, XLA-counted HBM bytes at peak BW).
+        # roofline_util near 1 means the shape runs at its hardware
+        # speed of light -- for narrow widths (Cout 32/64 underfilling
+        # the 128-lane MXU) a low MFU alongside a high roofline_util
+        # is the HARDWARE's shape penalty, not framework overhead.
+        # (XLA's bytes-accessed is an upper-ish proxy: it counts
+        # fusion-boundary traffic, not reuse inside fusions.)
+        mem_s = hbm_bytes / HBM_BW
+        bound_s = max(mem_s, (flops or 0.0) / PEAK)
+        out[f"{key}_hbm_gbytes_per_step"] = round(hbm_bytes / 1e9, 2)
+        out[f"{key}_hbm_bound_ms"] = round(mem_s * 1e3, 2)
+        out[f"{key}_roofline_bound_ms"] = round(bound_s * 1e3, 2)
+        out[f"{key}_roofline_util"] = round(bound_s / s, 3)
+        out[f"{key}_arith_intensity_flops_per_byte"] = round(
+            (flops or 0.0) / hbm_bytes, 1)
     return out
 
 
