@@ -86,16 +86,16 @@ def parse_encoded_gdal_proto_wrapped_tf(example_proto):
     the decode releases the GIL (C++/PIL), removing the documented
     pipeline bottleneck (_tfrecord_image_translation.py:124-126)."""
     tf = _tf()
-    import numpy as np
-
-    from .parsers import featuretemplate_bytestring_imagechip
-    from ..raster.image import decode_image_bytes
+    from .parsers import _decode_f32, featuretemplate_bytestring_imagechip
 
     f = tf.io.parse_single_example(example_proto,
                                    featuretemplate_bytestring_imagechip)
 
     def _decode(b):
-        return decode_image_bytes(bytes(b)).array.astype(np.float32)
+        # same decode as the numpy parser: single-pass C++ TIFF fast
+        # path for chip-contract containers, Python codecs otherwise
+        # (outputs bit-identical, tests/test_native.py)
+        return _decode_f32(bytes(b))
 
     img = tf.numpy_function(_decode, [f["image/image_data"]], tf.float32)
     target = tf.numpy_function(_decode, [f["target/target_data"]],
