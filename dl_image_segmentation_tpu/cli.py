@@ -90,12 +90,18 @@ def cmd_train(args) -> int:
                       image_size=args.image_size,
                       batch_size=args.batch_size,
                       learning_rate=args.lr,
+                      weight_decay=args.weight_decay,
                       label_nodata=args.nodata,
                       n_model=args.n_model,
                       spatial=args.spatial,
                       remat=args.remat,
+                      seed=args.seed,
                       model=args.model,
-                      precision=args.precision)
+                      precision=args.precision,
+                      schedule=args.schedule,
+                      warmup_steps=args.warmup_steps,
+                      total_steps=args.steps,
+                      grad_clip_norm=args.grad_clip_norm)
     trainer = Trainer(cfg)
     manager = None
     if args.save_every > 0:
@@ -488,6 +494,15 @@ def main(argv=None) -> int:
     tr.add_argument("--image-size", type=int, default=256)
     tr.add_argument("--batch-size", type=int, default=32)
     tr.add_argument("--lr", type=float, default=1e-3)
+    tr.add_argument("--weight-decay", type=float, default=1e-4)
+    tr.add_argument("--schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="learning-rate schedule; cosine decays over "
+                         "--steps with a linear --warmup-steps ramp")
+    tr.add_argument("--warmup-steps", type=int, default=0)
+    tr.add_argument("--grad-clip-norm", type=float, default=0.0,
+                    help="global-norm gradient clipping (0 = off)")
+    tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--steps", type=int, default=100)
     tr.add_argument("--nodata", type=int, default=255)
     tr.add_argument("--n-model", type=int, default=1)

@@ -160,6 +160,19 @@ class TestManagedCheckpointTraining:
                                 "--pool-size", "16"]) == 0  # pool path
         assert "loss=" in capsys.readouterr().out
 
+    def test_schedule_and_clip_flags(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        rc = cli_main(["train", "--records", pattern, "--mode", "tifarr",
+                       "--classes", "2", "--channels", "3",
+                       "--features", "4", "--levels", "1",
+                       "--image-size", "16", "--batch-size", "8",
+                       "--steps", "3", "--log-every", "1",
+                       "--workers", "1", "--schedule", "cosine",
+                       "--warmup-steps", "1", "--grad-clip-norm", "1.0",
+                       "--weight-decay", "0.01", "--seed", "7"])
+        assert rc == 0
+        assert "loss=" in capsys.readouterr().out
+
     def test_save_every_requires_checkpoint(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         rc = cli_main(["train", "--records", pattern, "--mode", "tifarr",
