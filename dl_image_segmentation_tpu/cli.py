@@ -101,7 +101,11 @@ def cmd_train(args) -> int:
                       schedule=args.schedule,
                       warmup_steps=args.warmup_steps,
                       total_steps=args.steps,
-                      grad_clip_norm=args.grad_clip_norm)
+                      grad_clip_norm=args.grad_clip_norm,
+                      class_weights=(
+                          tuple(float(w) for w
+                                in args.class_weights.split(","))
+                          if args.class_weights else None))
     trainer = Trainer(cfg)
     manager = None
     if args.save_every > 0:
@@ -502,6 +506,10 @@ def main(argv=None) -> int:
     tr.add_argument("--warmup-steps", type=int, default=0)
     tr.add_argument("--grad-clip-norm", type=float, default=0.0,
                     help="global-norm gradient clipping (0 = off)")
+    tr.add_argument("--class-weights", default=None,
+                    help="comma-separated per-class loss weights for "
+                         "imbalanced data, e.g. '1,5' to upweight the "
+                         "rare class (one weight per class)")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--steps", type=int, default=100)
     tr.add_argument("--nodata", type=int, default=255)

@@ -67,6 +67,9 @@ class TrainConfig:
     warmup_steps: int = 0
     total_steps: int = 10000  # cosine horizon
     grad_clip_norm: float = 0.0  # 0 = off
+    # per-class loss weights for imbalanced datasets (None = uniform);
+    # a tuple of num_classes floats, see masked_xent_loss
+    class_weights: Optional[Tuple[float, ...]] = None
 
 
 class TrainState:
@@ -110,15 +113,28 @@ def masked_miou(pred: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
 
 
 def masked_xent_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                     nodata: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     nodata: int,
+                     class_weights: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Softmax cross-entropy ignoring nodata pixels. Returns
-    (mean loss, accuracy over valid pixels)."""
+    (mean loss, accuracy over valid pixels).
+
+    class_weights: optional (num_classes,) per-class weights for
+    imbalanced datasets (e.g. sparse building footprints): the loss
+    becomes sum(w[label] * nll) / sum(w[label]) over valid pixels --
+    a weight of 0 removes a class from the loss entirely. Accuracy
+    stays unweighted."""
     valid = labels != nodata
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     denom = jnp.maximum(jnp.sum(valid), 1)
-    loss = -jnp.sum(jnp.where(valid, ll, 0.0)) / denom
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[safe_labels]
+        w = jnp.where(valid, w, 0.0)
+        loss = -jnp.sum(w * ll) / jnp.maximum(jnp.sum(w), 1e-9)
+    else:
+        loss = -jnp.sum(jnp.where(valid, ll, 0.0)) / denom
     pred = jnp.argmax(logits, axis=-1)
     acc = jnp.sum(jnp.where(valid, pred == safe_labels, False)) / denom
     return loss, acc
@@ -156,6 +172,11 @@ class Trainer:
             raise ValueError(f"unknown precision {config.precision!r} "
                              "(expected 'bf16' or 'fp32')")
         self.compute_dtype = compute_dtype
+        if (config.class_weights is not None
+                and len(config.class_weights) != config.num_classes):
+            raise ValueError(
+                f"class_weights has {len(config.class_weights)} entries "
+                f"for {config.num_classes} classes")
         if config.model == "deeplab":
             from ..models.deeplab import DeepLabLite
             self.model = DeepLabLite(num_classes=config.num_classes,
@@ -240,6 +261,8 @@ class Trainer:
         cfg = self.config
         apply_fn = self._apply_fn()
         tx = self.tx
+        cw = (jnp.asarray(cfg.class_weights, jnp.float32)
+              if cfg.class_weights is not None else None)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, images: jnp.ndarray,
@@ -249,7 +272,8 @@ class Trainer:
             def loss_fn(params):
                 logits = apply_fn(params, images)
                 loss, acc = masked_xent_loss(logits, labels,
-                                             cfg.label_nodata)
+                                             cfg.label_nodata,
+                                             class_weights=cw)
                 return loss, acc
 
             (loss, acc), grads = jax.value_and_grad(
@@ -275,6 +299,8 @@ class Trainer:
         cfg = self.config
         apply_fn = self._apply_fn()
         tx = self.tx
+        cw = (jnp.asarray(cfg.class_weights, jnp.float32)
+              if cfg.class_weights is not None else None)
 
         @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnums=(4,))
@@ -292,7 +318,8 @@ class Trainer:
                 def loss_fn(params):
                     logits = apply_fn(params, images)
                     return masked_xent_loss(logits, labels,
-                                            cfg.label_nodata)
+                                            cfg.label_nodata,
+                                            class_weights=cw)
 
                 (loss, acc), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(st.params)

@@ -169,7 +169,8 @@ class TestManagedCheckpointTraining:
                        "--steps", "3", "--log-every", "1",
                        "--workers", "1", "--schedule", "cosine",
                        "--warmup-steps", "1", "--grad-clip-norm", "1.0",
-                       "--weight-decay", "0.01", "--seed", "7"])
+                       "--weight-decay", "0.01", "--seed", "7",
+                       "--class-weights", "1,4"])
         assert rc == 0
         assert "loss=" in capsys.readouterr().out
 

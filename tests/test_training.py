@@ -64,6 +64,38 @@ class TestLoss:
         loss, _ = masked_xent_loss(logits, labels, 255)
         assert np.isfinite(float(loss))
 
+    def test_class_weights(self):
+        # class 0 well-predicted, class 1 badly-predicted: upweighting
+        # class 1 must raise the loss; weight 0 on class 1 must reduce
+        # it to the class-0-only loss; uniform weights == unweighted
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+        logits = logits.at[..., 0].add(3.0)  # favor class 0 everywhere
+        labels = jnp.asarray(
+            (np.arange(16).reshape(1, 4, 4) % 2).astype(np.int32))
+        base, acc = masked_xent_loss(logits, labels, 255)
+        uniform, _ = masked_xent_loss(logits, labels, 255,
+                                      class_weights=jnp.ones(2))
+        np.testing.assert_allclose(float(uniform), float(base), rtol=1e-6)
+        up1, _ = masked_xent_loss(logits, labels, 255,
+                                  class_weights=jnp.asarray([1.0, 9.0]))
+        assert float(up1) > float(base)
+        only0, _ = masked_xent_loss(logits, labels, 255,
+                                    class_weights=jnp.asarray([1.0, 0.0]))
+        mask0 = labels == 0
+        logp = jax.nn.log_softmax(logits, axis=-1)[..., 0]
+        expected = -float(jnp.sum(jnp.where(mask0, logp, 0.0))
+                          / jnp.sum(mask0))
+        np.testing.assert_allclose(float(only0), expected, rtol=1e-5)
+
+    def test_trainer_rejects_wrong_weight_count(self):
+        from dl_image_segmentation_tpu.train.trainer import (TrainConfig,
+                                                             Trainer)
+        with pytest.raises(ValueError, match="class_weights"):
+            Trainer(TrainConfig(num_classes=3, class_weights=(1.0, 2.0),
+                                base_features=4, levels=1, image_size=8,
+                                batch_size=8))
+
 
 class TestMesh:
     def test_mesh_and_shardings(self):
