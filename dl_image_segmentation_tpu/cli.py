@@ -254,6 +254,18 @@ def cmd_predict(args) -> int:
             pad = np.zeros((args.batch_size - n_real,) + imgs.shape[1:],
                            imgs.dtype)
             imgs = np.concatenate([imgs, pad])
+        if args.probs:
+            # per-class softmax probabilities as a float32 multi-band
+            # GeoTIFF (band k = P(class k)) for thresholding /
+            # calibration flows where the argmax map loses information
+            probs = trainer.predict_probs(imgs)[:n_real]
+            for f, g, p in zip(chunk, gs, probs):
+                out_path = os.path.join(args.out, os.path.basename(f))
+                write_geotiff(out_path, p.astype(np.float32),
+                              geotransform=g.info.geotransform,
+                              epsg=g.info.epsg)
+                wrote += 1
+            continue
         preds = trainer.predict(imgs)[:n_real]
         for f, g, p in zip(chunk, gs, preds):
             out_path = os.path.join(args.out, os.path.basename(f))
@@ -287,8 +299,13 @@ def cmd_eval(args) -> int:
                         repeat=False, scale="raw",
                         verify_crc=args.verify_crc)
     out = trainer.evaluate(feed.batches(), max_batches=args.max_batches)
-    print(f"eval: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
-          f"miou={out['miou']:.4f} over {out['batches']} batches")
+    if args.json:
+        print(json.dumps({k: (round(float(v), 6)
+                              if isinstance(v, float) else v)
+                          for k, v in out.items()}))
+    else:
+        print(f"eval: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
+              f"miou={out['miou']:.4f} over {out['batches']} batches")
     return 0
 
 
@@ -574,6 +591,10 @@ def main(argv=None) -> int:
                     help="compute precision; match the checkpoint's "
                          "training run for identical numerics "
                          "(checkpoints themselves are fp32 either way)")
+    pr.add_argument("--probs", action="store_true",
+                    help="write per-class softmax probabilities as "
+                         "float32 multi-band GeoTIFFs (band k = "
+                         "P(class k)) instead of uint8 argmax maps")
     pr.add_argument("--scale", default="auto",
                     help="input scaling, matching how the checkpoint "
                          "was TRAINED: 'auto' = by chip dtype "
@@ -602,6 +623,9 @@ def main(argv=None) -> int:
     ev.add_argument("--nodata", type=int, default=255)
     ev.add_argument("--workers", type=int, default=2)
     ev.add_argument("--max-batches", type=int, default=None)
+    ev.add_argument("--json", action="store_true",
+                    help="emit one machine-readable JSON line instead "
+                         "of the human summary (for CI gates)")
     ev.add_argument("--verify-crc", action="store_true",
                     help="validate TFRecord frame CRCs while feeding "
                          "(array modes would otherwise accept corrupt "

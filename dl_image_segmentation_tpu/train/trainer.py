@@ -424,6 +424,33 @@ class Trainer:
 
         return predict
 
+    def _build_predict_probs(self):
+        model = self.model
+
+        @jax.jit
+        def predict_probs(params, images):
+            logits = model.apply({"params": params},
+                                 normalize_images(images))
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        return predict_probs
+
+    def predict_probs(self, images) -> np.ndarray:
+        """Per-class softmax probabilities for a host batch:
+        (N, H, W, C) -> (N, H, W, num_classes) float32. Same padding +
+        data-axis sharding as ``predict``; use for thresholding /
+        calibration workflows where the argmax map loses information."""
+        if not hasattr(self, "_predict_probs_fn"):
+            self._predict_probs_fn = self._build_predict_probs()
+        if isinstance(images, np.ndarray):
+            images, _, n = self._pad_to_data_axis(images)
+            images = shard_batch_local(self.mesh, images,
+                                       spatial=self.config.spatial)
+            out = self._predict_probs_fn(self.state.params, images)
+            return np.asarray(out)[:n]
+        return np.asarray(self._predict_probs_fn(self.state.params,
+                                                 images))
+
     def _pad_to_data_axis(self, images: np.ndarray,
                           labels: Optional[np.ndarray] = None):
         """Pad a host batch up to a multiple of the mesh's data-axis

@@ -91,6 +91,38 @@ class TestCLIFlow:
         assert g.info.epsg == 32643
         assert set(np.unique(g.array)) <= {0, 1}
 
+        # probability maps: float32, one band per class, rows sum to 1
+        probs_dir = str(tmp_path / "probs")
+        rc = cli_main([
+            "predict", "--images", os.path.join(chip_dir, "images"),
+            "--checkpoint", ck, "--out", probs_dir, "--classes", "2",
+            "--channels", "3", "--features", "8", "--levels", "1",
+            "--image-size", "32", "--batch-size", "4",
+            "--precision", "fp32", "--probs"])
+        assert rc == 0
+        pg = read_geotiff(os.path.join(
+            probs_dir, sorted(os.listdir(probs_dir))[0]))
+        assert pg.array.dtype == np.float32 and pg.array.shape[2] == 2
+        np.testing.assert_allclose(pg.array.sum(axis=2), 1.0, atol=1e-5)
+        # argmax of the probability map == the class map prediction
+        cg = read_geotiff(os.path.join(preds,
+                                       sorted(os.listdir(preds))[0]))
+        np.testing.assert_array_equal(pg.array.argmax(axis=2),
+                                      cg.array.squeeze())
+
+        # machine-readable eval
+        rc = cli_main(["eval", "--records", os.path.join(recs, "t-*"),
+                       "--checkpoint", ck, "--mode", "tifarr",
+                       "--classes", "2", "--channels", "3",
+                       "--features", "8", "--levels", "1",
+                       "--image-size", "32", "--batch-size", "8",
+                       "--precision", "fp32", "--json"])
+        assert rc == 0
+        line = [ln for ln in capsys.readouterr().out.splitlines()
+                if ln.startswith("{")][-1]
+        ev = json.loads(line)
+        assert {"loss", "accuracy", "miou", "batches"} <= set(ev)
+
 
 class TestManagedCheckpointTraining:
     def _write_records(self, tmp_path):
