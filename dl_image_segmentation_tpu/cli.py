@@ -121,8 +121,17 @@ def cmd_train(args) -> int:
         resumed = trainer.restore_latest(manager)
         if resumed is not None:
             print(f"resumed from managed checkpoint step {resumed}")
+    # total-budget semantics apply ONLY to the managed auto-resume
+    # (crash-restart with the same command line). A --restore
+    # fine-tune keeps its checkpoint's step counter but still runs
+    # the full --steps requested here.
+    done_already = int(trainer.state.step)
     if args.restore:
         trainer.restore_checkpoint(args.restore)
+        done_already = int(trainer.state.step)
+        remaining = args.steps
+    else:
+        remaining = max(0, args.steps - done_already)
     # scale="raw" in BOTH modes: the feed keeps the SOURCE dtype, so a
     # uint8 batch is 4x less host-copy + H2D traffic (and a uint8 POOL
     # 4x less HBM). Scaling happens on device -- DeviceDataPool at
@@ -134,12 +143,6 @@ def cmd_train(args) -> int:
                         shuffle_buffer=args.shuffle_buffer,
                         num_workers=args.workers,
                         scale="raw", verify_crc=args.verify_crc)
-    # with managed checkpoints, --steps is the run's TOTAL step budget:
-    # a resumed run does only the remainder (restartable with the same
-    # command line after a crash)
-    done_already = int(trainer.state.step)
-    remaining = max(0, args.steps - done_already)
-
     def maybe_save():
         # skip when this step is already on disk (e.g. a fully-resumed
         # run's final save): orbax refuses to overwrite an existing step

@@ -179,6 +179,27 @@ class TestManagedCheckpointTraining:
         steps = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
         assert steps == [4, 6]
 
+    def test_restore_finetune_runs_full_step_budget(self, tmp_path,
+                                                    capsys):
+        # --restore is a FINE-TUNE: the checkpoint's step counter comes
+        # back (here 3), but --steps still means "run this many steps
+        # now" -- unlike the managed auto-resume's total-budget
+        # semantics (which would train zero steps for --steps <= 3)
+        pattern = self._write_records(tmp_path)
+        ck = str(tmp_path / "single_ckpt")
+        base = ["train", "--records", pattern, "--mode", "tifarr",
+                "--classes", "2", "--channels", "3", "--features", "4",
+                "--levels", "1", "--image-size", "16",
+                "--batch-size", "8", "--log-every", "1",
+                "--workers", "1"]
+        assert cli_main(base + ["--steps", "3",
+                                "--checkpoint", ck]) == 0
+        capsys.readouterr()
+        assert cli_main(base + ["--steps", "2", "--restore", ck]) == 0
+        out = capsys.readouterr().out
+        # two steps actually ran, numbered from the restored counter
+        assert "step 3:" in out and "step 4:" in out
+
     def test_augmented_training_both_modes(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         base = ["train", "--records", pattern, "--mode", "tifarr",
