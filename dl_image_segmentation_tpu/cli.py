@@ -151,6 +151,17 @@ def cmd_train(args) -> int:
             saved = trainer.save_managed(manager)
             print(f"managed checkpoint saved at step {saved}")
 
+    mlog = open(args.metrics_log, "a", buffering=1) \
+        if args.metrics_log else None
+
+    def log_metrics(step, **kv):
+        # one JSON object per line, appended (resumes continue the same
+        # file) -- tail -f / jq-friendly run monitoring
+        if mlog is not None:
+            mlog.write(json.dumps(
+                {"step": int(step),
+                 **{k: round(float(v), 6) for k, v in kv.items()}}) + "\n")
+
     if args.scan_steps > 0:
         # device-resident pool mode: K steps per dispatch (fastest on
         # TPU; see train/pool.py)
@@ -166,6 +177,10 @@ def cmd_train(args) -> int:
                 steps_per_dispatch=args.scan_steps,
                 refresh_feed=refresh, augment=args.augment)
             remaining -= chunk
+            log_metrics(trainer.state.step, loss=out["loss"],
+                        accuracy=out["accuracy"],
+                        examples_per_sec=out["examples_per_sec"],
+                        duty_cycle=out["duty_cycle"])
             if remaining > 0:  # the final save happens below
                 maybe_save()
         if out is not None:
@@ -197,6 +212,11 @@ def cmd_train(args) -> int:
                           f"acc={metrics['accuracy']:.4f} "
                           f"imgs/s={stats['examples_per_sec']:.1f} "
                           f"duty={stats['duty_cycle']:.3f}")
+                    log_metrics(done_already + step,
+                                loss=metrics["loss"],
+                                accuracy=metrics["accuracy"],
+                                examples_per_sec=stats["examples_per_sec"],
+                                duty_cycle=stats["duty_cycle"])
                 if (args.save_every > 0 and step != remaining - 1
                         and (step + 1) % args.save_every == 0):
                     maybe_save()
@@ -205,6 +225,8 @@ def cmd_train(args) -> int:
     elif args.checkpoint:
         trainer.save_checkpoint(os.path.abspath(args.checkpoint))
         print(f"checkpoint saved to {args.checkpoint}")
+    if mlog is not None:
+        mlog.close()
     return 0
 
 
@@ -302,13 +324,24 @@ def cmd_eval(args) -> int:
                         repeat=False, scale="raw",
                         verify_crc=args.verify_crc)
     out = trainer.evaluate(feed.batches(), max_batches=args.max_batches)
+    def _round(v):
+        if isinstance(v, float):
+            return round(v, 6)
+        if isinstance(v, list):
+            return [_round(x) for x in v]
+        return v
+
     if args.json:
-        print(json.dumps({k: (round(float(v), 6)
-                              if isinstance(v, float) else v)
-                          for k, v in out.items()}))
+        print(json.dumps({k: _round(v) for k, v in out.items()}))
     else:
         print(f"eval: loss={out['loss']:.4f} acc={out['accuracy']:.4f} "
               f"miou={out['miou']:.4f} over {out['batches']} batches")
+        per = ", ".join(
+            f"{k}: iou={'--' if i is None else f'{i:.4f}'} "
+            f"f1={'--' if f is None else f'{f:.4f}'}"
+            for k, (i, f) in enumerate(zip(out["per_class_iou"],
+                                           out["per_class_f1"])))
+        print(f"per-class: {per}")
     return 0
 
 
@@ -564,7 +597,16 @@ def main(argv=None) -> int:
                          "total budget); 0 = single save at the end")
     tr.add_argument("--keep", type=int, default=3,
                     help="managed checkpoints kept (with --save-every)")
-    tr.add_argument("--restore", default=None)
+    tr.add_argument("--restore", default=None,
+                    help="fine-tune from a single saved checkpoint "
+                         "(always runs the full --steps; the step "
+                         "counter continues from the checkpoint)")
+    tr.add_argument("--metrics-log", default=None,
+                    help="append one JSON line per logged step "
+                         "({step, loss, accuracy, examples_per_sec, "
+                         "duty_cycle}) to this file for run monitoring "
+                         "(tail -f / jq); resumes append to the same "
+                         "file")
     tr.add_argument("--verify-crc", action="store_true",
                     help="validate TFRecord frame CRCs while feeding "
                          "(array modes would otherwise accept corrupt "

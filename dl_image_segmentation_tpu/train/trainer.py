@@ -558,15 +558,25 @@ class Trainer:
             n_valid += int(nv)
             total_cm += np.asarray(cm, np.int64)
             n_batches += 1
-        inter = np.diag(total_cm).astype(np.float64)
-        union = (total_cm.sum(axis=0) + total_cm.sum(axis=1)
-                 - np.diag(total_cm)).astype(np.float64)
+        tp = np.diag(total_cm).astype(np.float64)
+        fp = total_cm.sum(axis=0) - tp  # predicted k but true != k
+        fn = total_cm.sum(axis=1) - tp  # true k but predicted != k
+        union = tp + fp + fn
         present = union > 0
-        miou = float((inter[present] / union[present]).mean()) \
-            if present.any() else float("nan")
+        iou = np.where(present, tp / np.maximum(union, 1), np.nan)
+        f1_den = 2 * tp + fp + fn
+        f1 = np.where(f1_den > 0, 2 * tp / np.maximum(f1_den, 1), np.nan)
+        miou = float(iou[present].mean()) if present.any() \
+            else float("nan")
         denom = max(n_valid, 1)
+        # per-class entries are None for classes absent from BOTH
+        # predictions and labels (no pixels to score)
         return {"loss": loss_sum / denom, "accuracy": correct / denom,
-                "miou": miou, "batches": n_batches}
+                "miou": miou, "batches": n_batches,
+                "per_class_iou": [float(v) if np.isfinite(v) else None
+                                  for v in iou],
+                "per_class_f1": [float(v) if np.isfinite(v) else None
+                                 for v in f1]}
 
     # -- metrics -------------------------------------------------------------
     def throughput_stats(self) -> Dict[str, float]:

@@ -227,6 +227,27 @@ class TestManagedCheckpointTraining:
         assert rc == 0
         assert "loss=" in capsys.readouterr().out
 
+    def test_metrics_log_jsonl(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        mlog = str(tmp_path / "metrics.jsonl")
+        base = ["train", "--records", pattern, "--mode", "tifarr",
+                "--classes", "2", "--channels", "3", "--features", "4",
+                "--levels", "1", "--image-size", "16",
+                "--batch-size", "8", "--log-every", "1",
+                "--workers", "1", "--metrics-log", mlog]
+        assert cli_main(base + ["--steps", "2"]) == 0
+        lines = [json.loads(ln) for ln in open(mlog)]
+        assert [ln["step"] for ln in lines] == [0, 1]
+        for ln in lines:
+            assert {"step", "loss", "accuracy", "examples_per_sec",
+                    "duty_cycle"} <= set(ln)
+        # scan mode APPENDS to the same file, one line per dispatch chunk
+        assert cli_main(base + ["--steps", "2", "--scan-steps", "2",
+                                "--pool-size", "16"]) == 0
+        lines = [json.loads(ln) for ln in open(mlog)]
+        assert len(lines) == 3 and lines[-1]["step"] == 2
+        capsys.readouterr()
+
     def test_save_every_requires_checkpoint(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         rc = cli_main(["train", "--records", pattern, "--mode", "tifarr",

@@ -385,7 +385,8 @@ class TestEvalAndPredict:
         imgs = rng.rand(8, 16, 16, 3).astype(np.float32)
         lbls = rng.randint(0, 2, (8, 16, 16)).astype(np.int32)
         out = tr.evaluate([(imgs, lbls)])
-        assert set(out) == {"loss", "accuracy", "miou", "batches"}
+        assert set(out) == {"loss", "accuracy", "miou", "batches",
+                            "per_class_iou", "per_class_f1"}
         assert out["batches"] == 1
         p = tr.predict(imgs)
         assert p.shape == (8, 16, 16) and p.dtype == np.int32
@@ -414,6 +415,44 @@ class TestEvalAndPredict:
         for k in ("loss", "accuracy", "miou"):
             np.testing.assert_allclose(one[k], four[k], rtol=1e-5)
             np.testing.assert_allclose(one[k], ragged[k], rtol=1e-5)
+        np.testing.assert_allclose(one["per_class_iou"],
+                                   four["per_class_iou"], rtol=1e-5)
+
+    def test_evaluate_per_class_metrics(self):
+        """per_class_iou/f1 come from the dataset confusion matrix:
+        miou is the mean over present classes, absent classes report
+        None, and a class the model never predicts but that exists in
+        the labels still gets a (zero-ish) score, not None."""
+        cfg = TrainConfig(num_classes=4, in_channels=3, base_features=8,
+                          levels=1, image_size=16, batch_size=8)
+        tr = Trainer(cfg)
+        rng = np.random.RandomState(3)
+        imgs = rng.rand(8, 16, 16, 3).astype(np.float32)
+        # class 3 never appears in the labels; an untrained model on
+        # random inputs essentially never predicts a fixed class either,
+        # but PRESENCE in labels alone must keep classes 0-2 scored
+        lbls = rng.randint(0, 3, (8, 16, 16)).astype(np.int32)
+        out = tr.evaluate([(imgs, lbls)])
+        iou, f1 = out["per_class_iou"], out["per_class_f1"]
+        assert len(iou) == 4 and len(f1) == 4
+        preds = tr.predict(imgs)
+        for k in range(3):
+            assert iou[k] is not None and 0.0 <= iou[k] <= 1.0
+            assert f1[k] is not None and 0.0 <= f1[k] <= 1.0
+        if 3 not in preds:  # class 3 absent from labels AND predictions
+            assert iou[3] is None and f1[3] is None
+        present = [v for v in iou if v is not None]
+        np.testing.assert_allclose(out["miou"], np.mean(present),
+                                   rtol=1e-6)
+        # hand-check one class against a numpy confusion matrix
+        valid = lbls != cfg.label_nodata
+        tp = np.sum((preds == 0) & (lbls == 0) & valid)
+        fp = np.sum((preds == 0) & (lbls != 0) & valid)
+        fn = np.sum((preds != 0) & (lbls == 0) & valid)
+        np.testing.assert_allclose(iou[0], tp / (tp + fp + fn),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(f1[0], 2 * tp / (2 * tp + fp + fn),
+                                   rtol=1e-6)
 
     def test_predict_sharded_matches_any_batch_size(self):
         """predict shards host batches over the data axis (padding the
