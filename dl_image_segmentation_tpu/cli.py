@@ -162,6 +162,22 @@ def cmd_train(args) -> int:
                 {"step": int(step),
                  **{k: round(float(v), 6) for k, v in kv.items()}}) + "\n")
 
+    def run_eval(step):
+        # a fresh non-repeating feed each time: the validation set is
+        # read once, whole (dataset confusion-matrix mIoU)
+        efeed = TFRecordFeed(args.eval_records, args.mode,
+                             batch_size=args.batch_size,
+                             image_size=args.image_size,
+                             num_workers=args.workers, repeat=False,
+                             scale="raw", verify_crc=args.verify_crc)
+        out = trainer.evaluate(efeed.batches(),
+                               max_batches=args.eval_max_batches)
+        print(f"val step {step}: loss={out['loss']:.4f} "
+              f"acc={out['accuracy']:.4f} miou={out['miou']:.4f} "
+              f"over {out['batches']} batches")
+        log_metrics(step, val_loss=out["loss"],
+                    val_accuracy=out["accuracy"], val_miou=out["miou"])
+
     if args.scan_steps > 0:
         # device-resident pool mode: K steps per dispatch (fastest on
         # TPU; see train/pool.py)
@@ -181,6 +197,10 @@ def cmd_train(args) -> int:
                         accuracy=out["accuracy"],
                         examples_per_sec=out["examples_per_sec"],
                         duty_cycle=out["duty_cycle"])
+            if args.eval_records and remaining > 0:
+                # scan mode evaluates at dispatch-chunk boundaries
+                # (--save-every sized); the final eval happens below
+                run_eval(int(trainer.state.step))
             if remaining > 0:  # the final save happens below
                 maybe_save()
         if out is not None:
@@ -220,11 +240,17 @@ def cmd_train(args) -> int:
                 if (args.save_every > 0 and step != remaining - 1
                         and (step + 1) % args.save_every == 0):
                     maybe_save()
+                if (args.eval_records and args.eval_every > 0
+                        and step != remaining - 1
+                        and (step + 1) % args.eval_every == 0):
+                    run_eval(done_already + step + 1)
     if manager is not None:
         maybe_save()
     elif args.checkpoint:
         trainer.save_checkpoint(os.path.abspath(args.checkpoint))
         print(f"checkpoint saved to {args.checkpoint}")
+    if args.eval_records:
+        run_eval(int(trainer.state.step))
     if mlog is not None:
         mlog.close()
     return 0
@@ -601,6 +627,19 @@ def main(argv=None) -> int:
                     help="fine-tune from a single saved checkpoint "
                          "(always runs the full --steps; the step "
                          "counter continues from the checkpoint)")
+    tr.add_argument("--eval-records", default=None,
+                    help="validation TFRecord glob: evaluated every "
+                         "--eval-every steps (per-step mode) or at "
+                         "dispatch-chunk boundaries (--scan-steps "
+                         "mode), plus once after training; prints "
+                         "dataset-level val loss/acc/mIoU and logs "
+                         "val_* lines to --metrics-log")
+    tr.add_argument("--eval-every", type=int, default=0,
+                    help="validation cadence in steps (per-step mode; "
+                         "0 = only the final eval). Eval time counts "
+                         "against the printed duty/imgs-per-sec")
+    tr.add_argument("--eval-max-batches", type=int, default=None,
+                    help="cap validation batches per eval pass")
     tr.add_argument("--metrics-log", default=None,
                     help="append one JSON line per logged step "
                          "({step, loss, accuracy, examples_per_sec, "

@@ -248,6 +248,32 @@ class TestManagedCheckpointTraining:
         assert len(lines) == 3 and lines[-1]["step"] == 2
         capsys.readouterr()
 
+    def test_eval_during_training(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        mlog = str(tmp_path / "m.jsonl")
+        base = ["train", "--records", pattern, "--mode", "tifarr",
+                "--classes", "2", "--channels", "3", "--features", "4",
+                "--levels", "1", "--image-size", "16",
+                "--batch-size", "8", "--log-every", "1",
+                "--workers", "1", "--eval-records", pattern,
+                "--metrics-log", mlog]
+        # per-step mode: eval at step 2 (cadence) + the final eval
+        assert cli_main(base + ["--steps", "4",
+                                "--eval-every", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "val step 2:" in out and "val step 4:" in out
+        assert out.count("miou=") == 2
+        vals = [json.loads(ln) for ln in open(mlog)
+                if "val_miou" in ln]
+        assert [v["step"] for v in vals] == [2, 4]
+        # scan mode: eval at each dispatch-chunk boundary + final
+        assert cli_main(base + ["--steps", "4", "--scan-steps", "2",
+                                "--pool-size", "16",
+                                "--checkpoint", str(tmp_path / "ck"),
+                                "--save-every", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "val step 2:" in out and "val step 4:" in out
+
     def test_save_every_requires_checkpoint(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         rc = cli_main(["train", "--records", pattern, "--mode", "tifarr",
