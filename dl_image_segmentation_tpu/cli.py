@@ -508,6 +508,33 @@ def cmd_inspect(args) -> int:
                 print(f"identifier {name!r} (no georeferencing)")
         except Exception:  # foreign TFRecords without our schema
             pass
+    if args.class_stats:
+        # label-pixel histogram over the whole dataset + suggested
+        # inverse-frequency --class-weights (normalized so the most
+        # common class has weight 1); nodata excluded
+        import numpy as np
+        from .pipeline.input import PARSE_FNS
+        parse = PARSE_FNS[args.mode]
+        counts: dict = {}
+        for f in files:
+            for rec in read_records(f, verify_crc=args.verify_crc):
+                target = parse(rec)[1]  # (img, target[, identifier])
+                v, c = np.unique(np.asarray(target, np.int64),
+                                 return_counts=True)
+                for vi, ci in zip(v.tolist(), c.tolist()):
+                    counts[vi] = counts.get(vi, 0) + ci
+        valid = {k: v for k, v in counts.items() if k != args.nodata}
+        tot = sum(valid.values())
+        print(f"label pixels: {tot} valid"
+              + (f", {counts.get(args.nodata, 0)} nodata"
+                 if args.nodata in counts else ""))
+        for k in sorted(valid):
+            print(f"  class {k}: {valid[k]} ({valid[k] / tot:.2%})")
+        if valid and min(valid.values()) > 0:
+            ref = max(valid.values())
+            weights = {k: ref / valid[k] for k in sorted(valid)}
+            print("suggested --class-weights "
+                  + ",".join(f"{weights[k]:.3g}" for k in sorted(valid)))
     return 0
 
 
@@ -750,6 +777,17 @@ def main(argv=None) -> int:
     i = sub.add_parser("inspect", help="summarize TFRecord shards")
     i.add_argument("--records", required=True)
     i.add_argument("--verify-crc", action="store_true")
+    i.add_argument("--class-stats", action="store_true",
+                   help="scan every record's label raster and print "
+                        "per-class pixel counts plus a suggested "
+                        "inverse-frequency --class-weights string "
+                        "(most common class = 1)")
+    i.add_argument("--mode", default="tifarr",
+                   choices=["rgbraw", "rgbarr", "tifraw",
+                            "tifraw_eager", "tifarr"],
+                   help="storage mode for --class-stats parsing")
+    i.add_argument("--nodata", type=int, default=255,
+                   help="label value excluded from --class-stats")
     i.set_defaults(fn=cmd_inspect)
 
     args = p.parse_args(argv)

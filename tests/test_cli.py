@@ -274,6 +274,19 @@ class TestManagedCheckpointTraining:
         out = capsys.readouterr().out
         assert "val step 2:" in out and "val step 4:" in out
 
+    def test_inspect_class_stats(self, tmp_path, capsys):
+        pattern = self._write_records(tmp_path)
+        assert cli_main(["inspect", "--records", pattern,
+                         "--class-stats", "--mode", "tifarr"]) == 0
+        out = capsys.readouterr().out
+        assert f"label pixels: {16 * 16 * 16} valid" in out
+        assert "class 0:" in out and "class 1:" in out
+        # suggested weights: max-count class gets 1, the other >= 1
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("suggested --class-weights")][0]
+        w = [float(x) for x in line.split()[-1].split(",")]
+        assert len(w) == 2 and min(w) == 1.0 and max(w) >= 1.0
+
     def test_save_every_requires_checkpoint(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         rc = cli_main(["train", "--records", pattern, "--mode", "tifarr",
