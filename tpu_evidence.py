@@ -351,6 +351,82 @@ def mfu_w128():
     return _mfu_one("bf16", base_features=128, k_small=30, k_long=600)
 
 
+def inference_throughput(k_small: int = 100, k_long: int = 3000):
+    """Forward-only serving throughput at the judge shape (bf16 U-Net
+    bf=32, 256^2, batch 8): lax.scan over K predict passes on a
+    device-resident image pool, per-batch time from the same K-vs-2K
+    two-dispatch fit the train sections use (relay-overhead-free).
+    Each dispatch's pool is perturbed by a fresh key so the relay's
+    content-memoization cannot fake the timing. Also records the
+    forward pass's XLA-counted FLOPs and MFU vs the v5e bf16 peak."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dl_image_segmentation_tpu.train.trainer import (
+        TrainConfig, Trainer, normalize_images)
+
+    PEAK = 197e12
+    rng = np.random.RandomState(_NONCE % (2 ** 31))
+    base_pool = jnp.asarray(rng.rand(64, 256, 256, 3).astype(np.float32))
+    cfg = TrainConfig(num_classes=2, in_channels=3, base_features=32,
+                      levels=4, image_size=256, batch_size=8)
+    trainer = Trainer(cfg)
+    model = trainer.model
+    params = trainer.state.params
+    out = {}
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan_predict(params, pool, k, key):
+        # fresh content per dispatch (key-dependent perturbation) so
+        # no two dispatches are memoizable; checksum forces execution
+        pool = pool + jax.random.uniform(key, (), jnp.float32) * 1e-3
+
+        def body(c, i):
+            batch = jax.lax.dynamic_slice_in_dim(pool, (i * 8) % 56, 8)
+            logits = model.apply({"params": params},
+                                 normalize_images(batch))
+            preds = jnp.argmax(logits, axis=-1)
+            return c + jnp.sum(preds, dtype=jnp.int32), None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                              jnp.arange(k))
+        return tot
+
+    flops = None
+    try:
+        ca = jax.jit(lambda p, b: model.apply(
+            {"params": p}, normalize_images(b))).lower(
+            params, base_pool[:8]).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception as e:  # noqa: BLE001
+        out["infer_cost_analysis_error"] = str(e)[:120]
+
+    def t_of(k, reps=2):
+        int(scan_predict(params, base_pool, k,
+                         jax.random.PRNGKey(_NONCE + k)))  # warm compile
+        return min(_timed(lambda r=r: int(scan_predict(
+            params, base_pool, k,
+            jax.random.PRNGKey(_NONCE + k + 7 * r + 1))))
+            for r in range(reps))
+
+    t1 = t_of(k_small)
+    print(f"[infer] t({k_small})={t1:.1f}s", flush=True)
+    t2 = t_of(k_long, reps=1)
+    print(f"[infer] t({k_long})={t2:.1f}s", flush=True)
+    s = (t2 - t1) / (k_long - k_small)
+    out["infer_bf16_ms_per_batch"] = round(s * 1e3, 2)
+    out["infer_images_per_sec_device"] = round(8 / s, 1)
+    if flops is not None:
+        out["infer_gflops_per_batch"] = round(flops / 1e9, 1)
+        out["infer_tflops_per_sec"] = round(flops / s / 1e12, 1)
+        out["infer_mfu_vs_bf16_peak"] = round(flops / s / PEAK, 3)
+    return out
+
+
 def feed_duty(steps: int = 10):
     """Duty cycle of the HOST-FEED path (TFRecordFeed ->
     DevicePrefetcher -> train_step_async), the BASELINE.md ">95% TPU
@@ -537,6 +613,7 @@ SECTIONS = {
     "mfu_w128": mfu_w128,
     "feed": feed_duty,
     "duty": duty_cycle,
+    "inference": inference_throughput,
 }
 
 
