@@ -39,9 +39,11 @@ CHIPDIR=$(ls -d chips/*/)
 dlseg to-tfrecords --name demo --directory "$CHIPDIR" --out recs \
   --shards 3 --workers 3 --engine mp --store-as-array
 dlseg inspect --records 'recs/demo-*' --verify-crc
+dlseg inspect --records 'recs/demo-*' --class-stats
 dlseg train --records 'recs/demo-*' --mode tifarr --classes 3 \
   --channels 3 --features 8 --levels 2 --image-size 64 \
-  --batch-size 4 --steps 10 --log-every 5 --checkpoint ckpt
+  --batch-size 4 --steps 10 --log-every 5 --checkpoint ckpt \
+  --eval-records 'recs/demo-*' --eval-every 5 --metrics-log metrics.jsonl
 dlseg eval --records 'recs/demo-*' --checkpoint ckpt --mode tifarr \
   --classes 3 --channels 3 --features 8 --levels 2 --image-size 64
 # --scale none: the checkpoint was trained on tifarr records, whose
