@@ -471,6 +471,42 @@ def cmd_map(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Online inference endpoint: micro-batched, fixed compiled batch
+    shape (serve.py). The production-serving layer downstream of
+    training -- the reference stops at notebook batch prediction."""
+    from .serve import PredictServer, make_http_server
+    from .train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(num_classes=args.classes, in_channels=args.channels,
+                      base_features=args.features, levels=args.levels,
+                      image_size=args.image_size,
+                      batch_size=args.batch_size, model=args.model,
+                      precision=args.precision)
+    trainer = Trainer(cfg)
+    trainer.restore_checkpoint(args.checkpoint)
+    ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms)
+    httpd = make_http_server(args.host, args.port, ps, scale=args.scale)
+    host, port = httpd.server_address[:2]
+    # warm the single jit shape so the first request doesn't pay the
+    # compile (~40-180 s through the TPU tunnel)
+    import numpy as np
+    ps.submit(np.zeros((cfg.image_size, cfg.image_size,
+                        cfg.in_channels), np.float32), probs=False,
+              timeout=600.0)
+    print(f"serving {cfg.model} (step {int(trainer.state.step)}) on "
+          f"http://{host}:{port}  "
+          f"[POST /predict, /predict?probs=1, GET /healthz]")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        ps.close()
+    return 0
+
+
 def cmd_inspect(args) -> int:
     import glob
     from .records.tfrecord import read_records
@@ -717,6 +753,31 @@ def main(argv=None) -> int:
                          "FloatList records store them unscaled), or "
                          "a float multiplier")
     pr.set_defaults(fn=cmd_predict)
+
+    sv = sub.add_parser("serve", help="online inference HTTP endpoint")
+    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8531)
+    sv.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="batch window: the first queued request waits "
+                         "at most this long for others to share its "
+                         "device dispatch (bounds latency; a full "
+                         "batch closes the window early)")
+    sv.add_argument("--classes", type=int, default=2)
+    sv.add_argument("--channels", type=int, default=3)
+    sv.add_argument("--features", type=int, default=32)
+    sv.add_argument("--levels", type=int, default=4)
+    sv.add_argument("--image-size", type=int, default=256)
+    sv.add_argument("--batch-size", type=int, default=8)
+    sv.add_argument("--model", default="unet",
+                    choices=["unet", "deeplab", "segformer"])
+    sv.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp32"])
+    sv.add_argument("--scale", default="auto",
+                    help="scaling applied to ENCODED request bodies "
+                         "(PNG/JPG/GeoTIFF), same rules as predict "
+                         "--scale; .npy bodies are taken as-is")
+    sv.set_defaults(fn=cmd_serve)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint on shards")
     ev.add_argument("--records", required=True)
