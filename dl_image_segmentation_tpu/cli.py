@@ -275,6 +275,12 @@ def cmd_predict(args) -> int:
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     os.makedirs(args.out, exist_ok=True)
+    if args.records:
+        return _predict_from_records(args, trainer)
+    if not args.images:
+        print("predict needs --images DIR or --records GLOB",
+              file=sys.stderr)
+        return 2
     files = sorted(_glob.glob(os.path.join(args.images, "*.tif")))
     if not files:
         print(f"no .tif chips in {args.images}")
@@ -468,6 +474,79 @@ def cmd_map(args) -> int:
     out = write_html_map_for_folder(args.out, args.chips,
                                     labels=args.labels)
     print(f"wrote {out}")
+    return 0
+
+
+def _predict_from_records(args, trainer) -> int:
+    """predict --records: inference straight from TFRecord shards --
+    no chip folders needed (the chips may be long deleted after
+    translation). Output rasters are named from each record's
+    identifier (`:` -> `#`, like the chip writer) and georeferenced by
+    reconstructing the geotransform/CRS from tile-key or `name|gt|crs`
+    identifiers (geo/georef.py); identifiers without georeferencing
+    still produce a plain raster."""
+    import glob as _glob
+
+    import numpy as np
+
+    from .geo.georef import georef_from_identifier
+    from .pipeline.input import PARSE_FNS
+    from .raster.geotiff import write_geotiff
+    from .records.tfrecord import read_records
+    from .serve import scale_image
+
+    parse = PARSE_FNS[args.mode]
+    files = sorted(_glob.glob(args.records))
+    if not files:
+        print(f"no shards match {args.records!r}")
+        return 1
+    wrote = 0
+    batch, idents = [], []
+    seen: dict = {}
+
+    def flush():
+        nonlocal wrote
+        if not batch:
+            return
+        imgs = scale_image(np.stack(batch), args.scale)
+        n_real = len(batch)
+        if n_real < args.batch_size:
+            pad = np.zeros((args.batch_size - n_real,) + imgs.shape[1:],
+                           imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        if args.probs:
+            out = trainer.predict_probs(imgs)[:n_real].astype(np.float32)
+        else:
+            out = trainer.predict(imgs)[:n_real].astype(np.uint8)
+        for ident, arr in zip(idents, out):
+            name = ident.decode("utf-8", errors="replace")
+            gt, crs = georef_from_identifier(ident)
+            epsg = None
+            if crs and crs.upper().startswith("EPSG:"):
+                epsg = int(crs.split(":")[1])
+            stem = name.replace(":", "#").replace("|", "#")
+            # duplicate identifiers (shouldn't happen for tile keys,
+            # but records are caller data) get _2, _3, ... suffixes
+            # instead of silently overwriting earlier predictions
+            k = seen.get(stem, 0) + 1
+            seen[stem] = k
+            if k > 1:
+                stem = f"{stem}_{k}"
+            path = os.path.join(args.out, stem + ".tif")
+            write_geotiff(path, arr, geotransform=gt, epsg=epsg)
+            wrote += 1
+        batch.clear()
+        idents.clear()
+
+    for f in files:
+        for rec in read_records(f, verify_crc=args.verify_crc):
+            img, _, ident = parse(rec)
+            batch.append(np.asarray(img))
+            idents.append(ident)
+            if len(batch) == args.batch_size:
+                flush()
+    flush()
+    print(f"wrote {wrote} prediction chips to {args.out}")
     return 0
 
 
@@ -721,8 +800,19 @@ def main(argv=None) -> int:
     tr.set_defaults(fn=cmd_train)
 
     pr = sub.add_parser("predict", help="chips -> prediction GeoTIFFs")
-    pr.add_argument("--images", required=True,
+    pr.add_argument("--images", default=None,
                     help="folder of .tif chips (an /images folder)")
+    pr.add_argument("--records", default=None,
+                    help="predict straight from TFRecord shards "
+                         "instead of chip folders (glob); outputs are "
+                         "named and georeferenced from each record's "
+                         "identifier")
+    pr.add_argument("--mode", default="tifarr",
+                    choices=["rgbraw", "rgbarr", "tifraw",
+                             "tifraw_eager", "tifarr"],
+                    help="storage mode for --records parsing")
+    pr.add_argument("--verify-crc", action="store_true",
+                    help="validate TFRecord frame CRCs (--records)")
     pr.add_argument("--checkpoint", required=True)
     pr.add_argument("--out", required=True)
     pr.add_argument("--classes", type=int, default=2)

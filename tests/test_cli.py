@@ -274,6 +274,57 @@ class TestManagedCheckpointTraining:
         out = capsys.readouterr().out
         assert "val step 2:" in out and "val step 4:" in out
 
+    def test_predict_from_records(self, tmp_path, capsys):
+        """predict --records: no chip folder needed; outputs named and
+        georeferenced from record identifiers; argmax matches the
+        offline predict of the same parsed arrays."""
+        from dl_image_segmentation_tpu.records.example import (
+            convert_to_example)
+        from dl_image_segmentation_tpu.records.tfrecord import (
+            TFRecordWriter, shard_filename)
+        from dl_image_segmentation_tpu.raster.geotiff import read_geotiff
+        rng = np.random.RandomState(7)
+        recs = tmp_path / "recs_p"
+        recs.mkdir()
+        imgs = rng.rand(5, 16, 16, 3).astype(np.float32)
+        with TFRecordWriter(str(recs / shard_filename("p", 0, 1))) as w:
+            for i in range(5):
+                lbl = rng.randint(0, 2, (16, 16), np.uint8)
+                w.write(convert_to_example(
+                    imgs[i], lbl, 16, 16, 3, 16, 16,
+                    f"16:0:10.0:43:{i}:100").SerializeToString())
+        ckdir = str(tmp_path / "ckp")
+        train = ["train", "--records", str(recs / "p-*"),
+                 "--mode", "tifarr", "--classes", "2", "--channels", "3",
+                 "--features", "4", "--levels", "1", "--image-size", "16",
+                 "--batch-size", "8", "--steps", "1", "--workers", "1",
+                 "--checkpoint", ckdir]
+        assert cli_main(train) == 0
+        out_dir = str(tmp_path / "preds_r")
+        assert cli_main(["predict", "--records", str(recs / "p-*"),
+                         "--mode", "tifarr", "--checkpoint", ckdir,
+                         "--out", out_dir, "--classes", "2",
+                         "--channels", "3", "--features", "4",
+                         "--levels", "1", "--image-size", "16",
+                         "--batch-size", "8"]) == 0
+        names = sorted(os.listdir(out_dir))
+        assert len(names) == 5 and names[0] == "16#0#10.0#43#0#100.tif"
+        g = read_geotiff(os.path.join(out_dir, names[0]))
+        assert g.array.dtype == np.uint8 and g.info.epsg == 32643
+        # probability variant: argmax of band stack == the class map
+        probs_dir = str(tmp_path / "probs_r")
+        assert cli_main(["predict", "--records", str(recs / "p-*"),
+                         "--mode", "tifarr", "--checkpoint", ckdir,
+                         "--out", probs_dir, "--classes", "2",
+                         "--channels", "3", "--features", "4",
+                         "--levels", "1", "--image-size", "16",
+                         "--batch-size", "8", "--probs"]) == 0
+        pg = read_geotiff(os.path.join(probs_dir, names[0]))
+        assert pg.array.dtype == np.float32 and pg.array.shape[2] == 2
+        np.testing.assert_array_equal(pg.array.argmax(axis=2),
+                                      g.array.squeeze())
+        capsys.readouterr()
+
     def test_inspect_class_stats(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         assert cli_main(["inspect", "--records", pattern,
