@@ -131,3 +131,31 @@ class TestServe:
         _, _, base = live_server
         code, _, _ = _post(base + "/nope", b"")
         assert code == 404
+
+    def test_worker_failure_surfaces_as_500(self):
+        """A device-side failure inside the batch worker must reach
+        every waiting request as a 500 (not a hang), and the server
+        must keep serving afterwards."""
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=4,
+                          levels=1, image_size=16, batch_size=8)
+        trainer = Trainer(cfg)
+        ps = PredictServer(trainer, max_wait_ms=5.0)
+        httpd = make_http_server("127.0.0.1", 0, ps)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        real = trainer.predict_probs
+        try:
+            trainer.predict_probs = lambda imgs: (_ for _ in ()).throw(
+                RuntimeError("device exploded"))
+            img = np.zeros((16, 16, 3), np.float32)
+            code, _, body = _post(base + "/predict", _npy(img))
+            assert code == 500
+            assert "device exploded" in json.loads(body)["error"]
+            trainer.predict_probs = real  # server recovers
+            code, _, _ = _post(base + "/predict", _npy(img))
+            assert code == 200
+        finally:
+            trainer.predict_probs = real
+            httpd.shutdown()
+            ps.close()
