@@ -110,6 +110,16 @@ class TestCLIFlow:
         np.testing.assert_array_equal(pg.array.argmax(axis=2),
                                       cg.array.squeeze())
 
+        # probability chips stitch too (dtype/band-general mosaic):
+        # argmax of the stitched probability mosaic == the class mosaic
+        pmosaic = str(tmp_path / "probs_map.tif")
+        rc = cli_main(["stitch", "--chips", probs_dir, "--out", pmosaic])
+        assert rc == 0
+        pm = read_geotiff(pmosaic)
+        assert pm.array.dtype == np.float32 and pm.array.shape[2] == 2
+        np.testing.assert_array_equal(pm.array.argmax(axis=2),
+                                      g.array.squeeze())
+
         # machine-readable eval
         rc = cli_main(["eval", "--records", os.path.join(recs, "t-*"),
                        "--checkpoint", ck, "--mode", "tifarr",
