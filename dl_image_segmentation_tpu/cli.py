@@ -623,6 +623,30 @@ def cmd_inspect(args) -> int:
                 print(f"identifier {name!r} (no georeferencing)")
         except Exception:  # foreign TFRecords without our schema
             pass
+    if args.preview:
+        # the parse notebook's visual QA (image | label side by side,
+        # cells 14-37) as a PNG contact sheet artifact
+        from .pipeline.input import PARSE_FNS
+        from .raster.image import encode_png
+        from .utils.preview import render_pair_sheet
+        parse = PARSE_FNS[args.mode]
+        pairs = []
+        for f in files:
+            for rec in read_records(f, verify_crc=args.verify_crc):
+                out = parse(rec)
+                pairs.append((out[0], out[1]))
+                if len(pairs) >= args.preview_count:
+                    break
+            if len(pairs) >= args.preview_count:
+                break
+        bands = (tuple(int(b) for b in args.rgb_bands.split(","))
+                 if args.rgb_bands else None)
+        sheet = render_pair_sheet(pairs, rgb_bands=bands,
+                                  nodata=args.nodata)
+        with open(args.preview, "wb") as fh:
+            fh.write(encode_png(sheet))
+        print(f"wrote {len(pairs)}-pair preview sheet to {args.preview} "
+              f"({sheet.shape[0]}x{sheet.shape[1]})")
     if args.class_stats:
         # label-pixel histogram over the whole dataset + suggested
         # inverse-frequency --class-weights (normalized so the most
@@ -938,7 +962,19 @@ def main(argv=None) -> int:
                             "tifraw_eager", "tifarr"],
                    help="storage mode for --class-stats parsing")
     i.add_argument("--nodata", type=int, default=255,
-                   help="label value excluded from --class-stats")
+                   help="label value excluded from --class-stats and "
+                        "blacked out in --preview")
+    i.add_argument("--preview", default=None,
+                   help="write an (image | label) PNG contact sheet of "
+                        "the first records -- the parse notebook's "
+                        "visual QA as a file artifact")
+    i.add_argument("--preview-count", type=int, default=4,
+                   help="record pairs on the --preview sheet")
+    i.add_argument("--rgb-bands", default=None,
+                   help="comma-separated band indices shown as R,G,B "
+                        "in --preview (default: 3,2,1 for >3-band "
+                        "stacks like Sentinel-2, else 0,1,2); each "
+                        "band display-normalized by its tile max")
     i.set_defaults(fn=cmd_inspect)
 
     args = p.parse_args(argv)

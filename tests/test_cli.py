@@ -335,6 +335,31 @@ class TestManagedCheckpointTraining:
                                       g.array.squeeze())
         capsys.readouterr()
 
+    def test_inspect_preview_sheet(self, tmp_path, capsys):
+        from dl_image_segmentation_tpu.raster.image import decode_png
+        pattern = self._write_records(tmp_path)
+        out = str(tmp_path / "sheet.png")
+        assert cli_main(["inspect", "--records", pattern,
+                         "--preview", out, "--preview-count", "3",
+                         "--mode", "tifarr"]) == 0
+        sheet = decode_png(open(out, "rb").read())
+        # 3 rows of 16px panels + 4px gaps; 2 panels wide
+        assert sheet.shape == (3 * 16 + 4 * 4, 2 * 16 + 3 * 4, 3)
+        assert sheet.dtype == np.uint8
+        # label panel uses palette colors (not all white/black)
+        assert len(np.unique(sheet.reshape(-1, 3), axis=0)) > 3
+        # explicit band order + count works on 3-band imagery
+        assert cli_main(["inspect", "--records", pattern,
+                         "--preview", out, "--preview-count", "1",
+                         "--rgb-bands", "2,1,0",
+                         "--mode", "tifarr"]) == 0
+        assert "1-pair preview sheet" in capsys.readouterr().out
+        # out-of-range band indices fail loudly
+        with pytest.raises(ValueError, match="out of range"):
+            cli_main(["inspect", "--records", pattern,
+                      "--preview", out, "--rgb-bands", "9,1,0",
+                      "--mode", "tifarr"])
+
     def test_inspect_class_stats(self, tmp_path, capsys):
         pattern = self._write_records(tmp_path)
         assert cli_main(["inspect", "--records", pattern,
