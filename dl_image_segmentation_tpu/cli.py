@@ -79,6 +79,15 @@ def cmd_to_tfrecords(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from .pipeline.convert import convert_chip_folder
+    convert_chip_folder(
+        args.directory, args.out, file_ext=args.file_ext, to=args.to,
+        num_workers=args.workers, quality=args.quality,
+        rescale=args.rescale, rescale_labels=args.rescale_labels)
+    return 0
+
+
 def cmd_train(args) -> int:
     from .pipeline.input import DevicePrefetcher, TFRecordFeed
     from .train.trainer import TrainConfig, Trainer
@@ -729,6 +738,26 @@ def main(argv=None) -> int:
                    help="skip shard files that already exist (atomic "
                         "writes make existence mean complete)")
     t.set_defaults(fn=cmd_to_tfrecords)
+
+    cv = sub.add_parser(
+        "convert", help="GeoTIFF chip folder -> PNG/JPG chip folder "
+                        "(feeds the MT engine; translate nb cells 6-8)")
+    cv.add_argument("--directory", required=True,
+                    help="chip folder with images/ + labels/ subfolders")
+    cv.add_argument("--out", required=True)
+    cv.add_argument("--file-ext", default="tif")
+    cv.add_argument("--to", choices=["png", "jpg"], default="png")
+    cv.add_argument("--workers", type=int, default=8)
+    cv.add_argument("--quality", type=int, default=100,
+                    help="JPEG quality (--to jpg)")
+    cv.add_argument("--rescale", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="linearly map imagery [LO, HI] -> uint8 "
+                         "(labels pass through unchanged)")
+    cv.add_argument("--rescale-labels", action="store_true",
+                    help="apply --rescale to labels too (labels are "
+                         "class ids; normally leave off)")
+    cv.set_defaults(fn=cmd_convert)
 
     tr = sub.add_parser("train", help="TFRecords -> U-Net training")
     tr.add_argument("--records", required=True, help="shard glob")

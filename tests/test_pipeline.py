@@ -891,3 +891,96 @@ class TestLabelPrefilter:
                                            attrib_to_burn="cls",
                                            background_value=255)
         assert set(np.unique(arr2)) == {3}
+
+
+class TestConvertChipFolder:
+    """GeoTIFF pairs -> PNG/JPG pairs (reference translate nb cells
+    6-8: translate_tif_to_png + joblib fan-out)."""
+
+    def _tif_folder(self, tmp_path, dtype=np.uint8, bands=3, n=4):
+        from dl_image_segmentation_tpu.raster.geotiff import write_geotiff
+        root = tmp_path / "chips"
+        rng = np.random.RandomState(7)
+        for sub in ("images", "labels"):
+            (root / sub).mkdir(parents=True)
+        gt = (272696.0, 10.0, 0.0, 2115548.0, 0.0, -10.0)
+        for i in range(n):
+            name = f"252#2#1.0#43#{-900 + i}#8300.tif"
+            img = rng.randint(0, np.iinfo(dtype).max, (16, 16, bands))
+            write_geotiff(str(root / "images" / name),
+                          img.astype(dtype), geotransform=gt, epsg=32643)
+            lbl = rng.randint(0, 3, (16, 16)).astype(np.uint8)
+            write_geotiff(str(root / "labels" / name), lbl,
+                          geotransform=gt, epsg=32643, nodata=255)
+        return root
+
+    def test_png_roundtrip_and_stems(self, tmp_path):
+        from dl_image_segmentation_tpu.pipeline.convert import (
+            convert_chip_folder)
+        from dl_image_segmentation_tpu.raster.geotiff import read_geotiff
+        from dl_image_segmentation_tpu.raster.image import decode_png
+        root = self._tif_folder(tmp_path)
+        out = tmp_path / "png"
+        n = convert_chip_folder(str(root), str(out), num_workers=2)
+        assert n == 8  # 4 pairs
+        for sub in ("images", "labels"):
+            src_names = sorted(p.name for p in (root / sub).iterdir())
+            dst_names = sorted(p.name for p in (out / sub).iterdir())
+            assert dst_names == [s.replace(".tif", ".png")
+                                 for s in src_names]
+            for s, d in zip(src_names, dst_names):
+                orig = read_geotiff(str(root / sub / s)).array
+                back = decode_png((out / sub / d).read_bytes())
+                np.testing.assert_array_equal(orig.squeeze(),
+                                              back.squeeze())
+
+    def test_resume_skips_existing(self, tmp_path):
+        from dl_image_segmentation_tpu.pipeline.convert import (
+            convert_chip_folder)
+        root = self._tif_folder(tmp_path)
+        out = tmp_path / "png"
+        assert convert_chip_folder(str(root), str(out)) == 8
+        assert convert_chip_folder(str(root), str(out)) == 0
+
+    def test_converted_folder_feeds_mt_engine(self, tmp_path):
+        from dl_image_segmentation_tpu.pipeline.convert import (
+            convert_chip_folder)
+        from dl_image_segmentation_tpu.records.writers import (
+            images_to_tfrecords_mt)
+        root = self._tif_folder(tmp_path)
+        out = tmp_path / "png"
+        convert_chip_folder(str(root), str(out))
+        n = images_to_tfrecords_mt("conv", str(out),
+                                   str(tmp_path / "recs"),
+                                   num_shards=2, num_threads=1)
+        assert n == 4
+
+    def test_uint16_multiband_rejected_then_rescaled(self, tmp_path):
+        from dl_image_segmentation_tpu.pipeline.convert import (
+            convert_chip_folder)
+        from dl_image_segmentation_tpu.raster.image import (
+            UnsupportedFormatError, decode_png)
+        root = self._tif_folder(tmp_path, dtype=np.uint16, bands=3)
+        with pytest.raises(UnsupportedFormatError, match="uint16 3-band"):
+            convert_chip_folder(str(root), str(tmp_path / "p1"))
+        out = tmp_path / "p2"
+        n = convert_chip_folder(str(root), str(out),
+                                rescale=(0.0, 65535.0))
+        assert n == 8
+        img = decode_png(next((out / "images").iterdir()).read_bytes())
+        assert img.dtype == np.uint8
+        # labels (class ids 0-2) must NOT be rescaled to zero
+        lbl = decode_png(next((out / "labels").iterdir()).read_bytes())
+        assert set(np.unique(lbl)) == {0, 1, 2}
+
+    def test_jpg_target_and_cli(self, tmp_path):
+        from dl_image_segmentation_tpu.cli import main
+        from dl_image_segmentation_tpu.raster.image import decode_jpeg
+        root = self._tif_folder(tmp_path)
+        out = tmp_path / "jpg"
+        rc = main(["convert", "--directory", str(root), "--out",
+                   str(out), "--to", "jpg", "--workers", "2"])
+        assert rc == 0
+        files = sorted((out / "images").iterdir())
+        assert len(files) == 4 and files[0].suffix == ".jpg"
+        assert decode_jpeg(files[0].read_bytes()).shape == (16, 16, 3)
