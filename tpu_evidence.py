@@ -253,7 +253,8 @@ def _fit_step_time(trainer, pool, k_small: int, k_long: int):
 
 
 def _mfu_one(precision: str, base_features: int = 32,
-             k_small: int = 50, k_long: int = 1500):
+             k_small: int = 50, k_long: int = 1500,
+             batch_size: int = 8):
     # K values must be FAR apart: the ~15 s relay overhead varies by
     # seconds run-to-run, and the step-time slope error is
     # dh / (k_long - k_small) -- at 40/400 that was +-11 ms/step of
@@ -267,11 +268,14 @@ def _mfu_one(precision: str, base_features: int = 32,
     (bf16_speedup_over_fp32) are computed in main() from the merged
     JSON.
 
-    base_features=32 is the judge shape (keys ``train_{precision}_*``);
-    wider widths (keys ``train_{precision}_w{bf}_*``) isolate
-    shape-bound from framework-bound utilisation -- bf=32 underfills
-    the 128-lane MXU in its first two levels (Cout 32/64), capping MFU
-    regardless of software quality."""
+    base_features=32, batch_size=8 is the judge shape (keys
+    ``train_{precision}_*``); wider widths (keys
+    ``train_{precision}_w{bf}_*``) and bigger batches (keys
+    ``train_{precision}_b{n}_*``) isolate shape-bound from
+    framework-bound utilisation -- bf=32 underfills the 128-lane MXU
+    in its first two levels (Cout 32/64), capping MFU regardless of
+    software quality, and batch 8 leaves the conv GEMMs' M dimension
+    small."""
     import jax
     import jax.numpy as jnp
 
@@ -287,14 +291,17 @@ def _mfu_one(precision: str, base_features: int = 32,
     out = {}
     cfg = TrainConfig(num_classes=2, in_channels=3,
                       base_features=base_features,
-                      levels=4, image_size=256, batch_size=8,
+                      levels=4, image_size=256, batch_size=batch_size,
                       precision=precision)
     trainer = Trainer(cfg)
-    key = (f"train_{precision}" if base_features == 32
-           else f"train_{precision}_w{base_features}")
+    key = f"train_{precision}"
+    if base_features != 32:
+        key += f"_w{base_features}"
+    if batch_size != 8:
+        key += f"_b{batch_size}"
     # FLOPs of ONE optimizer step from the compiled module
-    x = jnp.zeros((8, 256, 256, 3), jnp.float32)
-    y = jnp.zeros((8, 256, 256), jnp.int32)
+    x = jnp.zeros((batch_size, 256, 256, 3), jnp.float32)
+    y = jnp.zeros((batch_size, 256, 256), jnp.int32)
     flops = None
     hbm_bytes = None
     try:
@@ -349,6 +356,11 @@ def mfu_w64():
 
 def mfu_w128():
     return _mfu_one("bf16", base_features=128, k_small=30, k_long=600)
+
+
+def mfu_b32():
+    # batch ladder at the judge width: 4x the per-step GEMM M dim
+    return _mfu_one("bf16", batch_size=32, k_small=30, k_long=600)
 
 
 def inference_throughput(k_small: int = 100, k_long: int = 3000):
@@ -611,6 +623,7 @@ SECTIONS = {
     "mfu_fp32": mfu_fp32,
     "mfu_w64": mfu_w64,
     "mfu_w128": mfu_w128,
+    "mfu_b32": mfu_b32,
     "feed": feed_duty,
     "duty": duty_cycle,
     "inference": inference_throughput,
@@ -627,7 +640,8 @@ def main():
     import jax
 
     aliases = {"mfu": ["mfu_bf16", "mfu_fp32"],
-               "mfu_width": ["mfu_w64", "mfu_w128"]}
+               "mfu_width": ["mfu_w64", "mfu_w128"],
+               "mfu_shape": ["mfu_w64", "mfu_w128", "mfu_b32"]}
     wanted = []
     for w in sys.argv[1:] or list(SECTIONS):
         wanted.extend(aliases.get(w, [w]))
