@@ -573,7 +573,8 @@ def cmd_serve(args) -> int:
                       precision=args.precision)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
-    ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms)
+    ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms,
+                       max_queue=args.max_queue)
     httpd = make_http_server(args.host, args.port, ps, scale=args.scale)
     host, port = httpd.server_address[:2]
     # warm the single jit shape so the first request doesn't pay the
@@ -906,6 +907,10 @@ def main(argv=None) -> int:
                          "at most this long for others to share its "
                          "device dispatch (bounds latency; a full "
                          "batch closes the window early)")
+    sv.add_argument("--max-queue", type=int, default=0,
+                    help="admission bound: requests beyond this many "
+                         "queued are answered 503 immediately "
+                         "(0 = 8 batches' worth)")
     sv.add_argument("--classes", type=int, default=2)
     sv.add_argument("--channels", type=int, default=3)
     sv.add_argument("--features", type=int, default=32)

@@ -22,9 +22,10 @@ def georef_from_identifier(identifier) -> Tuple[Optional[Tuple[float, ...]],
                                                 Optional[str]]:
     """Returns (geotransform, crs) for a record identifier, or
     (None, None) when the identifier carries no georeferencing (plain
-    filename)."""
+    filename). Identifiers are caller data: undecodable bytes degrade
+    to no-georeferencing rather than raising."""
     if isinstance(identifier, bytes):
-        identifier = identifier.decode("utf-8")
+        identifier = identifier.decode("utf-8", errors="replace")
     if "|" in identifier:
         parts = identifier.split("|")
         if len(parts) == 3:
@@ -45,7 +46,7 @@ def georef_from_identifier(identifier) -> Tuple[Optional[Tuple[float, ...]],
 def tile_from_identifier(identifier) -> Optional[Tile]:
     """The Tile for a tile-key identifier, None for other variants."""
     if isinstance(identifier, bytes):
-        identifier = identifier.decode("utf-8")
+        identifier = identifier.decode("utf-8", errors="replace")
     try:
         return Tile.from_key(identifier)
     except ValueError:

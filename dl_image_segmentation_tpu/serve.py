@@ -14,7 +14,10 @@ HTTP server around ``Trainer.predict_probs`` designed TPU-first:
   ``Trainer.predict``);
 - decode and scaling reuse the offline rules (`dlseg-tpu predict`):
   PNG/JPG/GeoTIFF bytes through this framework's own codecs, ``.npy``
-  bodies taken as raw (already-scaled) float arrays.
+  bodies taken as raw (already-scaled) float arrays;
+- bounded admission: beyond ``max_queue`` waiting requests the server
+  answers 503 immediately (fail fast beats unbounded latency), and
+  shutdown fails queued requests instead of letting them time out.
 
 Endpoints:
   GET  /healthz            -> JSON status (model, step, batch size)
@@ -58,7 +61,7 @@ def scale_image(src: np.ndarray, scale: str) -> np.ndarray:
 
 
 class _Pending:
-    __slots__ = ("img", "probs", "event", "result", "error")
+    __slots__ = ("img", "probs", "event", "result", "error", "status")
 
     def __init__(self, img: np.ndarray, probs: bool):
         self.img = img
@@ -66,6 +69,7 @@ class _Pending:
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[str] = None
+        self.status: int = 500  # HTTP status when error is set
 
 
 class PredictServer:
@@ -77,13 +81,19 @@ class PredictServer:
     Under load the window never idles -- a full batch closes
     immediately -- so max_wait_ms bounds LATENCY, not throughput."""
 
-    def __init__(self, trainer, max_wait_ms: float = 5.0):
+    def __init__(self, trainer, max_wait_ms: float = 5.0,
+                 max_queue: int = 0):
         self.trainer = trainer
         self.batch_size = int(trainer.config.batch_size)
         self.max_wait = max_wait_ms / 1e3
-        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        # backpressure: beyond max_queue waiting requests, submit fails
+        # fast with 503 instead of stacking unbounded latency (default:
+        # 8 batches' worth in flight)
+        self.max_queue = max_queue or 8 * self.batch_size
+        self.q: "queue.Queue[_Pending]" = queue.Queue(self.max_queue)
         self.served = 0
         self.batches = 0
+        self.rejected = 0
         self._stop = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -91,9 +101,20 @@ class PredictServer:
     def submit(self, img: np.ndarray, probs: bool,
                timeout: float = 60.0) -> _Pending:
         """img: float32 (H, W, C), already scaled. Blocks until the
-        batch containing this request completes."""
+        batch containing this request completes. A full queue or a
+        shutting-down server fails fast (503), never blocks."""
         p = _Pending(img, probs)
-        self.q.put(p)
+        if self._stop:
+            p.error, p.status = "server shutting down", 503
+            return p
+        try:
+            self.q.put_nowait(p)
+        except queue.Full:
+            self.rejected += 1
+            p.error, p.status = (
+                f"server overloaded ({self.max_queue} requests queued)",
+                503)
+            return p
         if not p.event.wait(timeout):
             p.error = "inference timed out"
         return p
@@ -101,6 +122,15 @@ class PredictServer:
     def close(self):
         self._stop = True
         self._worker.join(timeout=5.0)
+        # fail anything still queued so callers don't sit out their
+        # full timeout against a dead worker
+        while True:
+            try:
+                p = self.q.get_nowait()
+            except queue.Empty:
+                break
+            p.error, p.status = "server shutting down", 503
+            p.event.set()
 
     def _loop(self):
         while not self._stop:
@@ -182,7 +212,9 @@ def make_http_server(host: str, port: int, server: PredictServer,
                 "in_channels": cfg.in_channels,
                 "num_classes": cfg.num_classes,
                 "batch_size": server.batch_size,
-                "served": server.served, "batches": server.batches})
+                "served": server.served, "batches": server.batches,
+                "rejected": server.rejected,
+                "max_queue": server.max_queue})
 
         def do_POST(self):
             path, _, query = self.path.partition("?")
@@ -204,7 +236,7 @@ def make_http_server(host: str, port: int, server: PredictServer,
                              f"{tuple(arr.shape)}"})
             p = server.submit(arr, want_probs)
             if p.error is not None:
-                return self._json(500, {"error": p.error})
+                return self._json(p.status, {"error": p.error})
             out = _npy_bytes(p.result)
             self.send_response(200)
             self.send_header("Content-Type", "application/x-npy")

@@ -132,6 +132,54 @@ class TestServe:
         code, _, _ = _post(base + "/nope", b"")
         assert code == 404
 
+    def test_overload_rejected_503_and_close_fails_pending(self):
+        """Admission control: beyond max_queue waiting requests submit
+        fails fast with a 503-status error; close() fails anything
+        still queued instead of letting it sit out its timeout."""
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=4,
+                          levels=1, image_size=16, batch_size=2)
+        trainer = Trainer(cfg)
+        ps = PredictServer(trainer, max_wait_ms=5.0, max_queue=3)
+        # jam the worker so the queue can actually fill
+        gate = threading.Event()
+        real = trainer.predict_probs
+        trainer.predict_probs = lambda imgs: (gate.wait(30), real(imgs))[1]
+        try:
+            img = np.zeros((16, 16, 3), np.float32)
+            pendings, threads = [], []
+
+            def call():
+                pendings.append(ps.submit(img, probs=False, timeout=30))
+
+            # worker grabs up to batch_size from the queue for its
+            # (blocked) first batch; keep submitting until one bounces
+            for _ in range(ps.max_queue + cfg.batch_size + 1):
+                t = threading.Thread(target=call)
+                t.start()
+                threads.append(t)
+                if ps.rejected:
+                    break
+                import time as _t
+                _t.sleep(0.05)
+            assert ps.rejected >= 1
+            rejected_now = [p for p in pendings
+                            if p.error and p.status == 503]
+            assert rejected_now and "overloaded" in rejected_now[0].error
+            ps._stop = True  # stop the loop, then release the jam
+            gate.set()
+            ps.close()
+            for t in threads:
+                t.join(timeout=30)
+            # every submission resolved: served, rejected (503), or
+            # failed by close() -- none hung to the full timeout
+            assert len(pendings) == len(threads)
+            for p in pendings:
+                assert p.result is not None or p.error is not None
+        finally:
+            gate.set()
+            trainer.predict_probs = real
+            ps.close()
+
     def test_worker_failure_surfaces_as_500(self):
         """A device-side failure inside the batch worker must reach
         every waiting request as a 500 (not a hang), and the server
