@@ -103,6 +103,7 @@ def cmd_train(args) -> int:
                       label_nodata=args.nodata,
                       n_model=args.n_model,
                       spatial=args.spatial,
+                      fsdp=args.fsdp,
                       remat=args.remat,
                       seed=args.seed,
                       model=args.model,
@@ -793,6 +794,12 @@ def main(argv=None) -> int:
                     help="shard image height over the model axis "
                          "(GSPMD spatially-partitioned convs) instead "
                          "of conv channels")
+    tr.add_argument("--fsdp", action="store_true",
+                    help="store large conv kernels + optimizer moments "
+                         "sharded over the data axis (ZeRO-3: XLA "
+                         "all-gathers params at use, reduce-scatters "
+                         "grads; ~n_data-fold less param/opt HBM per "
+                         "device)")
     tr.add_argument("--remat", action="store_true",
                     help="rematerialise activations in the backward "
                          "pass (more FLOPs, much less HBM)")

@@ -53,19 +53,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_shardings(mesh: Mesh, params, tp_min_features: int = 256):
+def param_shardings(mesh: Mesh, params, tp_min_features: int = 256,
+                    fsdp: bool = False, fsdp_min_size: int = 16384):
     """Sharding pytree for U-Net params: conv kernels with >=
     tp_min_features output channels are sharded over "model" on the
     last (cout) axis; everything else replicated. GSPMD derives all
-    activation shardings and collectives from these seeds."""
+    activation shardings and collectives from these seeds.
+
+    ``fsdp=True`` additionally shards the storage of every large
+    (>= fsdp_min_size elements, ndim >= 2) kernel over the "data" axis
+    -- the ZeRO-3 recipe, TPU-style: params and (after the first
+    donated step) optimizer moments live sharded in HBM; XLA
+    all-gathers a kernel right before use and reduce-scatters its
+    gradient, riding ICI. Per-device param+optimizer memory drops
+    ~n_data-fold while the batch stays sharded over the same axis.
+    Composes with channel TP: a kernel wide enough for both is sharded
+    over ("model", "data") on cout. Small leaves (biases, norm scales)
+    stay replicated -- gathering them would cost more latency than the
+    bytes are worth."""
     model_size = mesh.shape["model"]
+    data_size = mesh.shape["data"]
 
     def rule(path, x):
-        if (model_size > 1 and hasattr(x, "ndim") and x.ndim == 4
-                and x.shape[-1] >= tp_min_features
-                and x.shape[-1] % model_size == 0):
-            return NamedSharding(mesh, P(None, None, None, "model"))
-        return NamedSharding(mesh, P())
+        if not hasattr(x, "ndim"):
+            return NamedSharding(mesh, P())
+        tp = (model_size > 1 and x.ndim == 4
+              and x.shape[-1] >= tp_min_features
+              and x.shape[-1] % model_size == 0)
+        need = data_size * (model_size if tp else 1)
+        zero = (fsdp and data_size > 1 and x.ndim >= 2
+                and x.size >= fsdp_min_size
+                and x.shape[-1] % need == 0)
+        axes = (["model"] if tp else []) + (["data"] if zero else [])
+        if not axes:
+            return NamedSharding(mesh, P())
+        last = axes[0] if len(axes) == 1 else tuple(axes)
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), last))
 
     return jax.tree_util.tree_map_with_path(rule, params)
 

@@ -50,6 +50,13 @@ class TrainConfig:
     # (halo exchanges over ICI), so tiles too large for one chip's HBM
     # train across the mesh. image_size must divide by n_model.
     spatial: bool = False
+    # fsdp=True stores large conv kernels (and, after the first
+    # donated step, their optimizer moments) SHARDED over the "data"
+    # axis -- ZeRO-3, TPU-style: XLA all-gathers a kernel just before
+    # use and reduce-scatters its gradient over ICI, cutting
+    # per-device param+optimizer HBM ~n_data-fold. Composes with
+    # n_model>1 channel sharding. See parallel/sharding.py.
+    fsdp: bool = False
     # remat=True rematerialises activations in the backward pass
     # (jax.checkpoint around the forward): ~30% more FLOPs for a large
     # cut in peak HBM, the standard trade for bigger batches/tiles
@@ -231,7 +238,8 @@ class Trainer:
         # the same axis)
         p_sh = param_shardings(
             self.mesh, params,
-            tp_min_features=(1 << 30) if cfg.spatial else 256)
+            tp_min_features=(1 << 30) if cfg.spatial else 256,
+            fsdp=cfg.fsdp)
         params = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, s), params, p_sh)
         opt_state = jax.jit(self.tx.init)(params)
