@@ -281,7 +281,8 @@ def cmd_predict(args) -> int:
                       base_features=args.features, levels=args.levels,
                       image_size=args.image_size,
                       batch_size=args.batch_size, model=args.model,
-                      precision=args.precision)
+                      precision=args.precision,
+                      quantize=args.quantize)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     os.makedirs(args.out, exist_ok=True)
@@ -354,7 +355,8 @@ def cmd_eval(args) -> int:
                       image_size=args.image_size,
                       batch_size=args.batch_size,
                       label_nodata=args.nodata, model=args.model,
-                      precision=args.precision)
+                      precision=args.precision,
+                      quantize=args.quantize)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     # source-dtype batches; eval_step normalizes on device (identical
@@ -571,7 +573,8 @@ def cmd_serve(args) -> int:
                       base_features=args.features, levels=args.levels,
                       image_size=args.image_size,
                       batch_size=args.batch_size, model=args.model,
-                      precision=args.precision)
+                      precision=args.precision,
+                      quantize=args.quantize)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms,
@@ -884,6 +887,15 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", type=int, default=8)
     pr.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
+    pr.add_argument("--quantize", default="none",
+                    choices=["none", "int8"],
+                    help="int8 = s8 MXU convolutions with dynamic "
+                         "activation scales; float checkpoints load "
+                         "unchanged (unet only). Pays off on "
+                         "compute-bound (wide) models: 1.31x at "
+                         "bf=128 on v5e, but a net LOSS at narrow "
+                         "HBM-bound widths (0.59x at bf=32) -- see "
+                         "models/quant.py")
     pr.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"],
                     help="compute precision; match the checkpoint's "
@@ -926,6 +938,15 @@ def main(argv=None) -> int:
     sv.add_argument("--batch-size", type=int, default=8)
     sv.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
+    sv.add_argument("--quantize", default="none",
+                    choices=["none", "int8"],
+                    help="int8 = s8 MXU convolutions with dynamic "
+                         "activation scales; float checkpoints load "
+                         "unchanged (unet only). Pays off on "
+                         "compute-bound (wide) models: 1.31x at "
+                         "bf=128 on v5e, but a net LOSS at narrow "
+                         "HBM-bound widths (0.59x at bf=32) -- see "
+                         "models/quant.py")
     sv.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"])
     sv.add_argument("--scale", default="auto",
@@ -957,6 +978,15 @@ def main(argv=None) -> int:
                     help="validate TFRecord frame CRCs while feeding "
                          "(array modes would otherwise accept corrupt "
                          "payloads that reshape cleanly)")
+    ev.add_argument("--quantize", default="none",
+                    choices=["none", "int8"],
+                    help="int8 = s8 MXU convolutions with dynamic "
+                         "activation scales; float checkpoints load "
+                         "unchanged (unet only). Pays off on "
+                         "compute-bound (wide) models: 1.31x at "
+                         "bf=128 on v5e, but a net LOSS at narrow "
+                         "HBM-bound widths (0.59x at bf=32) -- see "
+                         "models/quant.py")
     ev.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"],
                     help="compute precision; match the checkpoint's "

@@ -26,12 +26,21 @@ from flax import linen as nn
 class ConvBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    # quant=True swaps each conv for an int8 one (s8 x s8 -> s32 MXU,
+    # dynamic activation scales) with IDENTICAL param names/shapes --
+    # serving-time compute mode for float checkpoints (models/quant.py)
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME",
-                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+        for i in range(2):
+            if self.quant:
+                from .quant import Int8Conv
+                x = Int8Conv(self.features, (3, 3), padding="SAME",
+                             dtype=self.dtype, name=f"Conv_{i}")(x)
+            else:
+                x = nn.Conv(self.features, (3, 3), padding="SAME",
+                            dtype=self.dtype, param_dtype=jnp.float32)(x)
             # norm OUTPUT in the compute dtype: flax forces float32
             # reductions for the statistics regardless (numerically
             # safe), while a float32 output would materialise every
@@ -54,18 +63,30 @@ class UNet(nn.Module):
     base_features: int = 32
     levels: int = 4
     dtype: Any = jnp.bfloat16
+    # quant=True: int8 convolutions (serving-time PTQ; param tree is
+    # IDENTICAL to the float model, so a float checkpoint loads as-is).
+    # The ConvTranspose upsamplers and the logits head stay float --
+    # small FLOP share, large error sensitivity.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .quant import Int8Conv
         x = x.astype(self.dtype)
         skips = []
         f = self.base_features
         for lvl in range(self.levels):
-            x = ConvBlock(f * (2 ** lvl), dtype=self.dtype)(x)
+            x = ConvBlock(f * (2 ** lvl), dtype=self.dtype,
+                          quant=self.quant)(x)
             skips.append(x)
-            x = nn.Conv(f * (2 ** lvl), (2, 2), strides=(2, 2),
-                        dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = ConvBlock(f * (2 ** self.levels), dtype=self.dtype)(x)
+            if self.quant:
+                x = Int8Conv(f * (2 ** lvl), (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name=f"Conv_{lvl}")(x)
+            else:
+                x = nn.Conv(f * (2 ** lvl), (2, 2), strides=(2, 2),
+                            dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = ConvBlock(f * (2 ** self.levels), dtype=self.dtype,
+                      quant=self.quant)(x)
         for lvl in reversed(range(self.levels)):
             x = nn.ConvTranspose(f * (2 ** lvl), (2, 2), strides=(2, 2),
                                  dtype=self.dtype,
@@ -75,7 +96,11 @@ class UNet(nn.Module):
             # doubled upsample is one row/col larger -- crop to skip
             x = x[:, :skip.shape[1], :skip.shape[2], :]
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ConvBlock(f * (2 ** lvl), dtype=self.dtype)(x)
+            x = ConvBlock(f * (2 ** lvl), dtype=self.dtype,
+                          quant=self.quant)(x)
+        # name pinned so the param tree matches quant mode, where the
+        # explicit Conv_{lvl} names above bypass flax auto-numbering
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x)
+                         param_dtype=jnp.float32,
+                         name=f"Conv_{self.levels}")(x)
         return logits

@@ -69,6 +69,15 @@ class TrainConfig:
     # Params/optimizer are float32 in BOTH modes -- only the compute
     # dtype changes, so checkpoints are interchangeable.
     precision: str = "bf16"
+    # quantize: inference compute mode -- "none" (float path) or
+    # "int8" (s8 x s8 -> s32 MXU convs with dynamic activation scales,
+    # see models/quant.py). Measured on the v5e: 1.31x end-to-end at
+    # bf=128 (compute-bound), but 0.59x at bf=32 (HBM-bound -- the
+    # dynamic-quant activation passes cost more than the MXU saves),
+    # so use for WIDE models. Affects predict/predict_probs/evaluate
+    # ONLY; training always runs the float path, and the param tree is
+    # identical, so any float checkpoint serves quantized.
+    quantize: str = "none"
     # schedule: "constant" or "cosine" (with linear warmup)
     schedule: str = "constant"
     warmup_steps: int = 0
@@ -203,6 +212,22 @@ class Trainer:
             raise ValueError(f"unknown model {config.model!r} "
                              "(expected 'unet', 'deeplab' or "
                              "'segformer')")
+        if config.quantize == "int8":
+            if config.model != "unet":
+                raise ValueError(
+                    "quantize='int8' currently supports model='unet' "
+                    f"only (got {config.model!r})")
+            # same param tree, int8 conv compute: float checkpoints
+            # serve quantized with no conversion step
+            self.infer_model = UNet(num_classes=config.num_classes,
+                                    base_features=config.base_features,
+                                    levels=config.levels,
+                                    dtype=compute_dtype, quant=True)
+        elif config.quantize == "none":
+            self.infer_model = self.model
+        else:
+            raise ValueError(f"unknown quantize {config.quantize!r} "
+                             "(expected 'none' or 'int8')")
         if config.schedule == "cosine":
             lr = optax.warmup_cosine_decay_schedule(
                 init_value=0.0, peak_value=config.learning_rate,
@@ -422,7 +447,7 @@ class Trainer:
 
     # -- evaluation / inference ----------------------------------------------
     def _build_predict(self):
-        model = self.model
+        model = self.infer_model
 
         @jax.jit
         def predict(params, images):
@@ -433,7 +458,7 @@ class Trainer:
         return predict
 
     def _build_predict_probs(self):
-        model = self.model
+        model = self.infer_model
 
         @jax.jit
         def predict_probs(params, images):
@@ -505,7 +530,7 @@ class Trainer:
         (the standard protocol; fixes the per-batch-mean bias where
         batches containing rare classes were weighted wrongly)."""
         cfg = self.config
-        model = self.model
+        model = self.infer_model
         K = cfg.num_classes
 
         @jax.jit

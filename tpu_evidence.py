@@ -363,14 +363,18 @@ def mfu_b32():
     return _mfu_one("bf16", batch_size=32, k_small=30, k_long=600)
 
 
-def inference_throughput(k_small: int = 100, k_long: int = 3000):
+def inference_throughput(k_small: int = 100, k_long: int = 3000,
+                         quantize: str = "none", tag: str = "bf16",
+                         base_features: int = 32):
     """Forward-only serving throughput at the judge shape (bf16 U-Net
     bf=32, 256^2, batch 8): lax.scan over K predict passes on a
     device-resident image pool, per-batch time from the same K-vs-2K
     two-dispatch fit the train sections use (relay-overhead-free).
     Each dispatch's pool is perturbed by a fresh key so the relay's
     content-memoization cannot fake the timing. Also records the
-    forward pass's XLA-counted FLOPs and MFU vs the v5e bf16 peak."""
+    forward pass's XLA-counted FLOPs and MFU vs the v5e bf16 peak.
+    quantize="int8" times the serving-time PTQ path (models/quant.py)
+    on the same float params — keys prefixed infer_int8_*."""
     import functools
 
     import jax
@@ -382,10 +386,12 @@ def inference_throughput(k_small: int = 100, k_long: int = 3000):
     PEAK = 197e12
     rng = np.random.RandomState(_NONCE % (2 ** 31))
     base_pool = jnp.asarray(rng.rand(64, 256, 256, 3).astype(np.float32))
-    cfg = TrainConfig(num_classes=2, in_channels=3, base_features=32,
-                      levels=4, image_size=256, batch_size=8)
+    cfg = TrainConfig(num_classes=2, in_channels=3,
+                      base_features=base_features,
+                      levels=4, image_size=256, batch_size=8,
+                      quantize=quantize)
     trainer = Trainer(cfg)
-    model = trainer.model
+    model = trainer.infer_model
     params = trainer.state.params
     out = {}
 
@@ -426,17 +432,46 @@ def inference_throughput(k_small: int = 100, k_long: int = 3000):
             for r in range(reps))
 
     t1 = t_of(k_small)
-    print(f"[infer] t({k_small})={t1:.1f}s", flush=True)
+    print(f"[infer:{tag}] t({k_small})={t1:.1f}s", flush=True)
     t2 = t_of(k_long, reps=1)
-    print(f"[infer] t({k_long})={t2:.1f}s", flush=True)
+    print(f"[infer:{tag}] t({k_long})={t2:.1f}s", flush=True)
     s = (t2 - t1) / (k_long - k_small)
-    out["infer_bf16_ms_per_batch"] = round(s * 1e3, 2)
-    out["infer_images_per_sec_device"] = round(8 / s, 1)
+    out[f"infer_{tag}_ms_per_batch"] = round(s * 1e3, 2)
+    out[f"infer_{tag}_images_per_sec_device"] = round(8 / s, 1)
     if flops is not None:
-        out["infer_gflops_per_batch"] = round(flops / 1e9, 1)
-        out["infer_tflops_per_sec"] = round(flops / s / 1e12, 1)
-        out["infer_mfu_vs_bf16_peak"] = round(flops / s / PEAK, 3)
+        out[f"infer_{tag}_gflops_per_batch"] = round(flops / 1e9, 1)
+        out[f"infer_{tag}_tflops_per_sec"] = round(flops / s / 1e12, 1)
+        out[f"infer_{tag}_mfu_vs_bf16_peak"] = round(flops / s / PEAK, 3)
     return out
+
+
+def inference_int8(k_small: int = 100, k_long: int = 3000):
+    """Serving throughput of the int8 PTQ path (s8 x s8 -> s32 MXU
+    convolutions, models/quant.py) at the judge shape, on the SAME
+    float param tree as the bf16 section. The v5e's int8 MXU runs 2x
+    the bf16 rate (394 vs 197 TOPS peak); a standalone conv probe
+    measured 1.67x at a 9.7-GFLOP U-Net stage shape. XLA counts int8
+    conv FLOPs identically, so the MFU key stays vs the bf16 peak for
+    comparability. NOTE the judge shape (bf=32) is HBM-bound: dynamic
+    quantization's extra activation passes make int8 a net LOSS here
+    (measured 0.59x) -- the compute-bound w128 sections below are
+    where it pays (measured 1.31x)."""
+    return inference_throughput(k_small, k_long, quantize="int8",
+                                tag="int8")
+
+
+def inference_w128():
+    """bf16 serving at bf=128 (compute-bound): the crossover partner
+    for the int8 sections."""
+    return inference_throughput(30, 600, tag="bf16w128",
+                                base_features=128)
+
+
+def inference_int8_w128():
+    """int8 PTQ serving at bf=128: compute-bound, where the 2x-rate
+    int8 MXU beats the dynamic-quant bandwidth tax."""
+    return inference_throughput(30, 600, quantize="int8",
+                                tag="int8w128", base_features=128)
 
 
 def feed_duty(steps: int = 10):
@@ -627,6 +662,9 @@ SECTIONS = {
     "feed": feed_duty,
     "duty": duty_cycle,
     "inference": inference_throughput,
+    "inference_int8": inference_int8,
+    "inference_w128": inference_w128,
+    "inference_int8_w128": inference_int8_w128,
 }
 
 
@@ -658,6 +696,16 @@ def main():
     for name in wanted:
         evidence.update(SECTIONS[name]())
         print(f"[tpu_evidence] section {name} done", flush=True)
+    if ("infer_bf16_ms_per_batch" in evidence
+            and "infer_int8_ms_per_batch" in evidence):
+        evidence["int8_speedup_over_bf16_serving"] = round(
+            evidence["infer_bf16_ms_per_batch"]
+            / evidence["infer_int8_ms_per_batch"], 2)
+    if ("infer_bf16w128_ms_per_batch" in evidence
+            and "infer_int8w128_ms_per_batch" in evidence):
+        evidence["int8_speedup_over_bf16_serving_w128"] = round(
+            evidence["infer_bf16w128_ms_per_batch"]
+            / evidence["infer_int8w128_ms_per_batch"], 2)
     if ("train_bf16_ms_per_step" in evidence
             and "train_fp32_ms_per_step" in evidence):
         evidence["bf16_speedup_over_fp32"] = round(
