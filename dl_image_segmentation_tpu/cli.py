@@ -105,6 +105,7 @@ def cmd_train(args) -> int:
                       spatial=args.spatial,
                       fsdp=args.fsdp,
                       remat=args.remat,
+                      s2d=args.s2d,
                       seed=args.seed,
                       model=args.model,
                       precision=args.precision,
@@ -282,7 +283,8 @@ def cmd_predict(args) -> int:
                       image_size=args.image_size,
                       batch_size=args.batch_size, model=args.model,
                       precision=args.precision,
-                      quantize=args.quantize)
+                      quantize=args.quantize,
+                      s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     os.makedirs(args.out, exist_ok=True)
@@ -356,7 +358,8 @@ def cmd_eval(args) -> int:
                       batch_size=args.batch_size,
                       label_nodata=args.nodata, model=args.model,
                       precision=args.precision,
-                      quantize=args.quantize)
+                      quantize=args.quantize,
+                      s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     # source-dtype batches; eval_step normalizes on device (identical
@@ -574,7 +577,8 @@ def cmd_serve(args) -> int:
                       image_size=args.image_size,
                       batch_size=args.batch_size, model=args.model,
                       precision=args.precision,
-                      quantize=args.quantize)
+                      quantize=args.quantize,
+                      s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
     ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms,
@@ -803,6 +807,14 @@ def main(argv=None) -> int:
                          "all-gathers params at use, reduce-scatters "
                          "grads; ~n_data-fold less param/opt HBM per "
                          "device)")
+    tr.add_argument("--s2d", type=int, default=1,
+                    help="space-to-depth block (unet only): run every "
+                         "conv at 1/s2d the spatial size with pixels "
+                         "folded into channels + a sub-pixel logits "
+                         "head. Fixes the measured MXU lane-padding "
+                         "tax on small-channel 256^2 convs (HBM-bound "
+                         "shapes). Different param tree: checkpoints "
+                         "are s2d-specific")
     tr.add_argument("--remat", action="store_true",
                     help="rematerialise activations in the backward "
                          "pass (more FLOPs, much less HBM)")
@@ -887,6 +899,9 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", type=int, default=8)
     pr.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
+    pr.add_argument("--s2d", type=int, default=1,
+                    help="space-to-depth block (unet only); must "
+                         "match the checkpoint's training --s2d")
     pr.add_argument("--quantize", default="none",
                     choices=["none", "int8"],
                     help="int8 = s8 MXU convolutions with dynamic "
@@ -938,6 +953,9 @@ def main(argv=None) -> int:
     sv.add_argument("--batch-size", type=int, default=8)
     sv.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
+    sv.add_argument("--s2d", type=int, default=1,
+                    help="space-to-depth block (unet only); must "
+                         "match the checkpoint's training --s2d")
     sv.add_argument("--quantize", default="none",
                     choices=["none", "int8"],
                     help="int8 = s8 MXU convolutions with dynamic "
@@ -978,6 +996,9 @@ def main(argv=None) -> int:
                     help="validate TFRecord frame CRCs while feeding "
                          "(array modes would otherwise accept corrupt "
                          "payloads that reshape cleanly)")
+    ev.add_argument("--s2d", type=int, default=1,
+                    help="space-to-depth block (unet only); must "
+                         "match the checkpoint's training --s2d")
     ev.add_argument("--quantize", default="none",
                     choices=["none", "int8"],
                     help="int8 = s8 MXU convolutions with dynamic "

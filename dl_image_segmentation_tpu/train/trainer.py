@@ -78,6 +78,14 @@ class TrainConfig:
     # ONLY; training always runs the float path, and the param tree is
     # identical, so any float checkpoint serves quantized.
     quantize: str = "none"
+    # s2d>1 (unet only): space-to-depth stem + sub-pixel logits head,
+    # running every conv at 1/s2d the spatial size with pixels folded
+    # into channels. The TPU motivation is measured, not stylistic:
+    # XLA pads conv channels to the MXU's 128 lanes, so the judge
+    # shape's 256^2 C=32 convs move ~9x their ideal bytes and the step
+    # is HBM-bound. Same input/output contract, DIFFERENT param tree
+    # (separate checkpoints). See models/unet.py.
+    s2d: int = 1
     # schedule: "constant" or "cosine" (with linear warmup)
     schedule: str = "constant"
     warmup_steps: int = 0
@@ -207,11 +215,20 @@ class Trainer:
             self.model = UNet(num_classes=config.num_classes,
                               base_features=config.base_features,
                               levels=config.levels,
-                              dtype=compute_dtype)
+                              dtype=compute_dtype, s2d=config.s2d)
         else:
             raise ValueError(f"unknown model {config.model!r} "
                              "(expected 'unet', 'deeplab' or "
                              "'segformer')")
+        if config.s2d > 1:
+            if config.model != "unet":
+                raise ValueError("s2d>1 currently supports "
+                                 f"model='unet' only (got "
+                                 f"{config.model!r})")
+            if config.image_size % config.s2d:
+                raise ValueError(
+                    f"image_size {config.image_size} must divide by "
+                    f"s2d {config.s2d}")
         if config.quantize == "int8":
             if config.model != "unet":
                 raise ValueError(
@@ -222,7 +239,8 @@ class Trainer:
             self.infer_model = UNet(num_classes=config.num_classes,
                                     base_features=config.base_features,
                                     levels=config.levels,
-                                    dtype=compute_dtype, quant=True)
+                                    dtype=compute_dtype, quant=True,
+                                    s2d=config.s2d)
         elif config.quantize == "none":
             self.infer_model = self.model
         else:

@@ -254,7 +254,7 @@ def _fit_step_time(trainer, pool, k_small: int, k_long: int):
 
 def _mfu_one(precision: str, base_features: int = 32,
              k_small: int = 50, k_long: int = 1500,
-             batch_size: int = 8):
+             batch_size: int = 8, s2d: int = 1):
     # K values must be FAR apart: the ~15 s relay overhead varies by
     # seconds run-to-run, and the step-time slope error is
     # dh / (k_long - k_small) -- at 40/400 that was +-11 ms/step of
@@ -292,9 +292,11 @@ def _mfu_one(precision: str, base_features: int = 32,
     cfg = TrainConfig(num_classes=2, in_channels=3,
                       base_features=base_features,
                       levels=4, image_size=256, batch_size=batch_size,
-                      precision=precision)
+                      precision=precision, s2d=s2d)
     trainer = Trainer(cfg)
     key = f"train_{precision}"
+    if s2d != 1:
+        key += f"_s2d{s2d}"
     if base_features != 32:
         key += f"_w{base_features}"
     if batch_size != 8:
@@ -361,6 +363,53 @@ def mfu_w128():
 def mfu_b32():
     # batch ladder at the judge width: 4x the per-step GEMM M dim
     return _mfu_one("bf16", batch_size=32, k_small=30, k_long=600)
+
+
+def mfu_s2d():
+    """Space-to-depth variant at the judge widths (s2d=2, bf=32):
+    same-width trunk at half the spatial size = 1/4 the FLOPs and
+    ~11.3 GB/step vs the baseline's 18.1 -- a cheaper model, so read
+    ms/step and imgs/s, not MFU."""
+    return _mfu_one("bf16", s2d=2, k_small=50, k_long=1500)
+
+
+def mfu_s2d_w64():
+    """The EQUAL-FLOPs space-to-depth config (s2d=2, bf=64): ~570
+    GFLOP/step vs the judge shape's 583, but channels >=64 halve the
+    MXU lane-padding tax (13.8 vs 18.1 GB/step compiled). This is the
+    apples-to-apples 'same compute, TPU-friendly shape' row."""
+    return _mfu_one("bf16", s2d=2, base_features=64,
+                    k_small=30, k_long=600)
+
+
+def layout_probe():
+    """Why the judge shape is HBM-bound: XLA-counted bytes of a single
+    3x3 bf16 conv at the outer U-Net level's shape. C=32 at 256^2
+    moves ~9x its ideal in+out bytes (channel dim padded to the MXU's
+    128 lanes); the same conv at C=128 runs at the normal ~2x ratio.
+    Compile-only (no device execution)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    def conv_bytes(c, hw):
+        m = nn.Conv(c, (3, 3), padding="SAME", dtype=jnp.bfloat16,
+                    param_dtype=jnp.float32)
+        x = jnp.zeros((8, hw, hw, c), jnp.bfloat16)
+        p = m.init(jax.random.PRNGKey(0), x)
+        ca = jax.jit(lambda pp, xx: m.apply(pp, xx)) \
+            .lower(p, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("bytes accessed", 0.0))
+
+    out = {}
+    for c, hw in ((32, 256), (128, 256), (128, 128)):
+        got = conv_bytes(c, hw)
+        ideal = 2 * 8 * hw * hw * c * 2  # in+out, bf16
+        out[f"conv3x3_{hw}sq_c{c}_mbytes"] = round(got / 1e6, 1)
+        out[f"conv3x3_{hw}sq_c{c}_bytes_vs_ideal"] = round(got / ideal, 1)
+    return out
 
 
 def inference_throughput(k_small: int = 100, k_long: int = 3000,
@@ -661,6 +710,9 @@ SECTIONS = {
     "mfu_b32": mfu_b32,
     "feed": feed_duty,
     "duty": duty_cycle,
+    "mfu_s2d": mfu_s2d,
+    "mfu_s2d_w64": mfu_s2d_w64,
+    "layout_probe": layout_probe,
     "inference": inference_throughput,
     "inference_int8": inference_int8,
     "inference_w128": inference_w128,
