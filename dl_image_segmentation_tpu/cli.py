@@ -287,12 +287,39 @@ def cmd_predict(args) -> int:
                       s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
+    if args.geotiff:
+        # whole-raster sliding-window inference: --out is ONE GeoTIFF
+        from .pipeline.window import predict_windowed
+        g = read_geotiff(args.geotiff)
+        out_dir = os.path.dirname(os.path.abspath(args.out))
+        os.makedirs(out_dir, exist_ok=True)
+
+        last = [-1]
+
+        def _progress(done, total):
+            # ~10 lines per run, however many windows a scene has
+            decile = done * 10 // total
+            if decile != last[0] or done == total:
+                last[0] = decile
+                print(f"windows {done}/{total}", flush=True)
+
+        out = predict_windowed(trainer, g.array, stride=args.stride,
+                               scale=args.scale, probs=args.probs,
+                               progress=_progress)
+        write_geotiff(args.out,
+                      out.astype(np.float32 if args.probs else np.uint8),
+                      geotransform=g.info.geotransform,
+                      epsg=g.info.epsg, bigtiff="auto")
+        print(f"wrote {out.shape[0]}x{out.shape[1]} "
+              f"{'probability' if args.probs else 'class'} map to "
+              f"{args.out}")
+        return 0
     os.makedirs(args.out, exist_ok=True)
     if args.records:
         return _predict_from_records(args, trainer)
     if not args.images:
-        print("predict needs --images DIR or --records GLOB",
-              file=sys.stderr)
+        print("predict needs --images DIR, --records GLOB or "
+              "--geotiff FILE", file=sys.stderr)
         return 2
     files = sorted(_glob.glob(os.path.join(args.images, "*.tif")))
     if not files:
@@ -883,6 +910,18 @@ def main(argv=None) -> int:
                          "instead of chip folders (glob); outputs are "
                          "named and georeferenced from each record's "
                          "identifier")
+    pr.add_argument("--geotiff", default=None,
+                    help="sliding-window inference over ONE large "
+                         "georeferenced raster (no re-tiling needed): "
+                         "windows of --image-size step by --stride, "
+                         "overlaps blend by averaging softmax "
+                         "probabilities, and --out is the single "
+                         "output GeoTIFF path")
+    pr.add_argument("--stride", type=int, default=None,
+                    help="--geotiff window step in pixels (default: "
+                         "image size, i.e. overlap only at the "
+                         "clamped edges; image_size//2 blends seams "
+                         "everywhere)")
     pr.add_argument("--mode", default="tifarr",
                     choices=["rgbraw", "rgbarr", "tifraw",
                              "tifraw_eager", "tifarr"],
