@@ -610,7 +610,8 @@ def cmd_serve(args) -> int:
     trainer.restore_checkpoint(args.checkpoint)
     ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms,
                        max_queue=args.max_queue)
-    httpd = make_http_server(args.host, args.port, ps, scale=args.scale)
+    httpd = make_http_server(args.host, args.port, ps, scale=args.scale,
+                             max_pixels=args.max_pixels)
     host, port = httpd.server_address[:2]
     # warm the single jit shape so the first request doesn't pay the
     # compile (~40-180 s through the TPU tunnel)
@@ -984,6 +985,11 @@ def main(argv=None) -> int:
                     help="admission bound: requests beyond this many "
                          "queued are answered 503 immediately "
                          "(0 = 8 batches' worth)")
+    sv.add_argument("--max-pixels", type=int, default=16_000_000,
+                    help="largest whole-raster request (H*W) the "
+                         "sliding-window path accepts; bigger bodies "
+                         "are answered 413 (the host holds a float32 "
+                         "probability accumulation per raster)")
     sv.add_argument("--classes", type=int, default=2)
     sv.add_argument("--channels", type=int, default=3)
     sv.add_argument("--features", type=int, default=32)

@@ -27,6 +27,16 @@ Endpoints:
 Request body: an encoded PNG/JPG/GeoTIFF chip, or a .npy float array
 (H, W, C). Responses are .npy (application/x-npy); errors are JSON
 with appropriate 4xx/5xx statuses.
+
+Bodies of any OTHER (H, W) with the model's band count run the
+sliding-window whole-raster path (``predict_windowed_batched``):
+windows of the compiled chip size ride the same micro-batcher (so a
+scene's windows pack into dispatches WITH concurrent chip traffic,
+one device batch in flight at a time), overlaps blend by averaging
+softmax probabilities -- numerically identical to the offline
+``pipeline.window.predict_windowed`` -- ``?stride=N`` sets the step,
+undersized rasters are edge-padded and cropped back, and rasters
+beyond ``max_pixels`` answer 413.
 """
 
 from __future__ import annotations
@@ -41,7 +51,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["PredictServer", "make_http_server", "scale_image"]
+__all__ = ["PredictServer", "make_http_server", "scale_image",
+           "predict_windowed_batched", "WindowedError"]
 
 
 def scale_image(src: np.ndarray, scale: str) -> np.ndarray:
@@ -98,11 +109,11 @@ class PredictServer:
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
-    def submit(self, img: np.ndarray, probs: bool,
-               timeout: float = 60.0) -> _Pending:
-        """img: float32 (H, W, C), already scaled. Blocks until the
-        batch containing this request completes. A full queue or a
-        shutting-down server fails fast (503), never blocks."""
+    def enqueue(self, img: np.ndarray, probs: bool) -> _Pending:
+        """Queue one window/chip WITHOUT waiting (the windowed
+        whole-raster path fans out many of these, then waits). A full
+        queue or a shutting-down server fails the pending fast (503);
+        check ``.error`` before waiting on it."""
         p = _Pending(img, probs)
         if self._stop:
             p.error, p.status = "server shutting down", 503
@@ -114,10 +125,21 @@ class PredictServer:
             p.error, p.status = (
                 f"server overloaded ({self.max_queue} requests queued)",
                 503)
-            return p
-        if not p.event.wait(timeout):
+        return p
+
+    def wait(self, p: _Pending, timeout: float = 60.0) -> _Pending:
+        """Wait for an enqueued pending (no-op if it already failed
+        fast at enqueue time)."""
+        if p.error is None and not p.event.wait(timeout):
             p.error = "inference timed out"
         return p
+
+    def submit(self, img: np.ndarray, probs: bool,
+               timeout: float = 60.0) -> _Pending:
+        """img: float32 (H, W, C), already scaled. Blocks until the
+        batch containing this request completes. A full queue or a
+        shutting-down server fails fast (503), never blocks."""
+        return self.wait(self.enqueue(img, probs), timeout)
 
     def close(self):
         self._stop = True
@@ -175,6 +197,61 @@ class PredictServer:
                 p.event.set()
 
 
+class WindowedError(Exception):
+    """A windowed request failed partway (overload/shutdown/timeout);
+    carries the HTTP status the handler should answer with."""
+
+    def __init__(self, msg: str, status: int):
+        super().__init__(msg)
+        self.status = status
+
+
+def predict_windowed_batched(server: PredictServer, image: np.ndarray,
+                             stride: Optional[int] = None,
+                             probs: bool = False,
+                             timeout: float = 300.0) -> np.ndarray:
+    """Whole-raster inference THROUGH the micro-batcher.
+
+    Same sliding-window blend as ``pipeline.window.predict_windowed``
+    (windows of the compiled chip size, overlaps averaged in softmax
+    space), but each window rides the server's queue, so a large
+    scene's windows pack into the same fixed-shape device dispatches
+    as concurrent single-chip traffic. Windows are fanned out one
+    device batch at a time, so a big scene cannot monopolise the
+    admission queue. image: float32 (H, W, C), already scaled."""
+    from .pipeline.window import window_origins
+
+    cfg = server.trainer.config
+    size = int(cfg.image_size)
+    stride = size if stride is None else int(stride)
+    img = np.asarray(image)
+    h0, w0 = img.shape[:2]
+    pad_h = max(0, size - h0)
+    pad_w = max(0, size - w0)
+    if pad_h or pad_w:  # undersized: edge-pad up, crop the result back
+        img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    h, w = img.shape[:2]
+    wins = [(r, c) for r in window_origins(h, size, stride)
+            for c in window_origins(w, size, stride)]
+    acc = np.zeros((h, w, cfg.num_classes), np.float32)
+    cnt = np.zeros((h, w, 1), np.float32)
+    bs = server.batch_size
+    for i in range(0, len(wins), bs):
+        chunk = wins[i:i + bs]
+        pend = [server.enqueue(img[r:r + size, c:c + size], probs=True)
+                for r, c in chunk]
+        for (r, c), p in zip(chunk, pend):
+            server.wait(p, timeout)
+            if p.error is not None:
+                raise WindowedError(p.error, p.status)
+            acc[r:r + size, c:c + size] += p.result
+            cnt[r:r + size, c:c + size] += 1.0
+    out = (acc / cnt)[:h0, :w0]
+    if probs:
+        return out.astype(np.float32)
+    return np.argmax(out, axis=-1).astype(np.uint8)
+
+
 def _npy_bytes(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, arr, allow_pickle=False)
@@ -182,10 +259,18 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
 
 
 def make_http_server(host: str, port: int, server: PredictServer,
-                     scale: str = "auto") -> ThreadingHTTPServer:
+                     scale: str = "auto",
+                     max_pixels: int = 16_000_000) -> ThreadingHTTPServer:
     """Bind a ThreadingHTTPServer serving /healthz and /predict on top
     of a PredictServer. Caller runs .serve_forever() (and .shutdown()
-    to stop). Port 0 binds an ephemeral port (see .server_address)."""
+    to stop). Port 0 binds an ephemeral port (see .server_address).
+
+    Bodies of exactly the compiled chip shape ride the micro-batcher
+    directly; LARGER rasters (same band count) run the sliding-window
+    path (``predict_windowed_batched``; ``?stride=N`` sets the window
+    step, default = window size), capped at ``max_pixels`` (the host
+    must hold the float32 probability accumulation) -- beyond it the
+    answer is 413."""
     trainer = server.trainer
     cfg = trainer.config
     expect = (cfg.image_size, cfg.image_size, cfg.in_channels)
@@ -214,13 +299,24 @@ def make_http_server(host: str, port: int, server: PredictServer,
                 "batch_size": server.batch_size,
                 "served": server.served, "batches": server.batches,
                 "rejected": server.rejected,
-                "max_queue": server.max_queue})
+                "max_queue": server.max_queue,
+                "max_pixels": max_pixels})
+
+        def _npy_response(self, arr: np.ndarray):
+            out = _npy_bytes(arr)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npy")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
 
         def do_POST(self):
             path, _, query = self.path.partition("?")
             if path != "/predict":
                 return self._json(404, {"error": "not found"})
-            want_probs = "probs=1" in query
+            from urllib.parse import parse_qs
+            qs = parse_qs(query)
+            want_probs = qs.get("probs", ["0"])[0] == "1"
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
@@ -230,19 +326,36 @@ def make_http_server(host: str, port: int, server: PredictServer,
                                                  f"{e}"})
             if arr.ndim == 2:
                 arr = arr[:, :, None]
-            if arr.shape != expect:
+            if arr.shape == expect:
+                p = server.submit(arr, want_probs)
+                if p.error is not None:
+                    return self._json(p.status, {"error": p.error})
+                return self._npy_response(p.result)
+            # any OTHER raster with the model's band count runs the
+            # sliding-window path through the same micro-batcher
+            if arr.ndim != 3 or arr.shape[2] != expect[2]:
                 return self._json(400, {
-                    "error": f"expected {expect} chip, got "
-                             f"{tuple(arr.shape)}"})
-            p = server.submit(arr, want_probs)
-            if p.error is not None:
-                return self._json(p.status, {"error": p.error})
-            out = _npy_bytes(p.result)
-            self.send_response(200)
-            self.send_header("Content-Type", "application/x-npy")
-            self.send_header("Content-Length", str(len(out)))
-            self.end_headers()
-            self.wfile.write(out)
+                    "error": f"expected {expect[2]}-band raster or a "
+                             f"{expect} chip, got {tuple(arr.shape)}"})
+            if arr.shape[0] * arr.shape[1] > max_pixels:
+                return self._json(413, {
+                    "error": f"raster {arr.shape[0]}x{arr.shape[1]} "
+                             f"exceeds max_pixels={max_pixels}"})
+            try:
+                stride = int(qs["stride"][0]) if "stride" in qs \
+                    else None
+                if stride is not None and not \
+                        (1 <= stride <= expect[0]):
+                    raise ValueError(
+                        f"stride must be in [1, {expect[0]}]")
+            except ValueError as e:
+                return self._json(400, {"error": f"bad stride: {e}"})
+            try:
+                out = predict_windowed_batched(
+                    server, arr, stride=stride, probs=want_probs)
+            except WindowedError as e:
+                return self._json(e.status, {"error": str(e)})
+            return self._npy_response(out)
 
         @staticmethod
         def _decode(body: bytes) -> np.ndarray:

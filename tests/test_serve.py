@@ -116,11 +116,72 @@ class TestServe:
         for i in range(8):
             np.testing.assert_array_equal(results[i], offline[i])
 
-    def test_wrong_shape_is_400(self, live_server):
+    def test_wrong_bands_is_400(self, live_server):
+        # band-count mismatches can't be windowed away -> client error
         _, _, base = live_server
         code, ctype, body = _post(
-            base + "/predict", _npy(np.zeros((4, 4, 3), np.float32)))
+            base + "/predict", _npy(np.zeros((16, 16, 2), np.float32)))
         assert code == 400 and "expected" in json.loads(body)["error"]
+        code, _, body = _post(
+            base + "/predict", _npy(np.zeros((2, 16, 16, 3), np.float32)))
+        assert code == 400
+
+    def test_whole_raster_windowed_matches_offline(self, live_server):
+        """A larger raster (same bands) runs the sliding-window path
+        through the micro-batcher -- numerically identical to the
+        offline pipeline.window.predict_windowed blend."""
+        trainer, _, base = live_server
+        big = np.random.default_rng(11).random((40, 24, 3)).astype(
+            np.float32)
+        code, ctype, body = _post(base + "/predict?stride=8", _npy(big))
+        assert code == 200 and ctype == "application/x-npy"
+        cls = np.load(io.BytesIO(body))
+        assert cls.shape == (40, 24) and cls.dtype == np.uint8
+        code, _, pbody = _post(base + "/predict?probs=1&stride=8",
+                               _npy(big))
+        assert code == 200
+        probs = np.load(io.BytesIO(pbody))
+        assert probs.shape == (40, 24, 2) and probs.dtype == np.float32
+        np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+        np.testing.assert_array_equal(probs.argmax(axis=-1), cls)
+        from dl_image_segmentation_tpu.pipeline.window import \
+            predict_windowed
+        offline = predict_windowed(trainer, big, stride=8, scale="none",
+                                   probs=True)
+        np.testing.assert_allclose(probs, offline, atol=1e-6)
+
+    def test_undersized_chip_padded_and_cropped(self, live_server):
+        # smaller than the compiled window: edge-pad, predict, crop back
+        _, _, base = live_server
+        code, _, body = _post(
+            base + "/predict", _npy(np.zeros((4, 7, 3), np.float32)))
+        assert code == 200
+        assert np.load(io.BytesIO(body)).shape == (4, 7)
+
+    def test_bad_stride_is_400(self, live_server):
+        _, _, base = live_server
+        big = _npy(np.zeros((20, 20, 3), np.float32))
+        for q in ("stride=0", "stride=99", "stride=x"):
+            code, _, body = _post(f"{base}/predict?{q}", big)
+            assert code == 400 and "stride" in json.loads(body)["error"]
+
+    def test_oversized_raster_is_413(self):
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=4,
+                          levels=1, image_size=16, batch_size=2)
+        ps = PredictServer(Trainer(cfg), max_wait_ms=5.0)
+        httpd = make_http_server("127.0.0.1", 0, ps, max_pixels=500)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+            code, _, body = _post(
+                base + "/predict",
+                _npy(np.zeros((30, 20, 3), np.float32)))
+            assert code == 413
+            assert "max_pixels" in json.loads(body)["error"]
+        finally:
+            httpd.shutdown()
+            ps.close()
 
     def test_garbage_body_is_400(self, live_server):
         _, _, base = live_server
