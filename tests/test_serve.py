@@ -150,6 +150,47 @@ class TestServe:
                                    probs=True)
         np.testing.assert_allclose(probs, offline, atol=1e-6)
 
+    def test_windowed_and_chip_traffic_interleave(self, live_server):
+        """The design claim: a scene's windows pack into dispatches
+        WITH concurrent single-chip traffic, and both come back
+        correct (per-sample results are batch-composition-invariant:
+        convs and GroupNorm are per-sample)."""
+        trainer, _, base = live_server
+        rng = np.random.default_rng(23)
+        big = rng.random((24, 24, 3)).astype(np.float32)
+        chips = [rng.random((16, 16, 3)).astype(np.float32)
+                 for _ in range(4)]
+        results = {}
+
+        def post_big():
+            results["big"] = _post(base + "/predict?probs=1&stride=8",
+                                   _npy(big))
+
+        def post_chip(i):
+            results[i] = _post(base + "/predict", _npy(chips[i]))
+
+        threads = [threading.Thread(target=post_big)] + [
+            threading.Thread(target=post_chip, args=(i,))
+            for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        code, _, body = results["big"]
+        assert code == 200
+        from dl_image_segmentation_tpu.pipeline.window import \
+            predict_windowed
+        offline = predict_windowed(trainer, big, stride=8,
+                                   scale="none", probs=True)
+        np.testing.assert_allclose(np.load(io.BytesIO(body)), offline,
+                                   atol=1e-6)
+        for i in range(4):
+            code, _, body = results[i]
+            assert code == 200
+            np.testing.assert_array_equal(
+                np.load(io.BytesIO(body)),
+                trainer.predict(chips[i][None])[0].astype(np.uint8))
+
     def test_undersized_chip_padded_and_cropped(self, live_server):
         # smaller than the compiled window: edge-pad, predict, crop back
         _, _, base = live_server
