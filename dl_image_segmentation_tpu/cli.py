@@ -290,6 +290,14 @@ def cmd_predict(args) -> int:
     if args.geotiff:
         # whole-raster sliding-window inference: --out is ONE GeoTIFF
         from .pipeline.window import predict_windowed
+        if args.stride is not None and not \
+                (1 <= args.stride <= args.image_size):
+            # same clean rejection the serve path gives (?stride=N ->
+            # 400) instead of a raw window_origins traceback
+            print(f"--stride must be in [1, --image-size="
+                  f"{args.image_size}], got {args.stride}",
+                  file=sys.stderr)
+            return 2
         g = read_geotiff(args.geotiff)
         out_dir = os.path.dirname(os.path.abspath(args.out))
         os.makedirs(out_dir, exist_ok=True)

@@ -21,9 +21,12 @@ provides ``Int8Conv``, a drop-in for ``flax.linen.Conv`` that:
 * quantizes weights per-output-channel (symmetric, max-abs / 127) at
   trace time -- XLA constant-folds nothing here (params are inputs)
   but the per-dispatch requantization is a trivially fused VPU pass;
-* quantizes activations dynamically per-tensor (max-abs / 127),
-  avoiding any offline calibration dataset: one fused reduction per
-  layer buys scale tracking that follows the data distribution;
+* quantizes activations dynamically PER-EXAMPLE (max-abs / 127 over
+  each example's H, W, C), avoiding any offline calibration dataset:
+  one fused reduction per layer buys scale tracking that follows the
+  data distribution, and per-example scales keep each request's
+  output independent of whatever else the serving micro-batcher
+  co-batched with it (zero padding, other clients' magnitudes);
 * accumulates in int32 (``preferred_element_type``) and rescales to
   the requested output dtype with the per-channel product
   ``x_scale * w_scale[cout]`` before the bias add.
@@ -46,12 +49,13 @@ from flax import linen as nn
 from jax import lax
 
 
-def quantize_tensor(x: jnp.ndarray, axes=None):
+def quantize_tensor(x: jnp.ndarray, axes=None, keepdims: bool = False):
     """Symmetric max-abs int8 quantization. Returns (q, scale) with
     ``x ~= q * scale``; scale is per-remaining-axis when ``axes`` (the
-    reduced axes) is given, else a scalar."""
+    reduced axes) is given, else a scalar. ``keepdims`` keeps the
+    reduced axes as size-1 dims so the scale broadcasts back over x."""
     amax = jnp.max(jnp.abs(x)) if axes is None else jnp.max(
-        jnp.abs(x), axis=axes)
+        jnp.abs(x), axis=axes, keepdims=keepdims)
     scale = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale
@@ -82,12 +86,19 @@ class Int8Conv(nn.Module):
         if isinstance(strides, int):
             strides = (strides, strides)
         qw, w_scale = quantize_tensor(kernel, axes=(0, 1, 2))  # per cout
-        qx, x_scale = quantize_tensor(x)
+        # PER-EXAMPLE activation scale (N,1,1,1), not per-batch: the
+        # serving micro-batcher packs unrelated requests (and zero
+        # padding) into one batch, and a shared scalar scale would make
+        # one request's int8 output depend on co-batched traffic. With
+        # per-example scales each request quantizes exactly as it would
+        # alone, so offline --quantize eval transfers to serving.
+        qx, x_scale = quantize_tensor(x, axes=(1, 2, 3), keepdims=True)
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))
         y = lax.conv_general_dilated(
             qx, qw, tuple(strides), self.padding,
             dimension_numbers=dn,
             preferred_element_type=jnp.int32)
+        # (N,1,1,1) * (cout,) -> (N,1,1,cout) combined rescale
         y = y.astype(jnp.float32) * (x_scale * w_scale) + bias
         return y.astype(self.dtype)

@@ -21,7 +21,10 @@ HTTP server around ``Trainer.predict_probs`` designed TPU-first:
 
 Endpoints:
   GET  /healthz            -> JSON status (model, step, batch size)
-  POST /predict            -> uint8 class map as .npy bytes
+  POST /predict            -> int32 class map as .npy bytes (same
+                              dtype as Trainer.predict and the offline
+                              windowed path, so served and offline
+                              outputs are byte-comparable)
   POST /predict?probs=1    -> float32 (H, W, num_classes) .npy bytes
 
 Request body: an encoded PNG/JPG/GeoTIFF chip, or a .npy float array
@@ -106,6 +109,10 @@ class PredictServer:
         self.batches = 0
         self.rejected = 0
         self._stop = False
+        # serializes the _stop check against put_nowait so an enqueue
+        # racing close() can never strand a pending in a drained queue
+        # (it would otherwise block its caller for the full timeout)
+        self._admit = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -115,16 +122,17 @@ class PredictServer:
         queue or a shutting-down server fails the pending fast (503);
         check ``.error`` before waiting on it."""
         p = _Pending(img, probs)
-        if self._stop:
-            p.error, p.status = "server shutting down", 503
-            return p
-        try:
-            self.q.put_nowait(p)
-        except queue.Full:
-            self.rejected += 1
-            p.error, p.status = (
-                f"server overloaded ({self.max_queue} requests queued)",
-                503)
+        with self._admit:
+            if self._stop:
+                p.error, p.status = "server shutting down", 503
+                return p
+            try:
+                self.q.put_nowait(p)
+            except queue.Full:
+                self.rejected += 1
+                p.error, p.status = (
+                    f"server overloaded ({self.max_queue} requests "
+                    f"queued)", 503)
         return p
 
     def wait(self, p: _Pending, timeout: float = 60.0) -> _Pending:
@@ -142,7 +150,8 @@ class PredictServer:
         return self.wait(self.enqueue(img, probs), timeout)
 
     def close(self):
-        self._stop = True
+        with self._admit:  # no enqueue can be mid-put past this point
+            self._stop = True
         self._worker.join(timeout=5.0)
         # fail anything still queued so callers don't sit out their
         # full timeout against a dead worker
@@ -184,9 +193,12 @@ class PredictServer:
             # probability map's argmax (identical to Trainer.predict)
             probs = self.trainer.predict_probs(imgs)
             for i, p in enumerate(batch):
+                # class maps are int32, matching Trainer.predict and
+                # pipeline.window.predict_windowed byte-for-byte (uint8
+                # would silently wrap past 256 classes)
                 p.result = (probs[i].astype(np.float32) if p.probs
                             else probs[i].argmax(axis=-1)
-                            .astype(np.uint8))
+                            .astype(np.int32))
             self.served += len(batch)
             self.batches += 1
         except Exception as e:  # noqa: BLE001 -- surface to every caller
@@ -249,7 +261,8 @@ def predict_windowed_batched(server: PredictServer, image: np.ndarray,
     out = (acc / cnt)[:h0, :w0]
     if probs:
         return out.astype(np.float32)
-    return np.argmax(out, axis=-1).astype(np.uint8)
+    # int32, byte-comparable with the offline predict_windowed output
+    return np.argmax(out, axis=-1).astype(np.int32)
 
 
 def _npy_bytes(arr: np.ndarray) -> bytes:

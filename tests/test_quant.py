@@ -60,6 +60,23 @@ class TestInt8Conv:
         scale = float(jnp.max(jnp.abs(y_f)))
         assert float(jnp.max(jnp.abs(y_q - y_f))) < 0.05 * scale
 
+    def test_batch_composition_independent(self):
+        """Per-example activation scales: a request's int8 output must
+        not depend on co-batched traffic (the serving micro-batcher
+        packs unrelated requests and zero padding into one batch). A
+        co-batched 100x-magnitude input once shifted another request's
+        first-conv output by ~0.5 under a shared per-batch scale."""
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.rand(1, 16, 16, 8).astype(np.float32))
+        loud = x * 100.0
+        qc = Int8Conv(16, (3, 3), padding="SAME", dtype=jnp.float32)
+        params = qc.init(jax.random.PRNGKey(1), x)["params"]
+        alone = qc.apply({"params": params}, x)
+        mixed = qc.apply({"params": params},
+                         jnp.concatenate([x, loud, jnp.zeros_like(x)]))
+        np.testing.assert_array_equal(np.asarray(alone[0]),
+                                      np.asarray(mixed[0]))
+
     def test_param_tree_matches_nn_conv(self):
         from flax import linen as nn
         x = jnp.zeros((1, 8, 8, 4))

@@ -63,7 +63,7 @@ class TestServe:
         code, ctype, body = _post(base + "/predict", _npy(img))
         assert code == 200 and ctype == "application/x-npy"
         out = np.load(io.BytesIO(body))
-        assert out.dtype == np.uint8 and out.shape == (16, 16)
+        assert out.dtype == np.int32 and out.shape == (16, 16)
         offline = trainer.predict(np.repeat(img[None], 8, axis=0))[0]
         np.testing.assert_array_equal(out, offline)
 
@@ -136,7 +136,7 @@ class TestServe:
         code, ctype, body = _post(base + "/predict?stride=8", _npy(big))
         assert code == 200 and ctype == "application/x-npy"
         cls = np.load(io.BytesIO(body))
-        assert cls.shape == (40, 24) and cls.dtype == np.uint8
+        assert cls.shape == (40, 24) and cls.dtype == np.int32
         code, _, pbody = _post(base + "/predict?probs=1&stride=8",
                                _npy(big))
         assert code == 200
@@ -189,7 +189,7 @@ class TestServe:
             assert code == 200
             np.testing.assert_array_equal(
                 np.load(io.BytesIO(body)),
-                trainer.predict(chips[i][None])[0].astype(np.uint8))
+                trainer.predict(chips[i][None])[0])
 
     def test_undersized_chip_padded_and_cropped(self, live_server):
         # smaller than the compiled window: edge-pad, predict, crop back
