@@ -1,0 +1,278 @@
+"""Pluggable filesystem layer: local paths and ``gs://`` URIs.
+
+The reference reads and writes EVERYTHING through ``tf.io.gfile``,
+which transparently handles local, GCS and HTTP paths
+(/root/reference/dl_segmentation_utils/_img_to_tf_threaded.py:87-88,
+_img_to_tf_mp.py:43-44; shard globs in parse_tfrecords.ipynb cell 4).
+This module is that dispatch point for the rebuild: every data-plane
+path — chip folders, TFRecord shards, whole-raster predict inputs,
+checkpoints — goes through these functions, so a user can point any
+CLI path argument at ``gs://bucket/...`` and the pipeline behaves
+identically (TPU pods read training data from GCS, not local disk).
+
+Semantics that the data plane depends on:
+
+* ``write_bytes`` is ATOMIC in both backends — local writes go
+  tmp + os.replace; GCS object creation is inherently atomic (the
+  object is invisible until the upload completes). This preserves the
+  'existing shard/chip == complete shard/chip' resume invariant.
+* ``glob``/``listdir`` on gs:// list by prefix then filter, so shard
+  patterns like ``gs://b/recs/name-*`` work exactly like local globs.
+* ``makedirs`` is a no-op on GCS (no directories to race on — the
+  reference's mkdir-TOCTOU workaround is local-only by construction).
+
+Local paths take a short-circuit at the top of every function: the
+hot local lanes (bench.py, the native shard writers) pay one
+``startswith`` per call and nothing else.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import io
+import os
+import tempfile
+from typing import IO, List, Optional
+
+from .gcs import GCSClient, get_client, split_gcs_path  # noqa: F401
+
+__all__ = [
+    "is_remote", "read_bytes", "write_bytes", "exists", "listdir",
+    "glob", "makedirs", "unlink", "open_read", "replace", "join",
+    "basename", "dirname", "SpooledWriter", "download_dir", "upload_dir",
+]
+
+
+def is_remote(path) -> bool:
+    return isinstance(path, str) and path.startswith("gs://")
+
+
+def join(base: str, *parts: str) -> str:
+    """os.path.join that never mangles gs:// (and never lets a later
+    absolute component swallow a remote base)."""
+    if not is_remote(base):
+        return os.path.join(base, *parts)
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def basename(path: str) -> str:
+    return path.rstrip("/").rsplit("/", 1)[-1] if is_remote(path) \
+        else os.path.basename(path)
+
+
+def dirname(path: str) -> str:
+    if not is_remote(path):
+        return os.path.dirname(path)
+    head = path.rstrip("/").rsplit("/", 1)[0]
+    return head if head != "gs:/" else path
+
+
+def read_bytes(path: str) -> bytes:
+    if not is_remote(path):
+        with open(path, "rb") as f:
+            return f.read()
+    bucket, name = split_gcs_path(path)
+    return get_client().download(bucket, name)
+
+
+def read_range(path: str, start: int, end: Optional[int] = None) -> bytes:
+    """[start, end] inclusive byte range (ranged GET on gs://)."""
+    if not is_remote(path):
+        with open(path, "rb") as f:
+            f.seek(start)
+            return f.read() if end is None else f.read(end - start + 1)
+    bucket, name = split_gcs_path(path)
+    return get_client().download(bucket, name, start=start, end=end)
+
+
+def open_read(path: str) -> IO[bytes]:
+    """Binary read handle. gs:// objects are fetched whole into memory
+    (shards are tens of MB; the feed's interleave keeps only a few
+    open) — for partial access use read_range."""
+    if not is_remote(path):
+        return open(path, "rb")
+    return io.BytesIO(read_bytes(path))
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    """Atomic whole-file write (see module docstring)."""
+    if not is_remote(path):
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return
+    bucket, name = split_gcs_path(path)
+    get_client().upload(bucket, name, data)
+
+
+def exists(path: str) -> bool:
+    if not is_remote(path):
+        return os.path.exists(path)
+    bucket, name = split_gcs_path(path)
+    return get_client().stat(bucket, name) is not None
+
+
+def listdir(path: str) -> List[str]:
+    """Names (not full paths) of direct children. On gs:// a 'child'
+    is an object one level below the prefix, or a pseudo-folder name
+    (trailing '/' stripped)."""
+    if not is_remote(path):
+        return sorted(os.listdir(path))
+    bucket, prefix = split_gcs_path(path)
+    if prefix and not prefix.endswith("/"):
+        prefix += "/"
+    items, prefixes = get_client().list(bucket, prefix, delimiter="/")
+    names = [it["name"][len(prefix):] for it in items]
+    names += [p[len(prefix):].rstrip("/") for p in prefixes]
+    return sorted(n for n in names if n)
+
+
+def glob(pattern: str) -> List[str]:
+    """Shell-style glob. gs:// patterns list the static prefix then
+    fnmatch, so 'gs://b/recs/name-*' behaves like the local glob the
+    reference's shard patterns assume."""
+    if not is_remote(pattern):
+        import glob as _glob
+        return sorted(_glob.glob(pattern))
+    bucket, name_pat = split_gcs_path(pattern)
+    cut = len(name_pat)
+    for ch in "*?[":
+        k = name_pat.find(ch)
+        if k != -1:
+            cut = min(cut, k)
+    static = name_pat[:cut]
+    items, _ = get_client().list(bucket, static)
+    return sorted(f"gs://{bucket}/{it['name']}" for it in items
+                  if fnmatch.fnmatchcase(it["name"], name_pat))
+
+
+def makedirs(path: str, exist_ok: bool = True) -> None:
+    if not is_remote(path):
+        os.makedirs(path, exist_ok=exist_ok)
+
+
+def unlink(path: str) -> None:
+    if not is_remote(path):
+        os.unlink(path)
+        return
+    bucket, name = split_gcs_path(path)
+    if not get_client().delete(bucket, name):
+        raise FileNotFoundError(path)
+
+
+def replace(src: str, dst: str) -> None:
+    """Atomic-rename semantics. Local: os.replace. gs://: server-side
+    rewrite + delete (the WRITE into dst is still atomic; the pair is
+    not, which no caller depends on — shard writers upload the final
+    name directly instead)."""
+    if not is_remote(src) and not is_remote(dst):
+        os.replace(src, dst)
+        return
+    if is_remote(src) and is_remote(dst):
+        sb, sn = split_gcs_path(src)
+        db, dn = split_gcs_path(dst)
+        cli = get_client()
+        cli.rewrite(sb, sn, db, dn)
+        cli.delete(sb, sn)
+        return
+    if is_remote(dst):
+        with open(src, "rb") as f:
+            write_bytes(dst, f.read())
+        os.unlink(src)
+        return
+    write_bytes(dst, read_bytes(src))
+    unlink(src)
+
+
+class SpooledWriter:
+    """File-like writer for any path: local writes spool to
+    ``<path>.tmp`` and rename on close; gs:// writes spool to a local
+    temp file and upload on close (one atomic object creation). Both
+    give 'final path exists == write completed'. Exposes a REAL file
+    (``fileobj``/``fileno``) so native code can write to the fd."""
+
+    def __init__(self, path: str, buffering: int = -1):
+        self.path = path
+        self._remote = is_remote(path)
+        if self._remote:
+            fd, self._spool = tempfile.mkstemp(suffix=".gcs-spool")
+            os.close(fd)
+        else:
+            self._spool = path + ".tmp"
+        self._f = open(self._spool, "wb", buffering=buffering)
+        self._done = False
+
+    @property
+    def fileobj(self) -> IO[bytes]:
+        return self._f
+
+    def write(self, data) -> int:
+        return self._f.write(data)
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        self._f.close()
+        if self._remote:
+            try:
+                with open(self._spool, "rb") as f:
+                    write_bytes(self.path, f.read())
+            finally:
+                os.unlink(self._spool)
+        else:
+            os.replace(self._spool, self.path)
+
+    def abort(self) -> None:
+        """Discard without publishing (local keeps the .tmp for
+        debugging, matching TFRecordWriter.abort; the remote spool is
+        deleted — nothing was ever uploaded)."""
+        if self._done:
+            return
+        self._done = True
+        self._f.close()
+        if self._remote:
+            os.unlink(self._spool)
+
+
+def upload_dir(local_dir: str, remote_dir: str) -> int:
+    """Mirror a local directory tree to gs:// (used by gs://
+    checkpointing). Returns files uploaded."""
+    n = 0
+    for root, _dirs, files in os.walk(local_dir):
+        rel = os.path.relpath(root, local_dir)
+        for fn in files:
+            dst = join(remote_dir, fn) if rel == "." \
+                else join(remote_dir, rel.replace(os.sep, "/"), fn)
+            with open(os.path.join(root, fn), "rb") as f:
+                write_bytes(dst, f.read())
+            n += 1
+    return n
+
+
+def download_dir(remote_dir: str, local_dir: str) -> int:
+    """Mirror a gs:// prefix into a local directory tree."""
+    bucket, prefix = split_gcs_path(remote_dir)
+    if prefix and not prefix.endswith("/"):
+        prefix += "/"
+    items, _ = get_client().list(bucket, prefix)
+    n = 0
+    for it in items:
+        rel = it["name"][len(prefix):]
+        dst = os.path.join(local_dir, *rel.split("/"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        data = get_client().download(bucket, it["name"])
+        with open(dst, "wb") as f:
+            f.write(data)
+        n += 1
+    return n
