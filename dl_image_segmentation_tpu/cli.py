@@ -32,6 +32,13 @@ def cmd_create_chips(args) -> int:
 
     if args.catalog == "synthetic":
         catalog = SyntheticCatalog()
+    elif args.catalog.startswith(("http://", "https://")):
+        # remote scene catalog (the reference's DL-API role,
+        # _descartes_img_chips.py:512-513): COG windowed reads +
+        # bounded retries; --processing-level picks the asset level
+        from .catalog.http import HTTPCatalog
+        catalog = HTTPCatalog(args.catalog,
+                              processing_level=args.processing_level)
     else:
         catalog = LocalCatalog(args.catalog)
     cfg = DLSampleCreationConfig(
@@ -127,8 +134,10 @@ def cmd_train(args) -> int:
         # the trainer-side equivalent of the chip/shard resume
         # invariants (a long run killed mid-way restarts where it left
         # off with the same command line)
-        manager = trainer.checkpoint_manager(
-            os.path.abspath(args.checkpoint), keep=args.keep)
+        from . import storage as _storage
+        ckpt_dir = args.checkpoint if _storage.is_remote(args.checkpoint) \
+            else os.path.abspath(args.checkpoint)
+        manager = trainer.checkpoint_manager(ckpt_dir, keep=args.keep)
         resumed = trainer.restore_latest(manager)
         if resumed is not None:
             print(f"resumed from managed checkpoint step {resumed}")
@@ -258,7 +267,10 @@ def cmd_train(args) -> int:
     if manager is not None:
         maybe_save()
     elif args.checkpoint:
-        trainer.save_checkpoint(os.path.abspath(args.checkpoint))
+        from . import storage as _storage
+        trainer.save_checkpoint(
+            args.checkpoint if _storage.is_remote(args.checkpoint)
+            else os.path.abspath(args.checkpoint))
         print(f"checkpoint saved to {args.checkpoint}")
     if args.eval_records:
         run_eval(int(trainer.state.step))
@@ -299,8 +311,10 @@ def cmd_predict(args) -> int:
                   file=sys.stderr)
             return 2
         g = read_geotiff(args.geotiff)
-        out_dir = os.path.dirname(os.path.abspath(args.out))
-        os.makedirs(out_dir, exist_ok=True)
+        from . import storage as _storage
+        if not _storage.is_remote(args.out):
+            os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                        exist_ok=True)
 
         last = [-1]
 
@@ -322,7 +336,8 @@ def cmd_predict(args) -> int:
               f"{'probability' if args.probs else 'class'} map to "
               f"{args.out}")
         return 0
-    os.makedirs(args.out, exist_ok=True)
+    from . import storage as _storage
+    _storage.makedirs(args.out, exist_ok=True)
     if args.records:
         return _predict_from_records(args, trainer)
     if not args.images:
@@ -756,7 +771,13 @@ def main(argv=None) -> int:
     c.add_argument("--max-cloud-fraction", type=float, default=None)
     c.add_argument("--nodata", type=int, default=255)
     c.add_argument("--catalog", required=True,
-                   help="local catalog root, or 'synthetic'")
+                   help="local catalog root, 'synthetic', or an "
+                        "http(s):// scene-server base URL")
+    c.add_argument("--processing-level", default="surface",
+                   help="asset level requested from an HTTP catalog "
+                        "(reference requests surface reflectance, "
+                        "_descartes_img_chips.py:617-627); scenes "
+                        "without an assets map serve every level")
     c.add_argument("--workers", type=int, default=8)
     c.add_argument("--batch-tiles", type=int, default=16,
                    help="composite+burn K tiles per device dispatch "

@@ -18,7 +18,6 @@ a JAX-native host pipeline built for TPU duty cycle:
 
 from __future__ import annotations
 
-import glob as _glob
 import queue
 import threading
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
@@ -83,7 +82,11 @@ class TFRecordFeed:
                  interleave: int = 4,
                  verify_crc: bool = False):
         if isinstance(shard_pattern, str):
-            files = sorted(_glob.glob(shard_pattern))
+            # local glob or gs:// prefix-list (training data on real
+            # pods lives in GCS; the reference's tf.data shard globs
+            # accepted GCS URIs the same way, parse nb cell 4)
+            from .. import storage
+            files = storage.glob(shard_pattern)
         else:
             files = sorted(shard_pattern)
         # aborted writers deliberately leave .tmp shards; never read them

@@ -223,70 +223,106 @@ def decode_geotiff_info(data: bytes) -> RasterInfo:
     return info
 
 
+class _Layout:
+    """Parsed pixel-storage layout of one TIFF IFD: everything needed
+    to turn a raw chunk (tile or strip) into pixels, independent of
+    WHERE the chunk bytes come from (a whole in-memory buffer here; a
+    ranged HTTP fetch in raster/cog.py)."""
+
+    def __init__(self, fmt: str, tags: Dict[int, list]):
+        self.fmt = fmt
+        self.tags = tags
+        self.width = int(tags[_T_IMAGE_WIDTH][0])
+        self.height = int(tags[_T_IMAGE_LENGTH][0])
+        self.spp = int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0])
+        bps_list = tags.get(_T_BITS_PER_SAMPLE, [8])
+        if isinstance(bps_list, str):
+            bps_list = [8]
+        self.bps = int(bps_list[0])
+        self.comp = int(tags.get(_T_COMPRESSION, [1])[0])
+        self.planar = int(tags.get(_T_PLANAR_CONFIG, [1])[0])
+        self.predictor = int(tags.get(_T_PREDICTOR, [1])[0])
+        sfmt = int(tags.get(_T_SAMPLE_FORMAT, [_SAMPLEFORMAT_UINT])[0])
+        self.dtype = _np_dtype(self.bps, sfmt, fmt)
+        self.tiled = _T_TILE_OFFSETS in tags
+        self.nplanes = self.spp if self.planar == 2 else 1
+        self.samples_per_px = 1 if self.planar == 2 else self.spp
+        if self.tiled:
+            self.tile_w = int(tags[_T_TILE_WIDTH][0])
+            self.tile_h = int(tags[_T_TILE_LENGTH][0])
+            self.offsets = [int(v) for v in tags[_T_TILE_OFFSETS]]
+            self.counts = [int(v) for v in tags[_T_TILE_BYTE_COUNTS]]
+            self.tiles_across = -(-self.width // self.tile_w)
+            self.tiles_down = -(-self.height // self.tile_h)
+        else:
+            rps = int(tags.get(_T_ROWS_PER_STRIP, [self.height])[0])
+            self.rows_per_strip = min(rps, self.height)
+            self.offsets = [int(v) for v in tags[_T_STRIP_OFFSETS]]
+            self.counts = [int(v) for v in tags[_T_STRIP_BYTE_COUNTS]]
+
+        if self.predictor not in (1, 2, 3):
+            raise ValueError(f"unsupported TIFF predictor "
+                             f"{self.predictor}")
+        if self.predictor == 3 and self.dtype.kind != "f":
+            raise ValueError(
+                "TIFF floating-point predictor (3) on non-float samples")
+        if self.predictor == 2 and self.dtype.kind == "f":
+            # the int-domain cumsum would truncate fractional deltas --
+            # refuse rather than silently decode garbage (the symmetric
+            # guard to predictor 3 + non-float above)
+            raise ValueError(
+                "TIFF horizontal predictor (2) on float samples is not "
+                "supported; re-encode with predictor 1 or 3")
+        if int(tags.get(_T_PHOTOMETRIC, [1])[0]) == 3:
+            raise ValueError(
+                "palette-color TIFF (photometric 3) is not supported: "
+                "palette indices are not pixel values; convert to RGB "
+                "(e.g. gdal_translate -expand rgb) before ingestion")
+
+    def decompress(self, chunk: bytes, expect: int) -> bytes:
+        if self.comp == 1:
+            return chunk
+        if self.comp == 5:
+            return _lzw_decode_fast(chunk, max_size=expect)
+        if self.comp in (8, 32946):
+            return zlib.decompress(chunk)
+        if self.comp == 32773:
+            return _packbits_decode(chunk)
+        raise ValueError(f"unsupported TIFF compression {self.comp}")
+
+    def chunk_to_array(self, raw: bytes, nrows: int,
+                       ncols: int) -> np.ndarray:
+        """Decoded chunk bytes -> (nrows, ncols, samples) array with
+        the chunk's predictor undone."""
+        if self.predictor == 3:
+            return _undo_fpredictor(raw, nrows, ncols,
+                                    self.samples_per_px, self.dtype)
+        arr = np.frombuffer(
+            raw, dtype=self.dtype,
+            count=nrows * ncols * self.samples_per_px).reshape(
+                nrows, ncols, self.samples_per_px)
+        if self.predictor == 2:
+            arr = _undo_hpredictor(arr)
+        return arr
+
+    def decode_chunk(self, raw_chunk: bytes, nrows: int,
+                     ncols: int) -> np.ndarray:
+        expect = nrows * ncols * self.samples_per_px * self.dtype.itemsize
+        return self.chunk_to_array(self.decompress(raw_chunk, expect),
+                                   nrows, ncols)
+
+
 def decode_geotiff(data: bytes) -> GeoTIFF:
     """Decode a GeoTIFF (or plain TIFF) from bytes. Zero-copy where the
     layout allows (single uncompressed strip)."""
     fmt, tags = _parse_ifd(data)
-
-    width = int(tags[_T_IMAGE_WIDTH][0])
-    height = int(tags[_T_IMAGE_LENGTH][0])
-    spp = int(tags.get(_T_SAMPLES_PER_PIXEL, [1])[0])
-    bps_list = tags.get(_T_BITS_PER_SAMPLE, [8])
-    if isinstance(bps_list, str):
-        bps_list = [8]
-    bps = int(bps_list[0])
-    comp = int(tags.get(_T_COMPRESSION, [1])[0])
-    planar = int(tags.get(_T_PLANAR_CONFIG, [1])[0])
-    predictor = int(tags.get(_T_PREDICTOR, [1])[0])
-    sfmt = int(tags.get(_T_SAMPLE_FORMAT, [_SAMPLEFORMAT_UINT])[0])
-    dtype = _np_dtype(bps, sfmt, fmt)
-
-    def decompress(chunk: bytes, expect: int) -> bytes:
-        if comp == 1:
-            return chunk
-        if comp == 5:
-            return _lzw_decode_fast(chunk, max_size=expect)
-        if comp in (8, 32946):
-            return zlib.decompress(chunk)
-        if comp == 32773:
-            return _packbits_decode(chunk)
-        raise ValueError(f"unsupported TIFF compression {comp}")
-
-    if predictor not in (1, 2, 3):
-        raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if predictor == 3 and dtype.kind != "f":
-        raise ValueError(
-            "TIFF floating-point predictor (3) on non-float samples")
-    if predictor == 2 and dtype.kind == "f":
-        # the int-domain cumsum would truncate fractional deltas --
-        # refuse rather than silently decode garbage (the symmetric
-        # guard to predictor 3 + non-float above)
-        raise ValueError(
-            "TIFF horizontal predictor (2) on float samples is not "
-            "supported; re-encode with predictor 1 or 3")
-    if int(tags.get(_T_PHOTOMETRIC, [1])[0]) == 3:
-        raise ValueError(
-            "palette-color TIFF (photometric 3) is not supported: "
-            "palette indices are not pixel values; convert to RGB "
-            "(e.g. gdal_translate -expand rgb) before ingestion")
-
-    tiled = _T_TILE_OFFSETS in tags
-    nplanes = spp if planar == 2 else 1
-    samples_per_px = 1 if planar == 2 else spp
-
-    def chunk_to_array(raw: bytes, nrows: int, ncols: int) -> np.ndarray:
-        """Decoded chunk bytes -> (nrows, ncols, samples) array with
-        the chunk's predictor undone."""
-        if predictor == 3:
-            return _undo_fpredictor(raw, nrows, ncols, samples_per_px,
-                                    dtype)
-        arr = np.frombuffer(
-            raw, dtype=dtype,
-            count=nrows * ncols * samples_per_px).reshape(
-                nrows, ncols, samples_per_px)
-        if predictor == 2:
-            arr = _undo_hpredictor(arr)
-        return arr
+    lay = _Layout(fmt, tags)
+    width, height, spp = lay.width, lay.height, lay.spp
+    planar, dtype = lay.planar, lay.dtype
+    samples_per_px, nplanes = lay.samples_per_px, lay.nplanes
+    tiled = lay.tiled
+    decompress = lay.decompress
+    chunk_to_array = lay.chunk_to_array
 
     if tiled:
         tw = int(tags[_T_TILE_WIDTH][0])
@@ -374,8 +410,9 @@ def _undo_hpredictor(arr: np.ndarray) -> np.ndarray:
 
 
 def read_geotiff(path: str) -> GeoTIFF:
-    with open(path, "rb") as f:
-        return decode_geotiff(f.read())
+    """Decode a GeoTIFF from a local path or gs:// object."""
+    from .. import storage
+    return decode_geotiff(storage.read_bytes(path))
 
 
 # ---------------------------------------------------------------------------
@@ -583,10 +620,15 @@ def encode_geotiff(
 
 
 def write_geotiff(path: str, array: np.ndarray, **kwargs) -> None:
-    """Atomic write (tmp + rename): existence == complete, so the
-    chip pipeline's is_done resume never accepts a torn file from a
-    crashed run (a truncated TIFF would pass header-only sniffing and
-    flow silently into training shards)."""
+    """Atomic write: existence == complete, so the chip pipeline's
+    is_done resume never accepts a torn file from a crashed run (a
+    truncated TIFF would pass header-only sniffing and flow silently
+    into training shards). Local: tmp + rename; gs://: one atomic
+    object upload through the storage layer."""
+    from .. import storage
+    if storage.is_remote(path):
+        storage.write_bytes(path, encode_geotiff(array, **kwargs))
+        return
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         f.write(encode_geotiff(array, **kwargs))

@@ -66,11 +66,20 @@ class TFRecordWriter:
 
     def __init__(self, path: str, atomic: bool = True,
                  buffering: int = -1):
+        from .. import storage
         self._path = path
-        self._tmp_path = path + ".tmp" if atomic else path
-        # buffering=0 (unbuffered) when the caller writes whole frames
-        # and may interleave direct-fd writes (native pair path)
-        self._f = open(self._tmp_path, "wb", buffering=buffering)
+        self._remote = storage.is_remote(path)
+        # gs:// shards spool to a local temp file and upload whole on
+        # close() -- GCS object creation is atomic, so 'shard exists'
+        # still means 'shard complete' (the resume invariant)
+        if atomic or self._remote:
+            self._spool = storage.SpooledWriter(path, buffering=buffering)
+            self._f = self._spool.fileobj
+        else:
+            self._spool = None
+            # buffering=0 (unbuffered) when the caller writes whole
+            # frames and may interleave direct-fd writes (native path)
+            self._f = open(path, "wb", buffering=buffering)
         self._atomic = atomic
         from .. import _native
         self._native_frame = _native.tfrecord_frame if _native.available() \
@@ -98,9 +107,10 @@ class TFRecordWriter:
 
     def close(self) -> None:
         if not self._f.closed:
-            self._f.close()
-            if self._atomic:
-                os.replace(self._tmp_path, self._path)
+            if self._spool is not None:
+                self._spool.close()  # rename / upload into place
+            else:
+                self._f.close()
 
     def abort(self) -> None:
         """Close WITHOUT renaming into place: the shard stays a .tmp
@@ -110,6 +120,9 @@ class TFRecordWriter:
         no .tmp indirection, so the torn file at the final path is
         REMOVED instead."""
         if not self._f.closed:
+            if self._spool is not None:
+                self._spool.abort()  # local: keeps the .tmp; remote:
+                return               # nothing was ever uploaded
             self._f.close()
             if not self._atomic:
                 try:
@@ -128,8 +141,11 @@ class TFRecordWriter:
 
 
 def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
-    """Iterate raw record payloads from one TFRecord file."""
-    with open(path, "rb") as f:
+    """Iterate raw record payloads from one TFRecord file (local path
+    or gs:// object, like the reference's tf.data shard globs over GCS
+    URIs, parse_tfrecords.ipynb cell 4)."""
+    from .. import storage
+    with storage.open_read(path) as f:
         while True:
             header = f.read(8)
             if not header:
@@ -162,8 +178,8 @@ def shard_filename(name: str, shard: int, num_shards: int) -> str:
 
 
 def list_shards(directory: str, name: str) -> List[str]:
-    """All final shards of a named dataset in a directory (never the
-    .tmp files aborted writers leave)."""
-    import glob
-    return sorted(glob.glob(os.path.join(
-        directory, f"{name}-?????-of-?????")))
+    """All final shards of a named dataset in a directory (local or
+    gs://; never the .tmp files aborted writers leave)."""
+    from .. import storage
+    return storage.glob(storage.join(directory,
+                                     f"{name}-?????-of-?????"))

@@ -60,33 +60,50 @@ def _find_image_files(data_dir: str,
     file_ext: list of extensions to glob; default PNG+JPG (MT engine,
     _img_to_tf_threaded.py:297-304) -- the MP engine passes ['tif'].
     """
+    from .. import storage
+
     exts = list(file_ext) if file_ext else ["png", "jpg"]
-    # one scandir per folder instead of glob + a stat per label: the
-    # directory listings are the same information, ~5x cheaper at
-    # 6,000-pair scale (and this runs before any worker starts)
-    img_dir = os.path.join(data_dir, "images")
-    lbl_dir = os.path.join(data_dir, "labels")
+    img_dir = storage.join(data_dir, "images")
+    lbl_dir = storage.join(data_dir, "labels")
     suffixes = tuple(f".{e}" for e in exts)
-    try:
-        img_names = sorted(
-            e.name for e in os.scandir(img_dir)
-            if not e.name.startswith(".") and e.name.endswith(suffixes))
-    except FileNotFoundError:
-        img_names = []
-    try:
-        lbl_names = {e.name for e in os.scandir(lbl_dir)}
-    except FileNotFoundError:
-        lbl_names = set()
+    if storage.is_remote(data_dir):
+        # gs:// chip folders: one prefix-list per folder (the remote
+        # analogue of the scandir below; same pairing semantics)
+        try:
+            img_names = sorted(n for n in storage.listdir(img_dir)
+                               if not n.startswith(".")
+                               and n.endswith(suffixes))
+        except FileNotFoundError:
+            img_names = []
+        try:
+            lbl_names = set(storage.listdir(lbl_dir))
+        except FileNotFoundError:
+            lbl_names = set()
+    else:
+        # one scandir per folder instead of glob + a stat per label:
+        # the directory listings are the same information, ~5x cheaper
+        # at 6,000-pair scale (and this runs before any worker starts)
+        try:
+            img_names = sorted(
+                e.name for e in os.scandir(img_dir)
+                if not e.name.startswith(".")
+                and e.name.endswith(suffixes))
+        except FileNotFoundError:
+            img_names = []
+        try:
+            lbl_names = {e.name for e in os.scandir(lbl_dir)}
+        except FileNotFoundError:
+            lbl_names = set()
 
     filenames = []
     labels = []
     missing = []
     for name in img_names:
         if name in lbl_names:
-            filenames.append(os.path.join(img_dir, name))
-            labels.append(os.path.join(lbl_dir, name))
+            filenames.append(storage.join(img_dir, name))
+            labels.append(storage.join(lbl_dir, name))
         else:
-            missing.append(os.path.join(img_dir, name))
+            missing.append(storage.join(img_dir, name))
     if missing:
         raise FileNotFoundError(
             f"{len(missing)} images have no matching label file, e.g. "
@@ -112,8 +129,8 @@ def _load_mt(path: str, dltile_from_filename: bool, png_to_jpg: bool,
     only raw bytes are stored (:105-112). Here raw-bytes mode validates
     via header parsing (sniff_image_info) -- same checks, no pixel
     decode -- which is what lets the translation path run IO-bound."""
-    with open(path, "rb") as f:
-        data = f.read()
+    from .. import storage
+    data = storage.read_bytes(path)
     is_png = ".png" in path  # substring test, reference quirk (:65-72)
     if is_png and png_to_jpg and not decode:
         data = png_to_jpeg(data)
@@ -137,10 +154,12 @@ def _load_mt(path: str, dltile_from_filename: bool, png_to_jpg: bool,
 
 def _load_any(path: str, dltile_from_filename: bool, decode: bool):
     """MP-engine loader: any raster format via our codecs
-    (_img_to_tf_mp.py:22-75 equivalent). Raw-bytes mode reads only the
-    container header (shape + geotransform + CRS come from tags)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    (_img_to_tf_mp.py:22-75 equivalent; byte reads go through the
+    storage layer like the reference's tf.io.gfile, :43-44). Raw-bytes
+    mode reads only the container header (shape + geotransform + CRS
+    come from tags)."""
+    from .. import storage
+    data = storage.read_bytes(path)
     if decode:
         g = decode_image_bytes(data)
         info = g.info
@@ -185,22 +204,27 @@ def _worker(worker_index: int, ranges, name: str,
     # fully-native pair path: applicable to raw-bytes PNG/JPG mode with
     # no transcode (the headline translation workload); C++ reads both
     # files straight into the framed output buffer
-    from .. import _native
+    from .. import _native, storage
+    # the C++ fast paths read input files by path; gs:// inputs go
+    # through the Python loaders (which read via the storage layer)
+    local_inputs = not (img_files and storage.is_remote(img_files[0]))
     use_native_pair = (loader is _load_mt and not store_as_array
-                       and not loader_args[1] and _native.available())
+                       and not loader_args[1] and local_inputs
+                       and _native.available())
     # decoded-array GeoTIFF mode: fused TIFF-decode + Example-encode in
     # C++ (per-pair fallback to the Python codecs for anything outside
     # the chip-contract TIFF subset)
     use_native_tifarr = (loader is _load_any and store_as_array
-                         and loader_args[0] and _native.available())
+                         and loader_args[0] and local_inputs
+                         and _native.available())
 
     counter = 0
     skipped: dict = {}  # reason -> count, surfaced in the run summary
     for s in range(shards_per_worker):
         shard = shard_base + worker_index * shards_per_worker + s
-        output_file = os.path.join(
+        output_file = storage.join(
             out_dir, shard_filename(name, shard, total_shards))
-        if resume and os.path.exists(output_file):
+        if resume and storage.exists(output_file):
             # writers are atomic (tmp + rename), so existence means the
             # shard completed in a previous run
             print(f"{datetime.now()} [worker {worker_index}]: shard "
@@ -333,7 +357,8 @@ def _process_dataset(name: str, directory: str, out_directory: str,
         shard_base = local_shards * host_index
         assert not local_shards % num_workers, (
             "per-host shard count must be a multiple of num workers")
-    os.makedirs(out_directory, exist_ok=True)
+    from .. import storage
+    storage.makedirs(out_directory, exist_ok=True)
     spacing = np.linspace(0, len(img_files), num_workers + 1).astype(int)
     ranges = [[spacing[i], spacing[i + 1]] for i in range(num_workers)]
     print(f"Launching {num_workers} workers for spacings: {ranges}")

@@ -653,8 +653,27 @@ class Trainer:
     # -- checkpointing (orbax) ------------------------------------------------
     def checkpoint_manager(self, directory: str, keep: int = 3):
         """Rotating orbax CheckpointManager (keep latest N). Use with
-        save_managed / restore_latest for long runs."""
+        save_managed / restore_latest for long runs.
+
+        gs:// directories are mirrored through a deterministic local
+        staging dir: existing remote checkpoints download before the
+        manager opens (so latest-step auto-resume works), every save
+        syncs up, and steps orbax prunes locally are pruned remotely —
+        the production pattern for pods whose durable storage is GCS."""
         import orbax.checkpoint as ocp
+        from .. import storage
+        if storage.is_remote(directory):
+            import hashlib
+            import tempfile
+            local = os.path.join(
+                tempfile.gettempdir(), "dlseg-ckpt-mirror",
+                hashlib.sha1(directory.encode()).hexdigest()[:16])
+            os.makedirs(local, exist_ok=True)
+            storage.download_dir(directory, local)
+            mgr = ocp.CheckpointManager(
+                local, options=ocp.CheckpointManagerOptions(
+                    max_to_keep=keep, create=True))
+            return _GCSMirroredManager(mgr, local, directory)
         return ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(max_to_keep=keep,
@@ -693,6 +712,21 @@ class Trainer:
 
     def save_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
+        from .. import storage
+        if storage.is_remote(path):
+            # stage locally, then one mirrored upload (objects appear
+            # atomically; a crashed upload leaves no usable prefix
+            # orbax would mistake for a complete checkpoint tree)
+            import shutil
+            import tempfile
+            tmp = tempfile.mkdtemp(prefix="dlseg-ckpt-up-")
+            try:
+                local = os.path.join(tmp, "ckpt")
+                self.save_checkpoint(local)
+                storage.upload_dir(local, path)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, {"params": self.state.params,
@@ -702,6 +736,19 @@ class Trainer:
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
+        from .. import storage
+        if storage.is_remote(path):
+            import shutil
+            import tempfile
+            tmp = tempfile.mkdtemp(prefix="dlseg-ckpt-down-")
+            try:
+                local = os.path.join(tmp, "ckpt")
+                if storage.download_dir(path, local) == 0:
+                    raise FileNotFoundError(f"no checkpoint at {path}")
+                self.restore_checkpoint(local)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
         current = {"params": self.state.params,
@@ -716,3 +763,58 @@ class Trainer:
             restored, current)
         self.state = TrainState(restored["params"], restored["opt_state"],
                                 restored["step"])
+
+
+class _GCSMirroredManager:
+    """Orbax CheckpointManager facade whose durable copy lives on
+    gs://. The wrapped manager runs on a local staging dir (orbax
+    itself stays filesystem-only); after every completed save the
+    staging tree is mirrored up — new files uploaded, remotely-present
+    files orbax pruned locally (rotation) deleted remotely. Orbax step
+    dirs are write-once, so presence is a sufficient freshness check.
+    """
+
+    def __init__(self, mgr, local_dir: str, remote_dir: str):
+        self._mgr = mgr
+        self._local = local_dir
+        self._remote = remote_dir.rstrip("/")
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def save(self, step, **kwargs):
+        return self._mgr.save(step, **kwargs)
+
+    def restore(self, step, **kwargs):
+        return self._mgr.restore(step, **kwargs)
+
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+        self._sync_up()
+
+    def close(self):
+        self._mgr.close()
+
+    def _sync_up(self):
+        from .. import storage
+        from ..storage.gcs import get_client, split_gcs_path
+        bucket, prefix = split_gcs_path(self._remote)
+        if prefix and not prefix.endswith("/"):
+            prefix += "/"
+        items, _ = get_client().list(bucket, prefix)
+        remote = {it["name"][len(prefix):] for it in items}
+        local = set()
+        for root, _dirs, files in os.walk(self._local):
+            rel = os.path.relpath(root, self._local)
+            for fn in files:
+                if fn.endswith((".lock", ".tmp")):
+                    continue
+                local.add(fn if rel == "." else
+                          f"{rel.replace(os.sep, '/')}/{fn}")
+        for name in sorted(local - remote):
+            with open(os.path.join(self._local, *name.split("/")),
+                      "rb") as f:
+                storage.write_bytes(f"gs://{bucket}/{prefix}{name}",
+                                    f.read())
+        for name in sorted(remote - local):  # pruned steps
+            get_client().delete(bucket, prefix + name)
