@@ -10,6 +10,11 @@ Catalog interface with two backends:
   (the hermetic stand-in recommended by SURVEY.md section 4)
 * SyntheticCatalog -- procedurally generated scenes, deterministic per
   (product, tile, scene index); used by tests and benchmarks
+* HTTPCatalog (catalog.http) -- a REMOTE scene service over plain
+  HTTP: same index schema, COG-style ranged windowed reads, bounded
+  retries, real ``processing_level`` asset selection -- the role the
+  DL API played for the reference (catalog/httpserver.py is the
+  hermetic server fixture)
 
 ``search`` returns scene metadata (date, cloud fraction); ``load``
 materialises a (S, H, W, B) stack + (S, H, W) validity mask windowed
@@ -18,10 +23,11 @@ compositing kernels (ops/compositing.py) do the rest.
 """
 
 from .base import Catalog, SceneMeta, set_default_catalog, get_default_catalog
+from .http import HTTPCatalog
 from .local import LocalCatalog
 from .synthetic import SyntheticCatalog
 
 __all__ = [
     "Catalog", "SceneMeta", "LocalCatalog", "SyntheticCatalog",
-    "set_default_catalog", "get_default_catalog",
+    "HTTPCatalog", "set_default_catalog", "get_default_catalog",
 ]

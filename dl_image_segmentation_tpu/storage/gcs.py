@@ -29,7 +29,8 @@ import urllib.parse
 import urllib.request
 from typing import Dict, List, Optional, Tuple
 
-__all__ = ["GCSClient", "get_client", "split_gcs_path", "GCSError"]
+__all__ = ["GCSClient", "get_client", "split_gcs_path", "GCSError",
+           "http_request"]
 
 _DEFAULT_ENDPOINT = "https://storage.googleapis.com"
 _RETRY_STATUSES = {408, 429, 500, 502, 503, 504}
@@ -54,6 +55,44 @@ def split_gcs_path(path: str) -> Tuple[str, str]:
     if not bucket:
         raise ValueError(f"gs:// path has no bucket: {path!r}")
     return bucket, name
+
+
+def http_request(method: str, url: str, data: Optional[bytes] = None,
+                 headers: Optional[Dict[str, str]] = None,
+                 ok_statuses: Tuple[int, ...] = (200,),
+                 max_attempts: int = _MAX_ATTEMPTS,
+                 timeout: float = 60.0
+                 ) -> Tuple[int, bytes, Dict[str, str]]:
+    """One HTTP call with bounded exponential-backoff retries on
+    transient failures (429/5xx + connection errors). Returns
+    (status, body, headers). Raises GCSError when the final status is
+    neither ok nor 404/416 (callers map those). Shared by the GCS
+    client and the HTTP scene catalog — the same transient-failure
+    discipline the reference's retry protocol assumed of its remote
+    service (_descartes_img_chips.py:589-593)."""
+    hdrs = dict(headers or {})
+    last_err: Optional[str] = None
+    last_status = 0
+    for attempt in range(max_attempts):
+        req = urllib.request.Request(url, data=data, method=method,
+                                     headers=hdrs)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, r.read(), dict(r.headers)
+        except urllib.error.HTTPError as e:
+            body = e.read()
+            if e.code in ok_statuses or e.code in (404, 416):
+                return e.code, body, dict(e.headers)
+            last_err = f"HTTP {e.code}: {body[:200]!r}"
+            last_status = e.code
+            if e.code not in _RETRY_STATUSES:
+                break
+        except (urllib.error.URLError, ConnectionError, OSError) as e:
+            last_err = f"{type(e).__name__}: {e}"
+            last_status = 0
+        time.sleep(_BACKOFF_BASE * (2 ** attempt))
+    raise GCSError(f"{method} {url} failed after retries: {last_err}",
+                   last_status)
 
 
 def _endpoint() -> str:
@@ -83,34 +122,12 @@ class GCSClient:
                  headers: Optional[Dict[str, str]] = None,
                  ok_statuses: Tuple[int, ...] = (200,),
                  ) -> Tuple[int, bytes, Dict[str, str]]:
-        """One HTTP call with bounded retries on transient failures.
-        Returns (status, body, headers). Raises GCSError when the final
-        status is neither ok nor 404/416 (callers map those)."""
         hdrs = dict(headers or {})
         if self.token:
             hdrs["Authorization"] = f"Bearer {self.token}"
-        last_err: Optional[str] = None
-        last_status = 0
-        for attempt in range(self.max_attempts):
-            req = urllib.request.Request(url, data=data, method=method,
-                                         headers=hdrs)
-            try:
-                with urllib.request.urlopen(req, timeout=60) as r:
-                    return r.status, r.read(), dict(r.headers)
-            except urllib.error.HTTPError as e:
-                body = e.read()
-                if e.code in ok_statuses or e.code in (404, 416):
-                    return e.code, body, dict(e.headers)
-                last_err = f"HTTP {e.code}: {body[:200]!r}"
-                last_status = e.code
-                if e.code not in _RETRY_STATUSES:
-                    break
-            except (urllib.error.URLError, ConnectionError, OSError) as e:
-                last_err = f"{type(e).__name__}: {e}"
-                last_status = 0
-            time.sleep(_BACKOFF_BASE * (2 ** attempt))
-        raise GCSError(f"{method} {url} failed after retries: {last_err}",
-                       last_status)
+        return http_request(method, url, data=data, headers=hdrs,
+                            ok_statuses=ok_statuses,
+                            max_attempts=self.max_attempts)
 
     def _obj_url(self, bucket: str, name: str, **params) -> str:
         q = urllib.parse.urlencode(params)
