@@ -650,3 +650,74 @@ class TestGPKGRobustness:
                + struct.pack("<i", 4326) + b"\x00" * 8)
         with pytest.raises(ValueError, match="envelope"):
             _parse_gpkg_geom(bad)
+
+
+class TestPublishedGoldens:
+    """External CRS validation: published UTM<->geographic benchmark
+    coordinates pinned as literals (NOT a second in-repo
+    implementation). Sources:
+
+    * GeographicLib GeoConvert man-page worked example
+      (lat 33.3, lon 44.4 -> '38n 444140.54 3684706.36').
+    * ICSM 'GDA Technical Manual' worked benchmarks Flinders Peak and
+      Buninyong (MGA94/GRS80; GRS80 and WGS84 differ by ~1e-10 in
+      flattening, sub-0.1 mm in these projected coordinates) --
+      Buninyong is published in BOTH zones 54 and 55, exercising a
+      far-from-central-meridian case.
+    * Defining constants of UTM on WGS84: E=500000/N=0 at any central
+      meridian x equator; the WGS84 quarter-meridian 10 001 965.7293 m
+      and the meridian arc to 45 deg, 4 984 944.378 m, scaled by
+      k0 = 0.9996 on the central meridian.
+    """
+
+    # (lon, lat, zone, easting, northing_equator_ref, tol_m)
+    FORWARD = [
+        # GeoConvert example (northern hemisphere, cm-published)
+        (44.4, 33.3, 38, 444140.54, 3684706.36, 0.01),
+        # Flinders Peak, MGA zone 55 (southern: N - 10,000,000)
+        (144 + 25 / 60 + 29.52440 / 3600,
+         -(37 + 57 / 60 + 3.72030 / 3600), 55,
+         273741.297, 5796489.777 - 10_000_000.0, 0.005),
+        # Buninyong in its own zone 54...
+        (143 + 55 / 60 + 35.38390 / 3600,
+         -(37 + 39 / 60 + 10.15610 / 3600), 54,
+         758173.797, 5828674.340 - 10_000_000.0, 0.005),
+        # ...and republished in zone 55 (far from the CM)
+        (143 + 55 / 60 + 35.38390 / 3600,
+         -(37 + 39 / 60 + 10.15610 / 3600), 55,
+         228854.052, 5828259.038 - 10_000_000.0, 0.005),
+        # defining anchors of the projection
+        (3.0, 0.0, 31, 500_000.0, 0.0, 1e-6),
+        (-75.0, 0.0, 18, 500_000.0, 0.0, 1e-6),
+        # meridian arc to 45 deg x k0 (published arc 4,984,944.378 m)
+        (3.0, 45.0, 31, 500_000.0, 0.9996 * 4_984_944.378, 0.002),
+        # quarter meridian x k0 (published 10,001,965.7293 m)
+        (3.0, 90.0, 31, 500_000.0, 0.9996 * 10_001_965.7293, 0.002),
+    ]
+
+    def test_forward_matches_published(self):
+        for lon, lat, zone, e_exp, n_exp, tol in self.FORWARD:
+            e, n = crs.lonlat_to_utm(lon, lat, zone)
+            assert abs(e - e_exp) < tol, (lon, lat, zone, e, e_exp)
+            assert abs(n - n_exp) < tol, (lon, lat, zone, n, n_exp)
+
+    def test_inverse_matches_published(self):
+        # ~1e-8 deg ~= 1 mm on the ground
+        for lon, lat, zone, e, n, tol in self.FORWARD[:4]:
+            lon2, lat2 = crs.utm_to_lonlat(e, n, zone)
+            assert abs(lon2 - lon) < 2e-8, (zone, lon2, lon)
+            assert abs(lat2 - lat) < 2e-8, (zone, lat2, lat)
+
+    def test_zone_selection_norway_svalbard(self):
+        """PROJ's documented +proj=utm zone exceptions."""
+        z = crs.utm_zone_from_lonlat
+        assert z(5.0, 60.0) == 32      # Norway 32V widening
+        assert z(5.0, 50.0) == 31      # ...only between 56N and 64N
+        assert z(5.0, 64.0) == 31
+        assert z(9.0, 79.0) == 33      # Svalbard bands
+        assert z(8.9, 79.0) == 31
+        assert z(21.0, 78.0) == 35
+        assert z(33.0, 75.0) == 37
+        assert z(0.0, 0.0) == 31
+        assert z(-180.0, 10.0) == 1
+        assert z(179.999, 10.0) == 60
