@@ -22,6 +22,7 @@ Preserved on-disk contracts:
 from __future__ import annotations
 
 import os
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -417,7 +418,7 @@ def stack_products_for_tile(ctx, products, bands_per_product,
 # label burning (reference :633-689)
 # ---------------------------------------------------------------------------
 
-def _label_features_px(ctx, layer, attrib_to_burn):
+def _label_features_px(ctx, layer, attrib_to_burn, candidates=None):
     """Project a WGS84 vector layer into the tile's pixel space:
     [(rings_px, value), ...] ready for ops.rasterize.
 
@@ -426,14 +427,23 @@ def _label_features_px(ctx, layer, attrib_to_burn):
     the canvas), and keeping them would pad the packed edge arrays of
     EVERY feature to the layer-wide maximum edge count -- quadratic
     memory on large label datasets, where a 68 px tile sees only a
-    handful of its 10^5 features."""
+    handful of its 10^5 features.
+
+    ``candidates``: optional ascending feature indices (from the
+    layer's BBoxGrid spatial index) -- only these are projected, so a
+    big export pays O(features near the tile) per tile, not
+    O(all features) (GDAL filtered spatially inside RasterizeLayer for
+    the reference, _descartes_img_chips.py:682-685). Ascending order
+    preserves last-writer-wins burn ties."""
     # equator-referenced frame: lonlat_to_utm below returns negative
     # northings south of the equator (no false northing)
     gt = ctx.geotrans_equator
     zone = ctx.zone
     size = ctx.raster_size
     feats = []
-    for f in layer.features:
+    feature_list = layer.features if candidates is None else \
+        [layer.features[i] for i in candidates]
+    for f in feature_list:
         if attrib_to_burn:
             value = f.properties.get(attrib_to_burn)
             if value is None:
@@ -458,15 +468,69 @@ def _label_features_px(ctx, layer, attrib_to_burn):
     return feats
 
 
+_layer_cache_lock = threading.Lock()
+_layer_cache: dict = {}  # (path, layer_idx, mtime) -> (layer, BBoxGrid)
+_LAYER_CACHE_MAX = 4
+
+
+def _indexed_layer(label_data, layer_idx):
+    """(wgs84 layer, BBoxGrid) for a vector dataset path, parsed and
+    indexed ONCE per export (keyed by path+mtime): per-tile re-parsing
+    plus all-features projection was the O(features x tiles) cost the
+    verdict's 10^5-feature case hits. Non-path datasets (an in-memory
+    VectorDataset) skip the cache."""
+    from ..geo.spatialindex import BBoxGrid, feature_bboxes
+    key = None
+    if isinstance(label_data, str):
+        try:
+            mtime = os.stat(label_data).st_mtime_ns
+        except OSError:
+            mtime = 0
+        key = (os.path.abspath(label_data), layer_idx, mtime)
+        with _layer_cache_lock:
+            hit = _layer_cache.get(key)
+        if hit is not None:
+            return hit
+    ds = open_vector(label_data) if isinstance(label_data, str) \
+        else label_data
+    layer = ds.get_layer(layer_idx).to_wgs84()
+    grid = BBoxGrid(feature_bboxes(layer.features))
+    if key is not None:
+        with _layer_cache_lock:
+            _layer_cache[key] = (layer, grid)
+            while len(_layer_cache) > _LAYER_CACHE_MAX:
+                _layer_cache.pop(next(iter(_layer_cache)))
+    return layer, grid
+
+
+def _tile_lonlat_bbox(ctx):
+    """The padded tile's lon/lat bbox (corner + edge-midpoint samples;
+    meridian convergence bows UTM edges by far less than the margin)."""
+    x0, y0, x1, y1 = ctx.bounds
+    xs = np.array([x0, (x0 + x1) / 2, x1, x0, x1, x0,
+                   (x0 + x1) / 2, x1], np.float64)
+    ys = np.array([y0, y0, y0, (y0 + y1) / 2, (y0 + y1) / 2, y1, y1, y1],
+                  np.float64)
+    lon, lat = _crs.utm_to_lonlat(xs, ys, ctx.zone)
+    # margin ~ one pixel in degrees so border-touching features stay in
+    m = abs(ctx.resolution) / 100000.0
+    return (float(lon.min()) - m, float(lat.min()) - m,
+            float(lon.max()) + m, float(lat.max()) + m)
+
+
 def create_label_array_for_tile(ctx, label_data, attrib_to_burn=None,
                                 layer_idx=0, background_value=255
                                 ) -> np.ndarray:
     """Rasterise an OGR-style dataset onto the tile's padded grid with
     ALL_TOUCHED semantics (reference :633-689), as a device kernel
-    (ops/rasterize). Returns uint8 (H, W)."""
-    ds = open_vector(label_data)
-    layer = ds.get_layer(layer_idx).to_wgs84()
-    feats = _label_features_px(ctx, layer, attrib_to_burn)
+    (ops/rasterize). Returns uint8 (H, W). The layer is parsed and
+    spatially indexed once per process (see _indexed_layer); each tile
+    projects only the features its bbox can touch."""
+    layer, grid = _indexed_layer(label_data, layer_idx)
+    bbox = _tile_lonlat_bbox(ctx)
+    candidates = grid.query(*bbox)
+    feats = _label_features_px(ctx, layer, attrib_to_burn,
+                               candidates=candidates)
     size = ctx.raster_size
     return rasterize(feats, (size, size), background=background_value,
                      all_touched=True, dtype=np.uint8)
@@ -490,10 +554,11 @@ def create_chips_for_tile(job_details: DLTileJobConfig) -> tuple:
     bands = job_details.BANDS
     catalog = job_details.CATALOG
 
-    out_img_folder = os.path.join(out_base, "images")
-    out_lbl_folder = os.path.join(out_base, "labels")
-    os.makedirs(out_img_folder, exist_ok=True)
-    os.makedirs(out_lbl_folder, exist_ok=True)
+    from .. import storage
+    out_img_folder = storage.join(out_base, "images")
+    out_lbl_folder = storage.join(out_base, "labels")
+    storage.makedirs(out_img_folder, exist_ok=True)
+    storage.makedirs(out_lbl_folder, exist_ok=True)
 
     fn = dltile.key.replace(":", "#")
 
@@ -525,8 +590,8 @@ def create_chips_for_tile(job_details: DLTileJobConfig) -> tuple:
         layer_idx=job_details.LABEL_LYR_NUM,
         background_value=job_details.LABEL_NODATA_VALUE)
 
-    img_file = os.path.join(out_img_folder, fn) + ".tif"
-    lbl_file = os.path.join(out_lbl_folder, fn) + ".tif"
+    img_file = storage.join(out_img_folder, fn) + ".tif"
+    lbl_file = storage.join(out_lbl_folder, fn) + ".tif"
     # hemisphere-aware CRS: EPSG:326xx north / 327xx south with the
     # matching false-northing geotransform (Tile.geotrans), so chips
     # open correctly in standard GIS tools in both hemispheres
@@ -540,8 +605,11 @@ def create_chips_for_tile(job_details: DLTileJobConfig) -> tuple:
 
 def is_done(job_details: DLTileJobConfig) -> bool:
     """Idempotent-resume check: both chip files already exist (the
-    notebook's resume pattern, create nb cell 76)."""
+    notebook's resume pattern, create nb cell 76; works on gs://
+    output folders through the storage layer)."""
+    from .. import storage
     fn = job_details.DLTILE.key.replace(":", "#") + ".tif"
-    return (os.path.exists(os.path.join(job_details.OUTFOLDER, "images", fn))
-            and os.path.exists(
-                os.path.join(job_details.OUTFOLDER, "labels", fn)))
+    return (storage.exists(
+                storage.join(job_details.OUTFOLDER, "images", fn))
+            and storage.exists(
+                storage.join(job_details.OUTFOLDER, "labels", fn)))
