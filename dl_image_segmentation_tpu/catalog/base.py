@@ -92,7 +92,7 @@ def get_default_catalog() -> Catalog:
         "$DLSEG_CATALOG to a local catalog root")
 
 
-RESAMPLERS = ("near", "bilinear")
+RESAMPLERS = ("near", "bilinear", "cubic")
 
 
 def validate_resampler(name: str) -> None:
@@ -101,7 +101,34 @@ def validate_resampler(name: str) -> None:
     argument, _descartes_img_chips.py:483, 512-513)."""
     if name not in RESAMPLERS:
         raise ValueError(f"unknown resampler {name!r} "
-                         "(expected 'near' or 'bilinear')")
+                         "(expected 'near', 'bilinear' or 'cubic')")
+
+
+def _epsg_zone(epsg: Optional[int]) -> Optional[int]:
+    """UTM zone of an EPSG code (326xx north / 327xx south), else None."""
+    if epsg is None:
+        return None
+    e = int(epsg)
+    if 32601 <= e <= 32660:
+        return e - 32600
+    if 32701 <= e <= 32760:
+        return e - 32700
+    return None
+
+
+def _cubic_weights(t: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Keys cubic-convolution weights (a = -0.5, GDAL's 'cubic') for
+    the 4 taps at offsets -1, 0, +1, +2 around fractional position
+    ``t`` in [0, 1)."""
+    a = -0.5
+    t2 = t * t
+    t3 = t2 * t
+    # |x| in (1, 2): a|x|^3 - 5a|x|^2 + 8a|x| - 4a, at x = 1+t and 2-t
+    w0 = a * (t3 - 2.0 * t2 + t)                    # tap at -1 (x=1+t)
+    w1 = (a + 2.0) * t3 - (a + 3.0) * t2 + 1.0      # tap at 0
+    w2 = -(a + 2.0) * t3 + (2.0 * a + 3.0) * t2 - a * t  # tap at +1
+    w3 = a * (t2 - t3)                              # tap at +2 (x=2-t)
+    return w0, w1, w2, w3
 
 
 def equator_referenced_gt(gt: Sequence[float],
@@ -117,28 +144,76 @@ def equator_referenced_gt(gt: Sequence[float],
     return gt
 
 
+def reproject_bounds(bounds: Sequence[float], from_zone: int,
+                     to_zone: int, margin: float = 0.0) -> List[float]:
+    """[x0, y0, x1, y1] (equator-referenced UTM) re-expressed in
+    another zone's frame: 8 boundary samples through WGS84, min/maxed,
+    padded by ``margin`` metres (the curved image of a straight UTM
+    edge bows by far less than typical margins at scene scales).
+    Same-zone passes through with only the margin applied."""
+    x0, y0, x1, y1 = (float(v) for v in bounds)
+    if from_zone == to_zone:
+        return [x0 - margin, y0 - margin, x1 + margin, y1 + margin]
+    from ..geo import crs as _crs
+    xs = np.array([x0, (x0 + x1) / 2, x1, x0, x1, x0, (x0 + x1) / 2,
+                   x1], np.float64)
+    ys = np.array([y0, y0, y0, (y0 + y1) / 2, (y0 + y1) / 2, y1, y1,
+                   y1], np.float64)
+    lon, lat = _crs.utm_to_lonlat(xs, ys, from_zone)
+    tx, ty = _crs.lonlat_to_utm(lon, lat, to_zone)
+    return [float(np.min(tx)) - margin, float(np.min(ty)) - margin,
+            float(np.max(tx)) + margin, float(np.max(ty)) + margin]
+
+
+def bounds_in_tile_zone(bounds: Sequence[float], epsg: Optional[int],
+                        tile) -> List[float]:
+    """Scene bounds re-expressed in the tile's zone for search-time
+    bbox pruning (a pruning test must never falsely drop, hence the
+    cross-zone margin)."""
+    zone = _epsg_zone(epsg)
+    if zone is None or getattr(tile, "zone", None) is None \
+            or zone == tile.zone:
+        return list(bounds)
+    return reproject_bounds(bounds, zone, tile.zone, margin=200.0)
+
+
 def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
                      nodata: Optional[float] = None,
                      src_epsg: Optional[int] = None,
                      method: str = "near"
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Resample a source raster (H', W', B) with geotransform
-    ``src_gt`` (same UTM zone as the tile; pass ``src_epsg`` so a
-    southern false northing is normalized away) onto the tile's padded
-    grid. Returns (out (H, W, B), valid (H, W)).
+    ``src_gt`` onto the tile's padded grid. Returns
+    (out (H, W, B), valid (H, W)).
 
-    method: "near" (nearest neighbour) or "bilinear" (4-neighbour
+    CRS handling: pass ``src_epsg`` so (a) a southern false northing is
+    normalized away and (b) a source in a DIFFERENT UTM zone is warped
+    exactly — each target pixel centre maps tile-zone → WGS84 →
+    source-zone (Karney series both ways, sub-mm), then samples with
+    ``method``. The reference's server delivered scenes reprojected
+    onto any requested geocontext (_descartes_img_chips.py:617-627);
+    this is that capability client-side, so a zone-42 scene can serve
+    a zone-43 tile. Same-zone inputs keep the exact separable fast
+    path (bit-identical to previous behavior).
+
+    method: "near" (nearest neighbour), "bilinear" (4-neighbour
     weighted; a target pixel is valid only when every source pixel
     with NONZERO interpolation weight is in-bounds and not nodata --
     zero-weight corners are don't-care, so a source exactly aligned
     with the tile grid keeps its full extent; still conservative vs
-    GDAL's nodata-excluding weights, documented deviation). Matches
+    GDAL's nodata-excluding weights, documented deviation), or
+    "cubic" (4x4 Keys cubic convolution, a=-0.5 — GDAL's 'cubic';
+    edge taps clamp, any nodata tap invalidates the pixel). Matches
     the reference's resampler values passed to SceneCollection.mosaic
     (_descartes_img_chips.py:483, 512-513).
 
     This is the local equivalent of the server-side windowing/resample
     the DL API performed for ctx-shaped mosaics."""
     validate_resampler(method)
+    src_zone = _epsg_zone(src_epsg)
+    cross_zone = (src_zone is not None
+                  and getattr(tile, "zone", None) is not None
+                  and src_zone != tile.zone)
     src_gt = equator_referenced_gt(src_gt, src_epsg)
     n = tile.raster_size
     gt = tile.geotrans_equator
@@ -147,6 +222,16 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
     x = gt[0] + cols * gt[1]          # (W,)
     y = gt[3] + rows * gt[5]          # (H,)
     h_src, w_src = src.shape[:2]
+    if cross_zone or method == "cubic":
+        X, Y = np.meshgrid(x, y)      # (H, W) target centres
+        if cross_zone:
+            from ..geo import crs as _crs
+            lon, lat = _crs.utm_to_lonlat(X.ravel(), Y.ravel(),
+                                          tile.zone)
+            xs, ys = _crs.lonlat_to_utm(lon, lat, src_zone)
+            X = np.asarray(xs).reshape(n, n)
+            Y = np.asarray(ys).reshape(n, n)
+        return _sample_grid(src, src_gt, X, Y, nodata, method)
     if method == "bilinear":
         # fractional source pixel-CENTRE coordinates
         fx = (x - src_gt[0]) / src_gt[1] - 0.5                    # (W,)
@@ -198,4 +283,84 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
     if nodata is not None:
         valid = valid & ~np.all(out == nodata, axis=-1)
     out = np.where(valid[:, :, None], out, 0).astype(src.dtype)
+    return out, valid
+
+
+def _sample_grid(src: np.ndarray, src_gt: Sequence[float],
+                 X: np.ndarray, Y: np.ndarray,
+                 nodata: Optional[float], method: str
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample ``src`` at arbitrary per-pixel target coordinates
+    (X, Y) — the general path behind cross-zone warps and the cubic
+    kernel. Semantics per method mirror the separable fast paths in
+    resample_to_tile (same validity rules), they just accept full
+    (H, W) coordinate grids."""
+    h_src, w_src = src.shape[:2]
+    if method == "near":
+        sc = np.floor((X - src_gt[0]) / src_gt[1]).astype(np.int64)
+        sr = np.floor((Y - src_gt[3]) / src_gt[5]).astype(np.int64)
+        valid = (sc >= 0) & (sc < w_src) & (sr >= 0) & (sr < h_src)
+        out = src[np.clip(sr, 0, h_src - 1), np.clip(sc, 0, w_src - 1)]
+        if nodata is not None:
+            valid = valid & ~np.all(out == nodata, axis=-1)
+        out = np.where(valid[:, :, None], out, 0).astype(src.dtype)
+        return out, valid
+
+    fx = (X - src_gt[0]) / src_gt[1] - 0.5    # fractional CENTRE coords
+    fy = (Y - src_gt[3]) / src_gt[5] - 0.5
+    in_bounds = ((fy >= 0.0) & (fy <= h_src - 1.0)
+                 & (fx >= 0.0) & (fx <= w_src - 1.0))
+
+    if method == "bilinear":
+        r0 = np.clip(np.floor(fy).astype(np.int64), 0, max(h_src - 2, 0))
+        c0 = np.clip(np.floor(fx).astype(np.int64), 0, max(w_src - 2, 0))
+        wx = np.clip(fx - c0, 0.0, 1.0)[:, :, None]
+        wy = np.clip(fy - r0, 0.0, 1.0)[:, :, None]
+        r1 = np.minimum(r0 + 1, h_src - 1)
+        c1 = np.minimum(c0 + 1, w_src - 1)
+        q00 = src[r0, c0].astype(np.float64)
+        q01 = src[r0, c1].astype(np.float64)
+        q10 = src[r1, c0].astype(np.float64)
+        q11 = src[r1, c1].astype(np.float64)
+        res = (q00 * (1 - wx) * (1 - wy) + q01 * wx * (1 - wy)
+               + q10 * (1 - wx) * wy + q11 * wx * wy)
+        valid = in_bounds
+        if nodata is not None:
+            w00 = ((1 - wx) * (1 - wy))[:, :, 0]
+            w01 = (wx * (1 - wy))[:, :, 0]
+            w10 = ((1 - wx) * wy)[:, :, 0]
+            w11 = (wx * wy)[:, :, 0]
+            corner_nodata = (
+                ((w00 > 0) & np.all(q00 == nodata, axis=-1))
+                | ((w01 > 0) & np.all(q01 == nodata, axis=-1))
+                | ((w10 > 0) & np.all(q10 == nodata, axis=-1))
+                | ((w11 > 0) & np.all(q11 == nodata, axis=-1)))
+            valid = valid & ~corner_nodata
+        if np.issubdtype(src.dtype, np.integer):
+            res = np.rint(res)
+        out = np.where(valid[:, :, None], res, 0).astype(src.dtype)
+        return out, valid
+
+    # cubic: 4x4 Keys convolution around (r0, c0); edge taps clamp
+    r0 = np.floor(fy).astype(np.int64)
+    c0 = np.floor(fx).astype(np.int64)
+    ty = np.clip(fy - r0, 0.0, 1.0)
+    tx = np.clip(fx - c0, 0.0, 1.0)
+    wys = _cubic_weights(ty)
+    wxs = _cubic_weights(tx)
+    res = np.zeros(X.shape + (src.shape[2],), np.float64)
+    tap_nodata = np.zeros(X.shape, bool)
+    for j, wy in zip((-1, 0, 1, 2), wys):
+        rj = np.clip(r0 + j, 0, h_src - 1)
+        for i, wx in zip((-1, 0, 1, 2), wxs):
+            ci = np.clip(c0 + i, 0, w_src - 1)
+            q = src[rj, ci]
+            res += (wy * wx)[:, :, None] * q.astype(np.float64)
+            if nodata is not None:
+                tap_nodata |= np.all(q == nodata, axis=-1)
+    valid = in_bounds & ~tap_nodata
+    if np.issubdtype(src.dtype, np.integer):
+        finfo = np.iinfo(src.dtype)
+        res = np.clip(np.rint(res), finfo.min, finfo.max)
+    out = np.where(valid[:, :, None], res, 0).astype(src.dtype)
     return out, valid

@@ -17,9 +17,12 @@ index.json schema:
             }, ...]
         }}}
 
-Scene rasters carry their own geotransform + EPSG (our GeoTIFF tags)
-and must share the tile's UTM zone (cross-zone reprojection is handled
-at chip level by choosing tiles in the data's zone)."""
+Scene rasters carry their own geotransform + EPSG (our GeoTIFF tags).
+Scenes in a DIFFERENT UTM zone than the tile are warped exactly onto
+the tile grid at load time (per-pixel tile-zone -> WGS84 -> scene-zone
+lookup inside resample_to_tile), so a zone-42 scene can serve a
+zone-43 tile — the client-side equivalent of the reference server's
+any-geocontext reprojection (_descartes_img_chips.py:617-627)."""
 
 from __future__ import annotations
 
@@ -32,8 +35,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..raster.geotiff import read_geotiff
-from .base import (Catalog, SceneMeta, equator_referenced_gt,
-                   validate_resampler,
+from .base import (Catalog, SceneMeta, bounds_in_tile_zone,
+                   equator_referenced_gt, validate_resampler,
                    resample_to_tile)
 
 
@@ -152,10 +155,13 @@ class LocalCatalog(Catalog):
             # recorded (cheap), else one header-only read (no pixel
             # decode, and never through the scene LRU -- a full
             # read_geotiff here would LZW-decode every candidate scene
-            # and evict load()'s working set)
+            # and evict load()'s working set). Cross-zone scenes'
+            # bounds are re-expressed in the tile's zone first.
             b = s.get("bounds")
+            epsg = s.get("epsg")
             if b is None:
-                b = self._scene_bounds(s["path"])
+                b, epsg = self._scene_bounds(s["path"])
+            b = bounds_in_tile_zone(b, epsg, tile)
             if b[2] < tx0 or b[0] > tx1 or b[3] < ty0 or b[1] > ty1:
                 continue
             out.append(SceneMeta(s["id"], product, date, cf, s["path"],
@@ -193,8 +199,9 @@ class LocalCatalog(Catalog):
         return np.stack(stacks), np.stack(valids)
 
     def _scene_bounds(self, rel_path: str):
-        """Equator-referenced [x0, y0, x1, y1] from the GeoTIFF header
-        only (tags, no pixel decode); memoized per path."""
+        """(equator-referenced [x0, y0, x1, y1] in the SCENE's zone,
+        epsg) from the GeoTIFF header only (tags, no pixel decode);
+        memoized per path."""
         with self._lock:
             cached = self._bounds_cache.get(rel_path)
         if cached is not None:
@@ -203,8 +210,8 @@ class LocalCatalog(Catalog):
         with open(os.path.join(self.root, rel_path), "rb") as f:
             info = decode_geotiff_info(f.read())
         gt = equator_referenced_gt(info.geotransform, info.epsg)
-        b = [gt[0], gt[3] + info.height * gt[5],
-             gt[0] + info.width * gt[1], gt[3]]
+        b = ([gt[0], gt[3] + info.height * gt[5],
+              gt[0] + info.width * gt[1], gt[3]], info.epsg)
         with self._lock:
             self._bounds_cache[rel_path] = b
         return b
