@@ -25,14 +25,13 @@ class UnsupportedFormatError(ValueError):
 
     Supported matrix: GeoTIFF incl. BigTIFF (LZW/Deflate/PackBits/
     uncompressed, tiled + striped,
-    uint8/uint16/int16/uint32/float32/float64), PNG, JPEG, BMP; GIF
-    decode-only.
+    uint8/uint16/int16/uint32/float32/float64), PNG, JPEG,
+    JPEG 2000 (JP2/J2K incl. GeoJP2/GMLJP2 georeferencing — the
+    Sentinel-2 distribution format), BMP; GIF decode-only.
     """
 
 
 _KNOWN_MAGICS = (
-    (b"\x00\x00\x00\x0cjP  ", "JPEG 2000 (JP2)"),
-    (b"\xff\x4f\xff\x51", "JPEG 2000 codestream (J2K)"),
     (b"\x89HDF\r\n\x1a\n", "HDF5"),
     (b"\x0e\x03\x13\x01", "HDF4"),
     (b"CDF\x01", "NetCDF classic"),
@@ -58,8 +57,8 @@ def _unsupported(data: bytes) -> UnsupportedFormatError:
     name = _identify_unsupported(data)
     return UnsupportedFormatError(
         f"unsupported raster format: {name}. Supported formats: "
-        "GeoTIFF, PNG, JPEG, BMP (GIF decode-only); convert other "
-        "containers (e.g. with gdal_translate) before ingestion.")
+        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP (GIF decode-only); convert "
+        "other containers (e.g. with gdal_translate) before ingestion.")
 
 
 def _is_png(data: bytes) -> bool:
@@ -162,6 +161,12 @@ def decode_image_bytes(data: bytes) -> GeoTIFF:
     (rasterio MemoryFile, _img_to_tf_mp.py:45-53). Returns bands-last."""
     if _is_tiff(data):
         return decode_geotiff(data)
+    from .jp2 import is_jp2
+    if is_jp2(data):
+        # Sentinel-2's native format: OpenJPEG decode via PIL
+        # (GIL-releasing), GeoJP2/GMLJP2 georeferencing parsed in-repo
+        from .jp2 import decode_jp2
+        return decode_jp2(data)
     if _is_png(data) or _is_jpeg(data) or _is_bmp(data) or _is_gif(data):
         if _is_png(data):
             # libdeflate fast path (the training-feed hot lane);
@@ -235,6 +240,10 @@ def sniff_image_info(data: bytes) -> RasterInfo:
     if _is_tiff(data):
         from .geotiff import decode_geotiff_info
         return decode_geotiff_info(data)
+    from .jp2 import is_jp2
+    if is_jp2(data):
+        from .jp2 import sniff_jp2_info
+        return sniff_jp2_info(data)
     if _is_bmp(data):
         import struct
         w, h = struct.unpack("<ii", data[18:26])

@@ -1,0 +1,187 @@
+"""JPEG 2000 ingestion (raster/jp2.py): lossless Sentinel-2-profile
+roundtrips, GeoJP2 + GMLJP2 georeferencing, header-only sniffing, and
+the full chips->TFRecords->parse journey on .jp2 chip folders — the
+format the reference ingested via rasterio/GDAL's universal decode
+(_img_to_tf_mp.py:45-53) and this framework previously rejected."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from dl_image_segmentation_tpu.raster.image import (decode_image_bytes,
+                                                    sniff_image_info)
+from dl_image_segmentation_tpu.raster.jp2 import (decode_jp2, encode_jp2,
+                                                  is_jp2, sniff_jp2_info)
+
+GT = (272000.0, 10.0, 0.0, 2115000.0, 0.0, -10.0)
+
+
+def _gml_wrap(plain: bytes, xml: bytes) -> bytes:
+    box = struct.pack(">I", 8 + len(xml)) + b"xml " + xml
+    hdr = plain.rfind(b"jp2c") - 4
+    return plain[:hdr] + box + plain[hdr:]
+
+
+class TestJP2Codec:
+    def test_uint16_lossless_roundtrip_with_geojp2(self):
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 4096, (64, 48)).astype(np.uint16)  # 12-bit
+        data = encode_jp2(a, geotransform=GT, epsg=32643, nodata=0)
+        assert is_jp2(data)
+        g = decode_image_bytes(data)  # dispatch, not direct call
+        assert g.array.dtype == np.uint16
+        np.testing.assert_array_equal(g.array[:, :, 0], a)
+        assert g.info.epsg == 32643
+        assert tuple(g.info.geotransform) == GT
+        assert g.info.nodata == 0
+
+    def test_uint8_rgb_lossless(self):
+        rng = np.random.RandomState(1)
+        b = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+        g = decode_jp2(encode_jp2(b))
+        np.testing.assert_array_equal(g.array, b)
+
+    def test_gmljp2_sentinel2_style(self):
+        a = np.arange(24 * 24, dtype=np.uint16).reshape(24, 24)
+        xml = (b'<gml:FeatureCollection>'
+               b'<gml:RectifiedGrid srsName="urn:ogc:def:crs:EPSG::32643">'
+               b'<gml:origin><gml:Point><gml:pos>272000 2115000</gml:pos>'
+               b'</gml:Point></gml:origin>'
+               b'<gml:offsetVector srsName="x">10 0</gml:offsetVector>'
+               b'<gml:offsetVector srsName="x">0 -10</gml:offsetVector>'
+               b'</gml:RectifiedGrid></gml:FeatureCollection>')
+        data = _gml_wrap(encode_jp2(a), xml)
+        info = sniff_jp2_info(data)
+        assert tuple(info.geotransform) == GT
+        assert info.epsg == 32643
+        g = decode_jp2(data)
+        np.testing.assert_array_equal(g.array[:, :, 0], a)
+        assert g.info.epsg == 32643
+
+    def test_sniff_matches_decode_without_pixels(self):
+        rng = np.random.RandomState(2)
+        a = rng.randint(0, 60000, (40, 56)).astype(np.uint16)
+        data = encode_jp2(a, geotransform=GT, epsg=32643)
+        info = sniff_image_info(data)  # dispatch
+        assert (info.height, info.width, info.count) == (40, 56, 1)
+        assert info.dtype == "uint16"
+        assert info.epsg == 32643
+
+    def test_raw_codestream_decodes(self):
+        # strip the JP2 container: raw J2K codestream also dispatches
+        a = np.arange(16 * 16, dtype=np.uint16).reshape(16, 16)
+        data = encode_jp2(a)
+        from dl_image_segmentation_tpu.raster.jp2 import _find_codestream
+        off, ln = _find_codestream(data)
+        cs = data[off:off + ln]
+        assert is_jp2(cs)
+        g = decode_image_bytes(cs)
+        np.testing.assert_array_equal(g.array[:, :, 0], a)
+
+
+def make_jp2_dataset(root, n=6, size=24, seed=3):
+    """Sentinel-2-style chip folder: single-band 12-bit .jp2 images,
+    uint8 .jp2 labels, DLTile-key filenames."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    truth = {}
+    for i in range(n):
+        key = f"{size}:2:10.0:43:{-700 + i}:8410"
+        fn = key.replace(":", "#") + ".jp2"
+        img = rng.randint(0, 4096, (size, size)).astype(np.uint16)
+        lbl = rng.randint(0, 3, (size, size)).astype(np.uint8)
+        gt = (272000.0 + i * 240, 10.0, 0.0, 2115000.0, 0.0, -10.0)
+        with open(os.path.join(root, "images", fn), "wb") as f:
+            f.write(encode_jp2(img, geotransform=gt, epsg=32643))
+        with open(os.path.join(root, "labels", fn), "wb") as f:
+            f.write(encode_jp2(lbl, geotransform=gt, epsg=32643,
+                               nodata=255))
+        truth[key] = (img, lbl)
+    return truth
+
+
+class TestJP2Pipeline:
+    def test_jp2_chips_to_tifarr_records(self, tmp_path):
+        """The verdict's acceptance: a Sentinel-2-style JP2 chip
+        round-trips into decoded-array (tifarr) records."""
+        from dl_image_segmentation_tpu.records import parsers
+        from dl_image_segmentation_tpu.records.tfrecord import \
+            read_records
+        from dl_image_segmentation_tpu.records.writers import \
+            images_to_tfrecords_mp
+
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_jp2_dataset(root)
+        n = images_to_tfrecords_mp("s2jp2", root, out, num_shards=2,
+                                   num_proc=1, file_ext="jp2",
+                                   store_as_array=True)
+        assert n == len(truth)
+        seen = set()
+        import glob
+        for s in sorted(glob.glob(os.path.join(out, "s2jp2-*"))):
+            for rec in read_records(s):
+                img, lbl, ident = \
+                    parsers.parse_higher_dtype_array_proto(rec)
+                key = ident.decode()
+                exp_img, exp_lbl = truth[key]
+                np.testing.assert_array_equal(img[:, :, 0], exp_img)
+                np.testing.assert_array_equal(lbl, exp_lbl)
+                seen.add(key)
+        assert seen == set(truth)
+
+    def test_jp2_raw_bytes_mode_and_gdal_parser(self, tmp_path):
+        """Raw-bytes mode stores the encoded .jp2 payload (validated
+        by header sniff only); the GDAL-equivalent parser decodes it
+        back — the reference's tifraw journey on JP2."""
+        from dl_image_segmentation_tpu.records import parsers
+        from dl_image_segmentation_tpu.records.tfrecord import \
+            read_records
+        from dl_image_segmentation_tpu.records.writers import \
+            images_to_tfrecords_mp
+
+        root = str(tmp_path / "chips")
+        out = str(tmp_path / "recs")
+        truth = make_jp2_dataset(root, n=4)
+        n = images_to_tfrecords_mp("raw", root, out, num_shards=1,
+                                   num_proc=1, file_ext="jp2",
+                                   store_as_array=False,
+                                   dltile_from_filename=False)
+        assert n == 4
+        import glob
+        recs = list(read_records(
+            glob.glob(os.path.join(out, "raw-*"))[0]))
+        assert len(recs) == 4
+        img, lbl, ident = parsers.parse_encoded_gdal_proto_eager(recs[0])
+        assert img.dtype == np.uint16 and img.shape == (24, 24, 1)
+        # identifier carries georeferencing: name|gt|crs
+        parts = ident.decode().split("|")
+        assert parts[0].endswith(".jp2") and "EPSG:32643" in parts[2]
+        key = parts[0].rsplit(".", 1)[0].replace("#", ":")
+        np.testing.assert_array_equal(img[:, :, 0], truth[key][0])
+
+    def test_convert_jp2_to_png_for_mt_engine(self, tmp_path):
+        """The documented pre-conversion flow: 8-bit JP2 chips convert
+        to PNG pairs for the MT engine."""
+        from dl_image_segmentation_tpu.pipeline.convert import \
+            convert_chip_folder
+        from dl_image_segmentation_tpu.raster.image import decode_png
+
+        root = str(tmp_path / "chips")
+        rng = np.random.RandomState(5)
+        os.makedirs(os.path.join(root, "images"))
+        os.makedirs(os.path.join(root, "labels"))
+        img = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+        lbl = rng.randint(0, 2, (16, 16)).astype(np.uint8)
+        for sub, arr in (("images", img), ("labels", lbl)):
+            with open(os.path.join(root, sub, "a#1.jp2"), "wb") as f:
+                f.write(encode_jp2(arr))
+        out = str(tmp_path / "png")
+        res = convert_chip_folder(root, out, file_ext="jp2", to="png")
+        assert res == 2 or getattr(res, "converted", None) == 2 \
+            or os.path.exists(os.path.join(out, "images", "a#1.png"))
+        with open(os.path.join(out, "images", "a#1.png"), "rb") as f:
+            np.testing.assert_array_equal(decode_png(f.read()), img)

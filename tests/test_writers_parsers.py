@@ -329,15 +329,16 @@ class TestAtomicAndResume:
 
 class TestFormatGuardrails:
     """Unsupported containers fail loudly by NAME (VERDICT r1 #8); the
-    writer summary reports skip counts."""
+    writer summary reports skip counts. (JP2 moved OUT of this class
+    in round 4: it is now a supported format, tests/test_jp2.py.)"""
 
-    JP2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 64
+    HDF = b"\x89HDF\r\n\x1a\n" + b"\x00" * 64
 
     def test_sniff_names_the_format(self):
         from dl_image_segmentation_tpu.raster.image import (
             UnsupportedFormatError, sniff_image_info)
-        with pytest.raises(UnsupportedFormatError, match="JPEG 2000"):
-            sniff_image_info(self.JP2)
+        with pytest.raises(UnsupportedFormatError, match="HDF5"):
+            sniff_image_info(self.HDF)
         with pytest.raises(UnsupportedFormatError, match="NetCDF"):
             sniff_image_info(b"CDF\x01" + b"\x00" * 32)
         with pytest.raises(UnsupportedFormatError, match="VRT"):
@@ -346,8 +347,8 @@ class TestFormatGuardrails:
     def test_decode_names_the_format(self):
         from dl_image_segmentation_tpu.raster.image import (
             UnsupportedFormatError, decode_image_bytes)
-        with pytest.raises(UnsupportedFormatError, match="JPEG 2000"):
-            decode_image_bytes(self.JP2)
+        with pytest.raises(UnsupportedFormatError, match="HDF5"):
+            decode_image_bytes(self.HDF)
 
     def test_writer_summary_reports_skips(self, tmp_path, capsys):
         from dl_image_segmentation_tpu.raster.image import encode_png
@@ -357,8 +358,8 @@ class TestFormatGuardrails:
         rng = np.random.RandomState(0)
         for i in range(3):
             name = f"64#0#10.0#43#-{i}#5.tif"
-            if i == 0:  # one JP2 masquerading under .tif
-                (root / "images" / name).write_bytes(self.JP2)
+            if i == 0:  # one HDF5 blob masquerading under .tif
+                (root / "images" / name).write_bytes(self.HDF)
             else:
                 img = rng.randint(0, 255, (16, 16, 3), np.uint8)
                 (root / "images" / name).write_bytes(encode_png(img))
@@ -370,7 +371,7 @@ class TestFormatGuardrails:
         assert n == 2
         out = capsys.readouterr().out
         assert "1 file(s) skipped" in out
-        assert "JPEG 2000" in out
+        assert "HDF5" in out
 
 
 class TestGraphModeParsers:
