@@ -864,14 +864,19 @@ def main(argv=None) -> int:
                          "all-gathers params at use, reduce-scatters "
                          "grads; ~n_data-fold less param/opt HBM per "
                          "device)")
-    tr.add_argument("--s2d", type=int, default=1,
+    tr.add_argument("--s2d", type=int, default=0,
                     help="space-to-depth block (unet only): run every "
                          "conv at 1/s2d the spatial size with pixels "
                          "folded into channels + a sub-pixel logits "
                          "head. Fixes the measured MXU lane-padding "
                          "tax on small-channel 256^2 convs (HBM-bound "
-                         "shapes). Different param tree: checkpoints "
-                         "are s2d-specific")
+                         "shapes). Default 0 = AUTO: the equal-FLOPs "
+                         "s2d=2 packing at narrow HBM-bound shapes "
+                         "(features<=48, image>=128; 1.39x measured), "
+                         "classic tree elsewhere; restore detects a "
+                         "checkpoint of the other variant and adapts. "
+                         "1 forces classic; >1 is the explicit "
+                         "round-3 tree (features taken as-is)")
     tr.add_argument("--remat", action="store_true",
                     help="rematerialise activations in the backward "
                          "pass (more FLOPs, much less HBM)")
@@ -968,9 +973,12 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", type=int, default=8)
     pr.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
-    pr.add_argument("--s2d", type=int, default=1,
-                    help="space-to-depth block (unet only); must "
-                         "match the checkpoint's training --s2d")
+    pr.add_argument("--s2d", type=int, default=0,
+                    help="space-to-depth block (unet only); default "
+                         "0 = auto (matches the train default and "
+                         "auto-detects the checkpoint's variant on "
+                         "restore); set explicitly only to pin a "
+                         "non-default tree")
     pr.add_argument("--quantize", default="none",
                     choices=["none", "int8"],
                     help="int8 = s8 MXU convolutions with dynamic "
@@ -1027,9 +1035,12 @@ def main(argv=None) -> int:
     sv.add_argument("--batch-size", type=int, default=8)
     sv.add_argument("--model", default="unet",
                     choices=["unet", "deeplab", "segformer"])
-    sv.add_argument("--s2d", type=int, default=1,
-                    help="space-to-depth block (unet only); must "
-                         "match the checkpoint's training --s2d")
+    sv.add_argument("--s2d", type=int, default=0,
+                    help="space-to-depth block (unet only); default "
+                         "0 = auto (matches the train default and "
+                         "auto-detects the checkpoint's variant on "
+                         "restore); set explicitly only to pin a "
+                         "non-default tree")
     sv.add_argument("--quantize", default="none",
                     choices=["none", "int8"],
                     help="int8 = s8 MXU convolutions with dynamic "
@@ -1070,9 +1081,12 @@ def main(argv=None) -> int:
                     help="validate TFRecord frame CRCs while feeding "
                          "(array modes would otherwise accept corrupt "
                          "payloads that reshape cleanly)")
-    ev.add_argument("--s2d", type=int, default=1,
-                    help="space-to-depth block (unet only); must "
-                         "match the checkpoint's training --s2d")
+    ev.add_argument("--s2d", type=int, default=0,
+                    help="space-to-depth block (unet only); default "
+                         "0 = auto (matches the train default and "
+                         "auto-detects the checkpoint's variant on "
+                         "restore); set explicitly only to pin a "
+                         "non-default tree")
     ev.add_argument("--quantize", default="none",
                     choices=["none", "int8"],
                     help="int8 = s8 MXU convolutions with dynamic "

@@ -109,3 +109,102 @@ def test_s2d_rejects_bad_configs():
     with pytest.raises(ValueError, match="divide"):
         Trainer(TrainConfig(model="unet", s2d=3, image_size=64,
                             base_features=8, levels=2))
+
+
+class TestS2dAuto:
+    """s2d=0 (the new default) auto-selects the equal-FLOPs packing at
+    the measured HBM-bound regime, leaves everything else classic, and
+    migrates across checkpoint variants on restore (VERDICT r3 #3)."""
+
+    def test_auto_resolves_classic_at_small_shapes(self):
+        tr = Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                 base_features=8, levels=1,
+                                 image_size=32, batch_size=8))
+        assert tr.s2d == 1 and tr.model_features == 8
+        explicit = Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                       base_features=8, levels=1,
+                                       image_size=32, batch_size=8,
+                                       s2d=1))
+        assert jax.tree_util.tree_structure(tr.state.params) \
+            == jax.tree_util.tree_structure(explicit.state.params)
+
+    def test_auto_resolves_packed_at_hbm_bound_shapes(self):
+        tr = Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                 base_features=4, levels=1,
+                                 image_size=128, batch_size=8))
+        assert tr.s2d == 2 and tr.model_features == 8
+        # equal-FLOPs tree == the explicit round-3 (s2d=2, 2x features)
+        explicit = Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                       base_features=8, levels=1,
+                                       image_size=128, batch_size=8,
+                                       s2d=2))
+        assert jax.tree_util.tree_structure(tr.state.params) \
+            == jax.tree_util.tree_structure(explicit.state.params)
+        # io contract unchanged
+        x = np.random.RandomState(0).rand(8, 128, 128, 3).astype(
+            np.float32)
+        assert tr.predict(x).shape == (8, 128, 128)
+
+    def test_auto_never_packs_wide_models(self):
+        tr = Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                 base_features=64, levels=1,
+                                 image_size=128, batch_size=8))
+        assert tr.s2d == 1 and tr.model_features == 64
+
+    def test_restore_migrates_classic_checkpoint_under_auto(self,
+                                                            tmp_path):
+        """A pre-auto (classic s2d=1) checkpoint restores with the
+        SAME command line under the new auto default."""
+        cfg_old = TrainConfig(num_classes=2, in_channels=3,
+                              base_features=4, levels=1,
+                              image_size=128, batch_size=8,
+                              precision="fp32", s2d=1)
+        old = Trainer(cfg_old)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(8, 128, 128, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 128, 128)).astype(np.int32)
+        old.train_step(imgs, lbls)
+        old.save_checkpoint(str(tmp_path / "old"))
+        pred_old = old.predict(imgs)
+
+        cfg_auto = TrainConfig(num_classes=2, in_channels=3,
+                               base_features=4, levels=1,
+                               image_size=128, batch_size=8,
+                               precision="fp32")  # s2d defaults to auto
+        tr = Trainer(cfg_auto)
+        assert tr.s2d == 2  # auto picked the packed tree first
+        tr.restore_checkpoint(str(tmp_path / "old"))
+        assert tr.s2d == 1  # migrated to the checkpoint's variant
+        assert int(tr.state.step) == 1
+        np.testing.assert_array_equal(tr.predict(imgs), pred_old)
+
+    def test_auto_checkpoint_restores_under_auto(self, tmp_path):
+        cfg = TrainConfig(num_classes=2, in_channels=3,
+                          base_features=4, levels=1, image_size=128,
+                          batch_size=8, precision="fp32")
+        a = Trainer(cfg)
+        rng = np.random.RandomState(1)
+        imgs = rng.rand(8, 128, 128, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 128, 128)).astype(np.int32)
+        a.train_step(imgs, lbls)
+        a.save_checkpoint(str(tmp_path / "auto"))
+        b = Trainer(cfg)
+        b.restore_checkpoint(str(tmp_path / "auto"))
+        assert b.s2d == 2
+        np.testing.assert_array_equal(b.predict(imgs), a.predict(imgs))
+
+    def test_explicit_mismatch_still_fails_loudly(self, tmp_path):
+        cfg1 = TrainConfig(num_classes=2, in_channels=3,
+                           base_features=4, levels=1, image_size=128,
+                           batch_size=8, precision="fp32", s2d=1)
+        t1 = Trainer(cfg1)
+        rng = np.random.RandomState(2)
+        t1.train_step(rng.rand(8, 128, 128, 3).astype(np.float32),
+                      rng.randint(0, 2, (8, 128, 128)).astype(np.int32))
+        t1.save_checkpoint(str(tmp_path / "c"))
+        t2 = Trainer(TrainConfig(num_classes=2, in_channels=3,
+                                 base_features=4, levels=1,
+                                 image_size=128, batch_size=8,
+                                 precision="fp32", s2d=2))
+        with pytest.raises(Exception):
+            t2.restore_checkpoint(str(tmp_path / "c"))

@@ -295,7 +295,10 @@ def _mfu_one(precision: str, base_features: int = 32,
                       precision=precision, s2d=s2d)
     trainer = Trainer(cfg)
     key = f"train_{precision}"
-    if s2d != 1:
+    if s2d == 0:
+        key += f"_auto"
+        out[f"{key}_s2d_resolved"] = trainer.s2d
+    elif s2d != 1:
         key += f"_s2d{s2d}"
     if base_features != 32:
         key += f"_w{base_features}"
@@ -363,6 +366,14 @@ def mfu_w128():
 def mfu_b32():
     # batch ladder at the judge width: 4x the per-step GEMM M dim
     return _mfu_one("bf16", batch_size=32, k_small=30, k_long=600)
+
+
+def mfu_auto():
+    """The OUT-OF-THE-BOX judge shape (bf=32, 256^2, batch 8) under
+    the round-4 default s2d=0 (auto): the trainer must pick the
+    equal-FLOPs s2d=2 packing and train <= ~19 ms/step (VERDICT r3
+    #3 acceptance)."""
+    return _mfu_one("bf16", s2d=0, k_small=50, k_long=1500)
 
 
 def mfu_s2d():
@@ -711,6 +722,7 @@ SECTIONS = {
     "feed": feed_duty,
     "duty": duty_cycle,
     "mfu_s2d": mfu_s2d,
+    "mfu_auto": mfu_auto,
     "mfu_s2d_w64": mfu_s2d_w64,
     "layout_probe": layout_probe,
     "inference": inference_throughput,
