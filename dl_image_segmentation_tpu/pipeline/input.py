@@ -170,7 +170,12 @@ class TFRecordFeed:
                         except StopIteration:
                             break
                     try:
-                        img, lbl, _ident = self.parse(rec)
+                        # named span so a jax.profiler timeline shows
+                        # host decode overlapping device dispatch
+                        # windows (tpu_evidence trace_overlap section);
+                        # a no-op TraceMe when no trace is active
+                        with jax.profiler.TraceAnnotation("feed.parse"):
+                            img, lbl, _ident = self.parse(rec)
                     except Exception:  # skip corrupt records, keep feeding
                         with lock:
                             self._parse_failures += 1
