@@ -177,6 +177,47 @@ def bounds_in_tile_zone(bounds: Sequence[float], epsg: Optional[int],
     return reproject_bounds(bounds, zone, tile.zone, margin=200.0)
 
 
+# extra source pixels around a tile window so interpolating
+# resamplers have real neighbours at the window edge (bilinear needs
+# 1, cubic needs 2)
+WINDOW_MARGIN = 2
+
+
+def load_scene_window(reader, info, tile, band_sel: Sequence[int],
+                      nodata: Optional[float], resampler: str
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """One scene -> the tile's padded grid through a WINDOWED reader
+    (raster/cog.py CogReader over HTTP ranges or a local file): only
+    the source pixels the tile touches are read/decoded. Shared by
+    HTTPCatalog and LocalCatalog's big-scene path. Cross-zone scenes
+    get the tile bounds re-expressed in THEIR zone first."""
+    sgt = equator_referenced_gt(info.geotransform, info.epsg)
+    src_zone = _epsg_zone(info.epsg) or getattr(tile, "zone", None)
+    if src_zone is not None and src_zone != tile.zone:
+        tx0, ty0, tx1, ty1 = reproject_bounds(
+            tile.bounds, tile.zone, src_zone, margin=50.0)
+    else:
+        src_zone = tile.zone
+        tx0, ty0, tx1, ty1 = tile.bounds
+    c0 = int(np.floor((tx0 - sgt[0]) / sgt[1])) - WINDOW_MARGIN
+    c1 = int(np.ceil((tx1 - sgt[0]) / sgt[1])) + WINDOW_MARGIN
+    r0 = int(np.floor((ty1 - sgt[3]) / sgt[5])) - WINDOW_MARGIN
+    r1 = int(np.ceil((ty0 - sgt[3]) / sgt[5])) + WINDOW_MARGIN
+    win, (oy, ox) = reader.read_window(r0, c0, r1, c1)
+    n = tile.raster_size
+    if win.size == 0:
+        return (np.zeros((n, n, len(band_sel)), win.dtype),
+                np.zeros((n, n), bool))
+    win_gt = (sgt[0] + ox * sgt[1], sgt[1], 0.0,
+              sgt[3] + oy * sgt[5], 0.0, sgt[5])
+    return resample_to_tile(
+        win[:, :, list(band_sel)], win_gt, tile, nodata=nodata,
+        # win_gt is already equator-referenced: the NORTH-equivalent
+        # epsg carries the zone for cross-zone warping without
+        # re-stripping a southern false northing
+        src_epsg=32600 + src_zone, method=resampler)
+
+
 def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
                      nodata: Optional[float] = None,
                      src_epsg: Optional[int] = None,

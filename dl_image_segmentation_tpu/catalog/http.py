@@ -44,16 +44,11 @@ import numpy as np
 
 from ..raster.cog import CogReader
 from ..storage.gcs import http_request
-from .base import (Catalog, SceneMeta, _epsg_zone, bounds_in_tile_zone,
-                   equator_referenced_gt, reproject_bounds,
-                   resample_to_tile, validate_resampler)
+from .base import (Catalog, SceneMeta, bounds_in_tile_zone,
+                   equator_referenced_gt, load_scene_window,
+                   validate_resampler)
 
 __all__ = ["HTTPCatalog"]
-
-# extra source pixels around the tile window so interpolating
-# resamplers have real neighbours at the window edge (bilinear needs
-# 1, cubic needs 2)
-_WINDOW_MARGIN = 2
 
 
 class HTTPCatalog(Catalog):
@@ -176,40 +171,11 @@ class HTTPCatalog(Catalog):
             info = reader.info
             band_names = self.bands(m.product)
             sel = [band_names.index(b) for b in bands]
-            sgt = equator_referenced_gt(info.geotransform, info.epsg)
-            # pixel window of the tile's padded bounds in the scene
-            # grid (+margin so interpolation has edge neighbours); a
-            # cross-zone scene gets the tile bounds re-expressed in
-            # ITS zone first (50 m covers the edge bowing)
-            src_zone = _epsg_zone(info.epsg) or tile.zone
-            if src_zone != tile.zone:
-                tx0, ty0, tx1, ty1 = reproject_bounds(
-                    tile.bounds, tile.zone, src_zone, margin=50.0)
-            else:
-                tx0, ty0, tx1, ty1 = tile.bounds
-            c0 = int(np.floor((tx0 - sgt[0]) / sgt[1])) - _WINDOW_MARGIN
-            c1 = int(np.ceil((tx1 - sgt[0]) / sgt[1])) + _WINDOW_MARGIN
-            r0 = int(np.floor((ty1 - sgt[3]) / sgt[5])) - _WINDOW_MARGIN
-            r1 = int(np.ceil((ty0 - sgt[3]) / sgt[5])) + _WINDOW_MARGIN
-            win, (oy, ox) = reader.read_window(r0, c0, r1, c1)
-            n = tile.raster_size
-            if win.size == 0:
-                stacks.append(np.zeros((n, n, len(bands)), info.dtype))
-                valids.append(np.zeros((n, n), bool))
-                continue
-            win_gt = (sgt[0] + ox * sgt[1], sgt[1], 0.0,
-                      sgt[3] + oy * sgt[5], 0.0, sgt[5])
             nodata = m.extra.get("nodata")
             if nodata is None:
                 nodata = info.nodata
-            out, valid = resample_to_tile(
-                win[:, :, sel], win_gt, tile, nodata=nodata,
-                # win_gt is already equator-referenced, so hand the
-                # NORTH-equivalent epsg through: it carries the zone
-                # for cross-zone warping without re-stripping a
-                # southern false northing
-                src_epsg=32600 + src_zone,
-                method=resampler)
+            out, valid = load_scene_window(reader, info, tile, sel,
+                                           nodata, resampler)
             stacks.append(out)
             valids.append(valid)
         if not stacks:

@@ -36,12 +36,19 @@ import numpy as np
 
 from ..raster.geotiff import read_geotiff
 from .base import (Catalog, SceneMeta, bounds_in_tile_zone,
-                   equator_referenced_gt, validate_resampler,
-                   resample_to_tile)
+                   equator_referenced_gt, load_scene_window,
+                   validate_resampler, resample_to_tile)
 
 
 class LocalCatalog(Catalog):
-    def __init__(self, root: str, cache_scenes: int = 16):
+    def __init__(self, root: str, cache_scenes: int = 16,
+                 window_bytes: int = 32 << 20):
+        """window_bytes: scene files at least this large are read
+        WINDOWED (raster/cog.py over pread ranges — only the internal
+        TIFF tiles a chip touches are decoded) instead of
+        whole-decoded into the LRU; a pod-scale export over 10,000²
+        scenes stays memory-bounded. Smaller scenes keep the
+        whole-decode LRU (one decode serves many tiles)."""
         self.root = root
         with open(os.path.join(root, "index.json"), "r",
                   encoding="utf-8") as f:
@@ -51,6 +58,8 @@ class LocalCatalog(Catalog):
         self._cache_order: List[str] = []
         self._cache_max = cache_scenes
         self._bounds_cache: Dict[str, list] = {}
+        self._window_bytes = window_bytes
+        self._readers: Dict[str, tuple] = {}  # path -> (reader, info)
 
     # -- write-side helper for building catalogs ------------------------
     @classmethod
@@ -176,14 +185,28 @@ class LocalCatalog(Catalog):
         stacks = []
         valids = []
         for m in scenes:
-            g = self._load_scene(m.path)
             # band indices resolved PER SCENE: a mixed-product scene
             # list must not inherit the first product's band order
             # (SyntheticCatalog.load resolves per scene too)
             band_names = self.bands(m.product)
             sel = [band_names.index(b) for b in bands]
-            arr = g.array[:, :, sel]
             nodata = m.extra.get("nodata")
+            full = os.path.join(self.root, m.path)
+            try:
+                big = os.path.getsize(full) >= self._window_bytes
+            except OSError:
+                big = False
+            if big:
+                reader, info = self._window_reader(m.path)
+                if nodata is None:
+                    nodata = info.nodata
+                out, valid = load_scene_window(reader, info, tile, sel,
+                                               nodata, resampler)
+                stacks.append(out)
+                valids.append(valid)
+                continue
+            g = self._load_scene(m.path)
+            arr = g.array[:, :, sel]
             if nodata is None:
                 nodata = g.info.nodata
             out, valid = resample_to_tile(arr, g.info.geotransform, tile,
@@ -215,6 +238,27 @@ class LocalCatalog(Catalog):
         with self._lock:
             self._bounds_cache[rel_path] = b
         return b
+
+    def _window_reader(self, rel_path: str):
+        """(CogReader over pread ranges, RasterInfo) for a big scene,
+        cached per path (the reader holds the parsed header; windowed
+        reads are stateless so one reader serves concurrent tiles)."""
+        with self._lock:
+            hit = self._readers.get(rel_path)
+        if hit is not None:
+            return hit
+        from ..raster.cog import CogReader
+        f = open(os.path.join(self.root, rel_path), "rb")
+
+        def fetch(start, length, _f=f):
+            # pread: positionless, safe under concurrent tile loads
+            return os.pread(_f.fileno(), length, start)
+
+        reader = CogReader(fetch)
+        pair = (reader, reader.info)
+        with self._lock:
+            self._readers.setdefault(rel_path, pair)
+            return self._readers[rel_path]
 
     # -- scene cache ------------------------------------------------------
     def _load_scene(self, rel_path: str):

@@ -254,3 +254,39 @@ class TestEndToEndExport:
             imgs = sorted(os.listdir(os.path.join(out_root, "images")))
             lbls = sorted(os.listdir(os.path.join(out_root, "labels")))
             assert imgs == lbls and len(imgs) == len(jobs)
+
+
+class TestLocalWindowedReads:
+    def test_big_scene_windowed_path_identical(self, catalog_root):
+        """LocalCatalog reads big scenes WINDOWED (pread + CogReader,
+        memory-bounded); results must be byte-identical to the
+        whole-decode path for every resampler."""
+        full = LocalCatalog(catalog_root)           # default threshold
+        windowed = LocalCatalog(catalog_root, window_bytes=1)
+        for resampler in ("near", "bilinear", "cubic"):
+            fs = full.search(TILE, "sentinel-2:L1C")
+            ws = windowed.search(TILE, "sentinel-2:L1C")
+            assert [m.scene_id for m in ws] == [m.scene_id for m in fs]
+            f_stack, f_valid = full.load(fs, TILE, ["red", "blue"],
+                                         resampler=resampler)
+            w_stack, w_valid = windowed.load(ws, TILE, ["red", "blue"],
+                                             resampler=resampler)
+            np.testing.assert_array_equal(w_stack, f_stack)
+            np.testing.assert_array_equal(w_valid, f_valid)
+
+    def test_windowed_cross_zone(self, tmp_path):
+        import datetime as dt
+        from test_crosszone import SRC_ZONE, _zone42_scene_for_tile
+        arr, gt = _zone42_scene_for_tile(TILE)
+        root = str(tmp_path / "cat")
+        cat = LocalCatalog.create(root)
+        cat.add_scene("p", ["col", "row"], "z42", dt.date(2020, 6, 1),
+                      arr, gt, epsg=32600 + SRC_ZONE)
+        full = LocalCatalog(root)
+        windowed = LocalCatalog(root, window_bytes=1)
+        f_stack, f_valid = full.load(full.search(TILE, "p"), TILE,
+                                     ["col", "row"])
+        w_stack, w_valid = windowed.load(windowed.search(TILE, "p"),
+                                         TILE, ["col", "row"])
+        np.testing.assert_array_equal(w_stack, f_stack)
+        np.testing.assert_array_equal(w_valid, f_valid)
