@@ -201,3 +201,28 @@ class TestRemoteCheckpoints:
             assert int(tr2.state.step) == 3
         finally:
             mgr2.close()
+
+
+class TestMultiHostRemote:
+    def test_two_host_partitioned_write_to_gs_equals_one_host(
+            self, fake, tmp_path):
+        """The multi-host data plane over cloud storage: two 'hosts'
+        writing their shard ranges to the same gs:// prefix produce
+        byte-identical objects to a single-host run (per-host shard
+        ownership, global shard numbering -- SURVEY.md section 2.3
+        P2 over the reference's gfile cloud transparency)."""
+        root = str(tmp_path / "chips")
+        make_png_dataset(root, n=12, size=16)
+        images_to_tfrecords_mt("mh", root, "gs://bucket/one",
+                               num_shards=4, num_threads=1)
+        for host in range(2):
+            images_to_tfrecords_mt("mh", root, "gs://bucket/two",
+                                   num_shards=4, num_threads=1,
+                                   host_index=host, host_count=2)
+        one = {k[1].split("/")[-1]: v for k, v in fake.objects.items()
+               if k[1].startswith("one/")}
+        two = {k[1].split("/")[-1]: v for k, v in fake.objects.items()
+               if k[1].startswith("two/")}
+        assert sorted(one) == sorted(two) and len(one) == 4
+        for name in one:
+            assert one[name] == two[name], name
