@@ -1,4 +1,7 @@
-"""LocalCatalog: GeoTIFF scenes on disk behind a JSON manifest.
+"""LocalCatalog: GeoTIFF scenes behind a JSON manifest — on local
+disk OR a gs:// prefix (all IO rides the storage layer, so a bucket
+of COG scenes is a catalog: big remote scenes are read by byte range,
+never downloaded whole).
 
 Layout:
     root/
@@ -49,10 +52,11 @@ class LocalCatalog(Catalog):
         whole-decoded into the LRU; a pod-scale export over 10,000²
         scenes stays memory-bounded. Smaller scenes keep the
         whole-decode LRU (one decode serves many tiles)."""
+        from .. import storage as _st
         self.root = root
-        with open(os.path.join(root, "index.json"), "r",
-                  encoding="utf-8") as f:
-            self._index = json.load(f)
+        self._st = _st
+        self._index = json.loads(_st.read_bytes(
+            _st.join(root, "index.json")).decode("utf-8"))
         self._lock = threading.Lock()
         self._cache: Dict[str, object] = {}
         self._cache_order: List[str] = []
@@ -64,11 +68,11 @@ class LocalCatalog(Catalog):
     # -- write-side helper for building catalogs ------------------------
     @classmethod
     def create(cls, root: str) -> "LocalCatalog":
-        os.makedirs(os.path.join(root, "scenes"), exist_ok=True)
-        idx = os.path.join(root, "index.json")
-        if not os.path.exists(idx):
-            with open(idx, "w", encoding="utf-8") as f:
-                json.dump({"products": {}}, f)
+        from .. import storage as _st
+        _st.makedirs(_st.join(root, "scenes"), exist_ok=True)
+        idx = _st.join(root, "index.json")
+        if not _st.exists(idx):
+            _st.write_bytes(idx, json.dumps({"products": {}}).encode())
         return cls(root)
 
     def add_scene(self, product: str, bands: Sequence[str],
@@ -78,8 +82,8 @@ class LocalCatalog(Catalog):
                   nodata: Optional[float] = None,
                   save_index: bool = True) -> None:
         from ..raster.geotiff import write_geotiff
-        rel = os.path.join("scenes", f"{scene_id}.tif")
-        write_geotiff(os.path.join(self.root, rel), array,
+        rel = f"scenes/{scene_id}.tif"
+        write_geotiff(self._st.join(self.root, rel), array,
                       geotransform=tuple(geotransform), epsg=epsg,
                       nodata=nodata)
         prods = self._index.setdefault("products", {})
@@ -101,9 +105,8 @@ class LocalCatalog(Catalog):
             self._save_index()
 
     def _save_index(self) -> None:
-        with open(os.path.join(self.root, "index.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump(self._index, f)
+        self._st.write_bytes(self._st.join(self.root, "index.json"),
+                             json.dumps(self._index).encode("utf-8"))
 
     def ingest_chips(self, product: str, bands: Sequence[str],
                      folder: str, date: _dt.date,
@@ -191,11 +194,7 @@ class LocalCatalog(Catalog):
             band_names = self.bands(m.product)
             sel = [band_names.index(b) for b in bands]
             nodata = m.extra.get("nodata")
-            full = os.path.join(self.root, m.path)
-            try:
-                big = os.path.getsize(full) >= self._window_bytes
-            except OSError:
-                big = False
+            big = self._scene_size(m.path) >= self._window_bytes
             if big:
                 reader, info = self._window_reader(m.path)
                 if nodata is None:
@@ -230,8 +229,8 @@ class LocalCatalog(Catalog):
         if cached is not None:
             return cached
         from ..raster.geotiff import decode_geotiff_info
-        with open(os.path.join(self.root, rel_path), "rb") as f:
-            info = decode_geotiff_info(f.read())
+        info = decode_geotiff_info(self._st.read_bytes(
+            self._st.join(self.root, rel_path)))
         gt = equator_referenced_gt(info.geotransform, info.epsg)
         b = ([gt[0], gt[3] + info.height * gt[5],
               gt[0] + info.width * gt[1], gt[3]], info.epsg)
@@ -239,20 +238,38 @@ class LocalCatalog(Catalog):
             self._bounds_cache[rel_path] = b
         return b
 
+    def _scene_size(self, rel_path: str) -> int:
+        full = self._st.join(self.root, rel_path)
+        try:
+            if self._st.is_remote(full):
+                from ..storage.gcs import get_client, split_gcs_path
+                b, n = split_gcs_path(full)
+                meta = get_client().stat(b, n)
+                return int(meta["size"]) if meta else 0
+            return os.path.getsize(full)
+        except OSError:
+            return 0
+
     def _window_reader(self, rel_path: str):
-        """(CogReader over pread ranges, RasterInfo) for a big scene,
+        """(CogReader over byte ranges, RasterInfo) for a big scene,
         cached per path (the reader holds the parsed header; windowed
-        reads are stateless so one reader serves concurrent tiles)."""
+        reads are stateless so one reader serves concurrent tiles).
+        Local files use pread; gs:// scenes use ranged GETs."""
         with self._lock:
             hit = self._readers.get(rel_path)
         if hit is not None:
             return hit
         from ..raster.cog import CogReader
-        f = open(os.path.join(self.root, rel_path), "rb")
+        full = self._st.join(self.root, rel_path)
+        if self._st.is_remote(full):
+            def fetch(start, length, _p=full, _st=self._st):
+                return _st.read_range(_p, start, start + length - 1)
+        else:
+            f = open(full, "rb")
 
-        def fetch(start, length, _f=f):
-            # pread: positionless, safe under concurrent tile loads
-            return os.pread(_f.fileno(), length, start)
+            def fetch(start, length, _f=f):
+                # pread: positionless, safe under concurrent tile loads
+                return os.pread(_f.fileno(), length, start)
 
         reader = CogReader(fetch)
         pair = (reader, reader.info)
@@ -265,7 +282,7 @@ class LocalCatalog(Catalog):
         with self._lock:
             if rel_path in self._cache:
                 return self._cache[rel_path]
-        g = read_geotiff(os.path.join(self.root, rel_path))
+        g = read_geotiff(self._st.join(self.root, rel_path))
         with self._lock:
             if rel_path not in self._cache:
                 self._cache[rel_path] = g

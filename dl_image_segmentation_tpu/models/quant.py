@@ -8,9 +8,12 @@ with extra elementwise passes. Measured end-to-end on the v5e
 (TPU_EVIDENCE.json inference sections, same float params):
 
 * bf=128 U-Net, compute-bound: **1.31x faster** than bf16
-  (13.8 vs 18.1 ms/batch; 223 TFLOP/s = 57% of the int8 peak);
-* bf=32 U-Net, HBM-bound: **0.59x** -- a net loss; the float path
-  stays the default and the right choice at narrow widths.
+  (13.85 vs 18.11 ms/batch; 223 TFLOP/s = 57% of the int8 peak);
+* bf=32 U-Net (the default shape, s2d-auto packed tree): **0.94x**
+  -- near parity but still no win; the float path stays the default
+  and the right choice at narrow widths. (Before the s2d-auto
+  default the narrow loss was 0.59x: packing shrinks the HBM tax the
+  dynamic-quant passes pay.)
 
 Use ``quantize="int8"`` for wide/compute-bound serving. This module
 provides ``Int8Conv``, a drop-in for ``flax.linen.Conv`` that:

@@ -96,9 +96,11 @@ class TestMosaics:
         assert arr.shape == (64, 64, 5)
 
     def test_stack_products_rejects_unknown_resampler(self, catalog):
+        # 'cubic' graduated to a real resampler in round 4; 'lanczos'
+        # is the unknown example now
         with pytest.raises(ValueError, match="resampler"):
             stack_products_for_tile(TILE, ["sentinel-2:L1C"],
-                                    ["red green"], resampler="cubic",
+                                    ["red green"], resampler="lanczos",
                                     catalog=catalog)
 
     def test_stack_products_accepts_bilinear(self, catalog):
@@ -190,7 +192,7 @@ class TestResample:
         from dl_image_segmentation_tpu.catalog.local import LocalCatalog
         cat = LocalCatalog.create(str(tmp_path / "cat"))
         with pytest.raises(ValueError, match="resampler"):
-            cat.load([], TILE, ["red"], resampler="cubic")
+            cat.load([], TILE, ["red"], resampler="lanczos")
 
 
 class TestLabelBurn:

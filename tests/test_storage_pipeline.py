@@ -226,3 +226,41 @@ class TestMultiHostRemote:
         assert sorted(one) == sorted(two) and len(one) == 4
         for name in one:
             assert one[name] == two[name], name
+
+
+class TestCatalogOnGCS:
+    def test_catalog_root_on_gs(self, fake):
+        """A bucket of scenes IS a catalog: LocalCatalog works with a
+        gs:// root through the storage layer, and big scenes are read
+        by byte range (windowed), never downloaded whole."""
+        import datetime as dt
+
+        from dl_image_segmentation_tpu.catalog import LocalCatalog
+        from dl_image_segmentation_tpu.geo import Tile
+
+        tile = Tile(60, 2, 10.0, 43, -380, 3491)
+        root = "gs://bucket/catalog"
+        cat = LocalCatalog.create(root)
+        rng = np.random.RandomState(3)
+        x0, y0, x1, y1 = tile.bounds
+        scene = rng.randint(0, 3000, (512, 512, 3)).astype(np.uint16)
+        gt = (x0 - 1920.0, 10.0, 0.0, y1 + 1920.0, 0.0, -10.0)
+        cat.add_scene("s2", ["r", "g", "b"], "big",
+                      dt.date(2020, 6, 1), scene, gt, epsg=32643)
+        # reload from the bucket
+        whole = LocalCatalog(root)          # small enough: whole-read
+        windowed = LocalCatalog(root, window_bytes=1)
+        ms = whole.search(tile, "s2")
+        assert [m.scene_id for m in ms] == ["big"]
+        w_stack, w_valid = whole.load(ms, tile, ["r", "b"])
+        r_stack, r_valid = windowed.load(windowed.search(tile, "s2"),
+                                         tile, ["r", "b"])
+        np.testing.assert_array_equal(r_stack, w_stack)
+        np.testing.assert_array_equal(r_valid, w_valid)
+        assert w_valid.all()
+        # provenance: values come from the right scene window
+        col0 = int((x0 - gt[0]) / 10.0)
+        row0 = int((gt[3] - y1) / 10.0)
+        np.testing.assert_array_equal(
+            w_stack[0, :, :, 0],
+            scene[row0:row0 + 64, col0:col0 + 64, 0])
