@@ -51,7 +51,8 @@ def _convert_one(src_path: str, dst_path: str, to: str, quality: int,
         return False
     from ..raster.image import decode_image_bytes
     with open(src_path, "rb") as f:
-        g = decode_image_bytes(f.read())
+        g = decode_image_bytes(f.read(),
+                               base_dir=os.path.dirname(src_path))
     arr = g.array
     if rescale is not None:
         arr = _to_uint8(arr, rescale)

@@ -1,0 +1,332 @@
+"""GRIB2 decoder (+ fixture encoder), in-repo.
+
+The reference reached GRIB through rasterio/GDAL's universal decode
+(/root/reference/dl_segmentation_utils/_img_to_tf_mp.py:45-53). This
+module implements the GRIB edition-2 wire format directly:
+
+* sections 0-8 framing, multi-message files (one band per message,
+  GDAL's convention);
+* grid definition template 3.0 (regular latitude/longitude) with the
+  standard scanning modes, mapped to a pixel-corner geotransform in
+  EPSG:4326 exactly like GDAL's GRIB driver;
+* data representation templates 5.0 (simple packing), 5.41 (PNG) and
+  5.40 (JPEG 2000 — decoded by this framework's own JP2 path), with
+  the section-6 bitmap (missing points -> NaN + nodata metadata);
+* values unpacked per spec: Y = (R + X * 2^E) / 10^D, float32.
+
+GRIB edition 1 and the complex-packing templates raise
+UnsupportedFormatError-compatible ValueErrors naming what was found,
+so ingestion skips are loud and counted like every other format gap.
+
+``encode_grib2`` writes a valid single-field message (simple or PNG
+packing) for fixtures and tests — the framework's exports remain
+GeoTIFF pairs per the chip contract.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .geotiff import GeoTIFF, RasterInfo
+
+__all__ = ["is_grib", "decode_grib", "sniff_grib_info", "encode_grib2"]
+
+
+def is_grib(data: bytes) -> bool:
+    return data[:4] == b"GRIB"
+
+
+def _s_int(raw: bytes) -> int:
+    """GRIB sign-bit integer: MSB set means negative of the rest."""
+    v = int.from_bytes(raw, "big")
+    sign_bit = 1 << (8 * len(raw) - 1)
+    if v & sign_bit:
+        return -(v & (sign_bit - 1))
+    return v
+
+
+class _Message:
+    def __init__(self):
+        self.discipline = 0
+        self.ni = self.nj = 0
+        self.la1 = self.lo1 = 0.0
+        self.di = self.dj = 0.0
+        self.scan = 0
+        self.drs_template = 0
+        self.ref = 0.0
+        self.bin_scale = 0
+        self.dec_scale = 0
+        self.nbits = 0
+        self.ndata = 0
+        self.bitmap: Optional[np.ndarray] = None
+        self.payload = b""
+
+
+def _parse_messages(data: bytes) -> List[_Message]:
+    msgs = []
+    pos = 0
+    n = len(data)
+    while pos + 16 <= n:
+        if data[pos:pos + 4] != b"GRIB":
+            raise ValueError(
+                f"corrupt GRIB: expected message at byte {pos}")
+        edition = data[pos + 7]
+        if edition != 2:
+            raise ValueError(
+                f"GRIB edition {edition} is not supported (edition 2 "
+                "only); convert with wgrib2/gdal_translate first")
+        (total_len,) = struct.unpack_from(">Q", data, pos + 8)
+        m = _Message()
+        m.discipline = data[pos + 6]
+        end = pos + total_len
+        sp = pos + 16
+        while sp < end - 4:
+            (sec_len,) = struct.unpack_from(">I", data, sp)
+            sec_num = data[sp + 4]
+            body = data[sp:sp + sec_len]
+            if sec_num == 3:
+                _parse_grid(body, m)
+            elif sec_num == 5:
+                _parse_drs(body, m)
+            elif sec_num == 6:
+                _parse_bitmap(body, m, msgs)
+            elif sec_num == 7:
+                m.payload = body[5:]
+            sp += sec_len
+        if data[end - 4:end] != b"7777":
+            raise ValueError("corrupt GRIB: missing 7777 terminator")
+        msgs.append(m)
+        pos = end
+    if not msgs:
+        raise ValueError("no GRIB messages in buffer")
+    return msgs
+
+
+def _parse_grid(body: bytes, m: _Message) -> None:
+    (template,) = struct.unpack_from(">H", body, 12)
+    if template != 0:
+        raise ValueError(
+            f"GRIB2 grid definition template 3.{template} is not "
+            "supported (3.0 regular lat/lon only)")
+    (m.ni,) = struct.unpack_from(">I", body, 30)
+    (m.nj,) = struct.unpack_from(">I", body, 34)
+    basic = int.from_bytes(body[38:42], "big")
+    subdiv = int.from_bytes(body[42:46], "big")
+    unit = 1e-6
+    if basic not in (0, 0xFFFFFFFF) and subdiv not in (0, 0xFFFFFFFF):
+        unit = basic / subdiv
+    m.la1 = _s_int(body[46:50]) * unit
+    m.lo1 = _s_int(body[50:54]) * unit
+    m.di = _s_int(body[63:67]) * unit
+    m.dj = _s_int(body[67:71]) * unit
+    m.scan = body[71]
+
+
+def _parse_drs(body: bytes, m: _Message) -> None:
+    (m.ndata,) = struct.unpack_from(">I", body, 5)
+    (m.drs_template,) = struct.unpack_from(">H", body, 9)
+    if m.drs_template not in (0, 40, 41):
+        raise ValueError(
+            f"GRIB2 data representation template 5.{m.drs_template} is "
+            "not supported (5.0 simple, 5.40 JPEG2000, 5.41 PNG); "
+            "convert complex-packed fields with wgrib2 first")
+    (m.ref,) = struct.unpack_from(">f", body, 11)
+    m.bin_scale = _s_int(body[15:17])
+    m.dec_scale = _s_int(body[17:19])
+    m.nbits = body[19]
+
+
+def _parse_bitmap(body: bytes, m: _Message, prior: List[_Message]) -> None:
+    indicator = body[5]
+    if indicator == 255:
+        m.bitmap = None
+    elif indicator == 0:
+        bits = np.unpackbits(
+            np.frombuffer(body[6:], dtype=np.uint8))
+        m.bitmap = bits.astype(bool)
+    elif indicator == 254 and prior and prior[-1].bitmap is not None:
+        m.bitmap = prior[-1].bitmap
+    else:
+        raise ValueError(
+            f"GRIB2 bitmap indicator {indicator} is not supported")
+
+
+def _unpack_bits(payload: bytes, nbits: int, count: int) -> np.ndarray:
+    """count big-endian nbits-wide unsigned ints from a bit stream."""
+    if nbits == 0:
+        return np.zeros(count, dtype=np.uint32)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8),
+                         count=count * nbits)
+    bits = bits.reshape(count, nbits).astype(np.uint32)
+    weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.uint32))
+    return (bits * weights).sum(axis=1, dtype=np.uint32)
+
+
+def _field_values(m: _Message) -> np.ndarray:
+    npts = m.ni * m.nj
+    ndecoded = (int(m.bitmap.sum()) if m.bitmap is not None else npts)
+    if m.drs_template == 0:
+        x = _unpack_bits(m.payload, m.nbits, ndecoded).astype(np.float64)
+    elif m.drs_template == 41:  # PNG-packed integers
+        from .image import _decode_png_arr
+        arr = _decode_png_arr(m.payload)
+        x = arr.reshape(-1)[:ndecoded].astype(np.float64)
+    else:  # 40: JPEG 2000 codestream
+        from .jp2 import decode_jp2
+        arr = decode_jp2(m.payload).array
+        x = arr.reshape(-1)[:ndecoded].astype(np.float64)
+    y = (m.ref + x * (2.0 ** m.bin_scale)) / (10.0 ** m.dec_scale)
+    if m.bitmap is not None:
+        full = np.full(npts, np.nan)
+        full[m.bitmap[:npts]] = y
+        y = full
+    if m.scan & 0x30:  # j-consecutive / boustrophedon orderings
+        raise ValueError(
+            f"GRIB2 scanning mode {m.scan:#04x} is not supported")
+    grid = y.reshape(m.nj, m.ni)
+    if m.scan & 0x80:  # -i: east to west
+        grid = grid[:, ::-1]
+    if m.scan & 0x40:  # +j: south to north -> flip to image order
+        grid = grid[::-1]
+    return grid.astype(np.float32)
+
+
+def _georef(m: _Message) -> Tuple[float, ...]:
+    """Pixel-corner geotransform like GDAL's GRIB driver."""
+    di = abs(m.di)
+    dj = abs(m.dj)
+    lo1 = m.lo1
+    if m.scan & 0x80:
+        lo1 = m.lo1 - di * (m.ni - 1)
+    if lo1 > 180.0:
+        lo1 -= 360.0
+    lat_top = m.la1 if not (m.scan & 0x40) else m.la1 + dj * (m.nj - 1)
+    return (lo1 - di / 2.0, di, 0.0, lat_top + dj / 2.0, 0.0, -dj)
+
+
+def decode_grib(data: bytes) -> GeoTIFF:
+    """GRIB2 bytes -> bands-last float32 raster (one band per
+    message, GDAL's convention; all messages must share the grid)."""
+    msgs = _parse_messages(data)
+    first = msgs[0]
+    bands = []
+    for m in msgs:
+        if (m.ni, m.nj) != (first.ni, first.nj):
+            raise ValueError(
+                "GRIB messages disagree on grid shape: "
+                f"{(m.ni, m.nj)} vs {(first.ni, first.nj)}")
+        bands.append(_field_values(m))
+    arr = np.stack(bands, axis=-1)
+    nodata = float("nan") if any(
+        m.bitmap is not None for m in msgs) else None
+    info = RasterInfo(width=first.ni, height=first.nj,
+                      count=arr.shape[2], dtype="float32",
+                      geotransform=_georef(first), epsg=4326,
+                      nodata=nodata)
+    return GeoTIFF(np.ascontiguousarray(arr), info)
+
+
+def sniff_grib_info(data: bytes) -> RasterInfo:
+    """Header sniff: parses section framing only (payload untouched
+    beyond the byte-range walk)."""
+    msgs = _parse_messages(data)
+    first = msgs[0]
+    nodata = float("nan") if any(
+        m.bitmap is not None for m in msgs) else None
+    return RasterInfo(width=first.ni, height=first.nj, count=len(msgs),
+                      dtype="float32", geotransform=_georef(first),
+                      epsg=4326, nodata=nodata)
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+# ---------------------------------------------------------------------------
+
+def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
+    bits = ((x[:, None] >> np.arange(nbits - 1, -1, -1)) & 1)
+    return np.packbits(bits.astype(np.uint8).reshape(-1)).tobytes()
+
+
+def encode_grib2(field: np.ndarray, la1: float, lo1: float,
+                 di: float, dj: float, nbits: int = 12,
+                 dec_scale: int = 0, packing: str = "simple",
+                 mask: Optional[np.ndarray] = None) -> bytes:
+    """One GRIB2 message: regular lat/lon grid (template 3.0), simple
+    (5.0) or PNG (5.41) packing, scanning mode 0 (row 0 = northernmost,
+    ``la1``/``lo1`` = its center). ``mask`` False marks missing points
+    (section-6 bitmap). For test fixtures and round-trip validation."""
+    field = np.asarray(field, dtype=np.float64)
+    nj, ni = field.shape
+    scaled = field * (10.0 ** dec_scale)
+    valid = scaled[mask] if mask is not None else scaled.reshape(-1)
+    ref = float(valid.min()) if valid.size else 0.0
+    x = np.round(valid - ref).astype(np.uint64)
+    if x.size and int(x.max()) >= (1 << nbits):
+        raise ValueError(f"field range needs more than {nbits} bits")
+    if packing == "simple":
+        drs_template = 0
+        payload = _pack_bits(x.astype(np.uint32), nbits)
+    elif packing == "png":
+        drs_template = 41
+        from .image import encode_png
+        if nbits > 16:
+            raise ValueError("png packing supports <=16 bits")
+        dt = np.uint16 if nbits > 8 else np.uint8
+        payload = encode_png(x.astype(dt).reshape(-1, 1, 1))
+    elif packing == "jp2":
+        drs_template = 40
+        from .jp2 import encode_jp2
+        if nbits > 16:
+            raise ValueError("jp2 packing supports <=16 bits")
+        dt = np.uint16 if nbits > 8 else np.uint8
+        payload = encode_jp2(x.astype(dt).reshape(-1, 1))
+    else:
+        raise ValueError(f"unknown packing {packing!r}")
+
+    def sec(num: int, body: bytes) -> bytes:
+        return struct.pack(">IB", 5 + len(body), num) + body
+
+    s1 = sec(1, struct.pack(">HHBBBHBBBBBBB", 0, 0, 2, 1, 1,
+                            2026, 1, 1, 0, 0, 0, 0, 1))
+    g = bytearray(struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0))
+    g += bytes(1) + struct.pack(">BI", 0, 0) * 3  # earth shape fields
+    g += struct.pack(">II", ni, nj)
+    g += struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFF)  # basic angle missing
+
+    def deg(v: float) -> bytes:
+        i = int(round(abs(v) * 1e6))
+        if v < 0:
+            i |= 1 << 31
+        return struct.pack(">I", i)
+
+    g += deg(la1) + deg(lo1) + b"\x30"
+    la2 = la1 - dj * (nj - 1)
+    lo2 = lo1 + di * (ni - 1)
+    g += deg(la2) + deg(lo2) + deg(di) + deg(dj) + b"\x00"
+    s3 = sec(3, bytes(g))
+    s4 = sec(4, struct.pack(">HH", 0, 0) + bytes(30))
+    ndecoded = int(mask.sum()) if mask is not None else ni * nj
+    s5 = sec(5, struct.pack(">IHfhhBB", ndecoded, drs_template, ref,
+                            _enc_s16(0), _enc_s16(dec_scale), nbits, 0))
+    if mask is not None:
+        s6 = sec(6, b"\x00" + np.packbits(
+            mask.reshape(-1).astype(np.uint8)).tobytes())
+    else:
+        s6 = sec(6, b"\xff")
+    s7 = sec(7, payload)
+    body = s1 + s3 + s4 + s5 + s6 + s7
+    total = 16 + len(body) + 4
+    s0 = b"GRIB" + bytes(2) + bytes([0, 2]) + struct.pack(">Q", total)
+    return s0 + body + b"7777"
+
+
+def _enc_s16(v: int) -> int:
+    """Encode a GRIB sign-bit int16 into a value struct '>h' writes
+    with the right wire bytes."""
+    if v >= 0:
+        return v
+    raw = 0x8000 | (-v)
+    return raw - 0x10000  # two's-complement reinterpretation for '>h'

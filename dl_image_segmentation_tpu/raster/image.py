@@ -27,16 +27,14 @@ class UnsupportedFormatError(ValueError):
     uncompressed, tiled + striped,
     uint8/uint16/int16/uint32/float32/float64), PNG, JPEG,
     JPEG 2000 (JP2/J2K incl. GeoJP2/GMLJP2 georeferencing — the
-    Sentinel-2 distribution format), BMP; GIF decode-only.
+    Sentinel-2 distribution format), BMP; decode-only: GIF, NetCDF
+    classic (CDF-1/2/5), HDF5 / NetCDF-4, GRIB2 (simple/PNG/JPEG2000
+    packing on regular lat/lon grids), GDAL VRT mosaics.
     """
 
 
 _KNOWN_MAGICS = (
-    (b"\x89HDF\r\n\x1a\n", "HDF5"),
     (b"\x0e\x03\x13\x01", "HDF4"),
-    (b"CDF\x01", "NetCDF classic"),
-    (b"CDF\x02", "NetCDF 64-bit"),
-    (b"GRIB", "GRIB"),
 )
 
 
@@ -46,8 +44,6 @@ def _identify_unsupported(data: bytes) -> str:
         if data[:len(magic)] == magic:
             return name
     head = data.lstrip()[:20]
-    if head.startswith(b"<VRTDataset"):
-        return "GDAL VRT (XML)"
     if head.startswith(b"ENVI"):
         return "ENVI header"
     return f"unknown container (magic bytes {data[:4]!r})"
@@ -57,8 +53,9 @@ def _unsupported(data: bytes) -> UnsupportedFormatError:
     name = _identify_unsupported(data)
     return UnsupportedFormatError(
         f"unsupported raster format: {name}. Supported formats: "
-        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP (GIF decode-only); convert "
-        "other containers (e.g. with gdal_translate) before ingestion.")
+        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP, NetCDF, HDF5, GRIB2, VRT "
+        "(GIF decode-only); convert other containers (e.g. with "
+        "gdal_translate) before ingestion.")
 
 
 def _is_png(data: bytes) -> bool:
@@ -155,10 +152,14 @@ def png_to_jpeg(data: bytes, quality: int = 100) -> bytes:
     return encode_jpeg(decode_png(data), quality=quality)
 
 
-def decode_image_bytes(data: bytes) -> GeoTIFF:
+def decode_image_bytes(data: bytes, base_dir: str = None) -> GeoTIFF:
     """Decode any supported raster from bytes, with georeferencing when
     the container carries it. The GDAL-universal decode equivalent
-    (rasterio MemoryFile, _img_to_tf_mp.py:45-53). Returns bands-last."""
+    (rasterio MemoryFile, _img_to_tf_mp.py:45-53). Returns bands-last.
+
+    ``base_dir`` is only consulted for VRT mosaics (their sources are
+    other files, resolved relative to the .vrt's directory); loaders
+    that know the origin path pass it."""
     if _is_tiff(data):
         return decode_geotiff(data)
     from .jp2 import is_jp2
@@ -177,6 +178,23 @@ def decode_image_bytes(data: bytes) -> GeoTIFF:
         info = RasterInfo(width=arr.shape[1], height=arr.shape[0],
                           count=arr.shape[2], dtype=arr.dtype.name)
         return GeoTIFF(arr, info)
+    from .netcdf import is_netcdf_classic
+    if is_netcdf_classic(data):
+        from .netcdf import decode_netcdf
+        return decode_netcdf(data)
+    from .hdf5 import is_hdf5
+    if is_hdf5(data):
+        # covers NetCDF-4 too (an HDF5 container with CF attrs)
+        from .hdf5 import decode_hdf5
+        return decode_hdf5(data)
+    from .grib import is_grib
+    if is_grib(data):
+        from .grib import decode_grib
+        return decode_grib(data)
+    from .vrt import is_vrt
+    if is_vrt(data):
+        from .vrt import decode_vrt
+        return decode_vrt(data, base_dir=base_dir)
     raise _unsupported(data)
 
 
@@ -274,4 +292,20 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         raise UnsupportedFormatError(
             "GIF is decode-only (no header-only sniff); use "
             "store_as_array mode or convert to PNG")
+    from .netcdf import is_netcdf_classic
+    if is_netcdf_classic(data):
+        from .netcdf import sniff_netcdf_info
+        return sniff_netcdf_info(data)
+    from .hdf5 import is_hdf5
+    if is_hdf5(data):
+        from .hdf5 import sniff_hdf5_info
+        return sniff_hdf5_info(data)
+    from .grib import is_grib
+    if is_grib(data):
+        from .grib import sniff_grib_info
+        return sniff_grib_info(data)
+    from .vrt import is_vrt
+    if is_vrt(data):
+        from .vrt import sniff_vrt_info
+        return sniff_vrt_info(data)
     raise _unsupported(data)

@@ -161,7 +161,8 @@ def _load_any(path: str, dltile_from_filename: bool, decode: bool):
     from .. import storage
     data = storage.read_bytes(path)
     if decode:
-        g = decode_image_bytes(data)
+        # base_dir lets VRT mosaics resolve their relative sources
+        g = decode_image_bytes(data, base_dir=storage.dirname(path))
         info = g.info
     else:
         info = sniff_image_info(data)
