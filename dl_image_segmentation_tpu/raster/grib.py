@@ -9,18 +9,21 @@ module implements the GRIB edition-2 wire format directly:
 * grid definition template 3.0 (regular latitude/longitude) with the
   standard scanning modes, mapped to a pixel-corner geotransform in
   EPSG:4326 exactly like GDAL's GRIB driver;
-* data representation templates 5.0 (simple packing), 5.41 (PNG) and
-  5.40 (JPEG 2000 — decoded by this framework's own JP2 path), with
-  the section-6 bitmap (missing points -> NaN + nodata metadata);
+* data representation templates 5.0 (simple packing), 5.2 (complex
+  packing) and 5.3 (complex + spatial differencing, orders 1/2 — the
+  NCEP GFS/HRRR default), 5.41 (PNG) and 5.40 (JPEG 2000 — decoded by
+  this framework's own JP2 path), with the section-6 bitmap and the
+  5.2 primary missing-value substitution (missing points -> NaN +
+  nodata metadata);
 * values unpacked per spec: Y = (R + X * 2^E) / 10^D, float32.
 
-GRIB edition 1 and the complex-packing templates raise
+GRIB edition 1 and the remaining exotic templates raise
 UnsupportedFormatError-compatible ValueErrors naming what was found,
 so ingestion skips are loud and counted like every other format gap.
 
-``encode_grib2`` writes a valid single-field message (simple or PNG
-packing) for fixtures and tests — the framework's exports remain
-GeoTIFF pairs per the chip contract.
+``encode_grib2`` writes a valid single-field message (simple, complex,
+complex-spatial-differenced or PNG packing) for fixtures and tests —
+the framework's exports remain GeoTIFF pairs per the chip contract.
 """
 
 from __future__ import annotations
@@ -63,6 +66,17 @@ class _Message:
         self.ndata = 0
         self.bitmap: Optional[np.ndarray] = None
         self.payload = b""
+        # complex packing (5.2 / 5.3)
+        self.mvm = 0
+        self.ngroups = 0
+        self.width_ref = 0
+        self.width_bits = 0
+        self.len_ref = 0
+        self.len_inc = 1
+        self.last_len = 0
+        self.len_bits = 0
+        self.sd_order = 0
+        self.sd_octets = 0
 
 
 def _parse_messages(data: bytes) -> List[_Message]:
@@ -128,15 +142,39 @@ def _parse_grid(body: bytes, m: _Message) -> None:
 def _parse_drs(body: bytes, m: _Message) -> None:
     (m.ndata,) = struct.unpack_from(">I", body, 5)
     (m.drs_template,) = struct.unpack_from(">H", body, 9)
-    if m.drs_template not in (0, 40, 41):
+    if m.drs_template not in (0, 2, 3, 40, 41):
         raise ValueError(
             f"GRIB2 data representation template 5.{m.drs_template} is "
-            "not supported (5.0 simple, 5.40 JPEG2000, 5.41 PNG); "
-            "convert complex-packed fields with wgrib2 first")
+            "not supported (5.0 simple, 5.2/5.3 complex, 5.40 "
+            "JPEG2000, 5.41 PNG)")
     (m.ref,) = struct.unpack_from(">f", body, 11)
     m.bin_scale = _s_int(body[15:17])
     m.dec_scale = _s_int(body[17:19])
     m.nbits = body[19]
+    if m.drs_template in (2, 3):
+        m.mvm = body[22]
+        if m.mvm not in (0, 1):
+            raise ValueError(
+                f"GRIB2 missing-value management {m.mvm} is not "
+                "supported (0 = none, 1 = primary)")
+        (m.ngroups,) = struct.unpack_from(">I", body, 31)
+        m.width_ref = body[35]
+        m.width_bits = body[36]
+        (m.len_ref,) = struct.unpack_from(">I", body, 37)
+        m.len_inc = body[41]
+        (m.last_len,) = struct.unpack_from(">I", body, 42)
+        m.len_bits = body[46]
+    if m.drs_template == 3:
+        m.sd_order = body[47]
+        m.sd_octets = body[48]
+        if m.sd_order not in (1, 2):
+            raise ValueError(
+                f"GRIB2 spatial differencing order {m.sd_order} is "
+                "not supported (1 or 2)")
+        if m.mvm != 0:
+            raise ValueError(
+                "GRIB2 spatial differencing with missing-value "
+                "management is not supported")
 
 
 def _parse_bitmap(body: bytes, m: _Message, prior: List[_Message]) -> None:
@@ -165,11 +203,90 @@ def _unpack_bits(payload: bytes, nbits: int, count: int) -> np.ndarray:
     return (bits * weights).sum(axis=1, dtype=np.uint32)
 
 
+def _take_bits(bits: np.ndarray, pos: int, n: int, width: int
+               ) -> Tuple[np.ndarray, int]:
+    """n consecutive width-bit big-endian ints from an unpacked bit
+    array; returns (values, new bit position)."""
+    if width == 0:
+        return np.zeros(n, dtype=np.int64), pos
+    sl = bits[pos:pos + n * width].reshape(n, width).astype(np.int64)
+    w = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    return (sl * w).sum(axis=1), pos + n * width
+
+
+def _unpack_complex(m: _Message, ndecoded: int
+                    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Templates 5.2/5.3: grouped values (+ optional spatial
+    differencing), mirroring NCEP g2lib's comunpack. Returns
+    (integer field X, missing mask or None)."""
+    off = 0
+    ival: List[int] = []
+    gmin = 0
+    if m.drs_template == 3:
+        o = m.sd_octets
+        for _ in range(m.sd_order):
+            ival.append(_s_int(m.payload[off:off + o]))
+            off += o
+        gmin = _s_int(m.payload[off:off + o])
+        off += o
+    bits = np.unpackbits(np.frombuffer(m.payload[off:], dtype=np.uint8))
+    pos = 0
+    ng = m.ngroups
+    refs, pos = _take_bits(bits, pos, ng, m.nbits)
+    pos = (pos + 7) & ~7  # each array pads to an octet boundary
+    widths, pos = _take_bits(bits, pos, ng, m.width_bits)
+    widths = widths + m.width_ref
+    pos = (pos + 7) & ~7
+    lens, pos = _take_bits(bits, pos, ng, m.len_bits)
+    lens = lens * m.len_inc + m.len_ref
+    pos = (pos + 7) & ~7
+    if ng:
+        lens[-1] = m.last_len
+    total = int(lens.sum())
+    if total < ndecoded:
+        raise ValueError(
+            f"GRIB2 complex packing: groups cover {total} points, "
+            f"need {ndecoded}")
+    x = np.empty(total, dtype=np.int64)
+    miss = np.zeros(total, dtype=bool) if m.mvm else None
+    idx = 0
+    for g in range(ng):
+        count, width = int(lens[g]), int(widths[g])
+        vals, pos = _take_bits(bits, pos, count, width)
+        if m.mvm == 1 and width == 0 and refs[g] == (1 << m.nbits) - 1:
+            miss[idx:idx + count] = True
+            x[idx:idx + count] = 0
+        else:
+            x[idx:idx + count] = refs[g] + vals
+            if m.mvm == 1 and width:
+                miss[idx:idx + count] = vals == (1 << width) - 1
+        idx += count
+    x = x[:ndecoded]
+    if miss is not None:
+        miss = miss[:ndecoded]
+    if m.drs_template == 3 and ndecoded:
+        # undo spatial differencing (g2lib comunpack recurrences)
+        x[m.sd_order:] += gmin
+        if m.sd_order == 1:
+            x[0] = ival[0]
+            x = np.cumsum(x)
+        else:
+            x0, x1 = ival
+            d = x[2:]
+            f = (x1 - x0) + np.cumsum(d)          # first differences
+            x = np.concatenate(([x0, x1], x1 + np.cumsum(f)))
+    return x, miss
+
+
 def _field_values(m: _Message) -> np.ndarray:
     npts = m.ni * m.nj
     ndecoded = (int(m.bitmap.sum()) if m.bitmap is not None else npts)
+    missing = None
     if m.drs_template == 0:
         x = _unpack_bits(m.payload, m.nbits, ndecoded).astype(np.float64)
+    elif m.drs_template in (2, 3):
+        xi, missing = _unpack_complex(m, ndecoded)
+        x = xi.astype(np.float64)
     elif m.drs_template == 41:  # PNG-packed integers
         from .image import _decode_png_arr
         arr = _decode_png_arr(m.payload)
@@ -179,6 +296,8 @@ def _field_values(m: _Message) -> np.ndarray:
         arr = decode_jp2(m.payload).array
         x = arr.reshape(-1)[:ndecoded].astype(np.float64)
     y = (m.ref + x * (2.0 ** m.bin_scale)) / (10.0 ** m.dec_scale)
+    if missing is not None:
+        y[missing] = np.nan
     if m.bitmap is not None:
         full = np.full(npts, np.nan)
         full[m.bitmap[:npts]] = y
@@ -250,12 +369,74 @@ def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
     return np.packbits(bits.astype(np.uint8).reshape(-1)).tobytes()
 
 
+def _enc_sbytes(v: int, n: int) -> bytes:
+    """GRIB sign-bit integer over n octets (inverse of _s_int)."""
+    raw = abs(v) | ((1 << (8 * n - 1)) if v < 0 else 0)
+    return raw.to_bytes(n, "big")
+
+
+def _encode_complex(x: np.ndarray, sd_order: int,
+                    group: int = 20) -> Tuple[bytes, bytes, int]:
+    """Templates 5.2/5.3 payload from non-negative scaled ints.
+
+    Fixed-size grouping (valid, if not g2lib's optimal split); each
+    packed array octet-aligned per spec. Returns (payload, DRS octets
+    22..47[+48-49], nbits for the group references).
+    """
+    v = x.astype(np.int64)
+    descriptors = b""
+    if sd_order:
+        ival = [int(v[i]) for i in range(sd_order)]
+        d = np.diff(v, n=sd_order)
+        gmin = int(d.min()) if d.size else 0
+        v = np.concatenate([np.zeros(sd_order, np.int64), d - gmin])
+        amax = max([abs(i) for i in ival] + [abs(gmin), 1])
+        sd_octets = (int(amax).bit_length() + 1 + 7) // 8
+        descriptors = b"".join(
+            _enc_sbytes(i, sd_octets) for i in ival + [gmin])
+    ng = max(1, -(-len(v) // group))
+    refs = np.zeros(ng, np.int64)
+    widths = np.zeros(ng, np.int64)
+    lens = np.zeros(ng, np.int64)
+    val_bits: List[np.ndarray] = []
+    for g in range(ng):
+        seg = v[g * group:(g + 1) * group]
+        r = int(seg.min()) if seg.size else 0
+        w = (int(seg.max()) - r).bit_length() if seg.size else 0
+        refs[g], widths[g], lens[g] = r, w, len(seg)
+        if w:
+            rel = (seg - r).astype(np.int64)
+            val_bits.append(
+                ((rel[:, None] >> np.arange(w - 1, -1, -1)) & 1)
+                .reshape(-1).astype(np.uint8))
+    nbits = int(refs.max()).bit_length()
+    width_bits = int(widths.max()).bit_length()
+    len_bits = int(lens.max()).bit_length()
+    payload = (descriptors
+               + _pack_bits(refs, nbits)
+               + _pack_bits(widths, width_bits)
+               + _pack_bits(lens, len_bits)
+               + (np.packbits(np.concatenate(val_bits)).tobytes()
+                  if val_bits else b""))
+    tail = (bytes([1, 0]) + bytes(8)          # general split, mvm 0
+            + struct.pack(">I", ng)
+            + bytes([0, width_bits])          # width ref/bits
+            + struct.pack(">I", 0) + bytes([1])   # len ref, increment
+            + struct.pack(">I", int(lens[-1]))    # true last length
+            + bytes([len_bits]))
+    if sd_order:
+        tail += bytes([sd_order, sd_octets])
+    return payload, tail, nbits
+
+
 def encode_grib2(field: np.ndarray, la1: float, lo1: float,
                  di: float, dj: float, nbits: int = 12,
                  dec_scale: int = 0, packing: str = "simple",
                  mask: Optional[np.ndarray] = None) -> bytes:
-    """One GRIB2 message: regular lat/lon grid (template 3.0), simple
-    (5.0) or PNG (5.41) packing, scanning mode 0 (row 0 = northernmost,
+    """One GRIB2 message: regular lat/lon grid (template 3.0); simple
+    (5.0), complex (5.2, ``packing="complex"``), complex with spatial
+    differencing (5.3, ``packing="complex-sd1"``/``"complex-sd2"``) or
+    PNG (5.41) packing; scanning mode 0 (row 0 = northernmost,
     ``la1``/``lo1`` = its center). ``mask`` False marks missing points
     (section-6 bitmap). For test fixtures and round-trip validation."""
     field = np.asarray(field, dtype=np.float64)
@@ -266,9 +447,15 @@ def encode_grib2(field: np.ndarray, la1: float, lo1: float,
     x = np.round(valid - ref).astype(np.uint64)
     if x.size and int(x.max()) >= (1 << nbits):
         raise ValueError(f"field range needs more than {nbits} bits")
+    drs_tail = b""
     if packing == "simple":
         drs_template = 0
         payload = _pack_bits(x.astype(np.uint32), nbits)
+    elif packing in ("complex", "complex-sd1", "complex-sd2"):
+        sd_order = 0 if packing == "complex" else int(packing[-1])
+        drs_template = 3 if sd_order else 2
+        payload, drs_tail, nbits = _encode_complex(
+            x.astype(np.int64), sd_order)
     elif packing == "png":
         drs_template = 41
         from .image import encode_png
@@ -310,7 +497,8 @@ def encode_grib2(field: np.ndarray, la1: float, lo1: float,
     s4 = sec(4, struct.pack(">HH", 0, 0) + bytes(30))
     ndecoded = int(mask.sum()) if mask is not None else ni * nj
     s5 = sec(5, struct.pack(">IHfhhBB", ndecoded, drs_template, ref,
-                            _enc_s16(0), _enc_s16(dec_scale), nbits, 0))
+                            _enc_s16(0), _enc_s16(dec_scale), nbits, 0)
+             + drs_tail)
     if mask is not None:
         s6 = sec(6, b"\x00" + np.packbits(
             mask.reshape(-1).astype(np.uint8)).tobytes())

@@ -372,6 +372,80 @@ class TestGRIB2:
                                       g_plain.array)
         assert g_flipped.info.geotransform == g_plain.info.geotransform
 
+    @pytest.mark.parametrize(
+        "packing", ["complex", "complex-sd1", "complex-sd2"])
+    def test_complex_packing_roundtrip(self, packing):
+        """Templates 5.2/5.3 (the NCEP default) survive a round trip,
+        including a non-multiple-of-group-size point count and a
+        smooth field where spatial differencing bites."""
+        rng = np.random.default_rng(3)
+        field = (np.cumsum(rng.integers(-3, 4, 10 * 21))
+                 .reshape(10, 21).astype(np.float64) + 250.0)
+        data = encode_grib2(field, 40.0, 5.0, 0.1, 0.1, nbits=16,
+                            packing=packing)
+        g = decode_grib(data)
+        np.testing.assert_allclose(g.array[:, :, 0], field, atol=1e-4)
+        si = sniff_grib_info(data)
+        assert si.geotransform == g.info.geotransform
+
+    def test_complex_packing_with_bitmap(self):
+        rng = np.random.default_rng(4)
+        field = np.round(rng.uniform(0, 50, (6, 9)), 1)
+        mask = np.ones((6, 9), bool)
+        mask[0, 0] = mask[5, 8] = mask[2, 3] = False
+        data = encode_grib2(field, 30.0, -2.0, 0.5, 0.5, nbits=12,
+                            dec_scale=1, packing="complex-sd2",
+                            mask=mask)
+        g = decode_grib(data)
+        assert np.isnan(g.array[0, 0, 0]) and np.isnan(g.array[2, 3, 0])
+        np.testing.assert_allclose(g.array[:, :, 0][mask], field[mask],
+                                   atol=0.051)
+
+    def test_hand_assembled_complex_golden(self):
+        """A template-5.2 message assembled byte-by-byte from the WMO
+        spec tables, independent of encode_grib2 — pins the octet
+        padding between the packed arrays and every DRS field offset.
+
+        2 groups of 3 points: refs [2,5] at nbits=3, widths [2,0] at
+        width_bits=2, lengths via len_ref=3/len_bits=0, group-0 values
+        [1,2,3] -> X = [3,4,5,5,5,5]; R=1.5, E=1, D=1."""
+        def sec(num, body):
+            return struct.pack(">IB", 5 + len(body), num) + body
+
+        ident = sec(1, struct.pack(">HHBBBHBBBBBBB", 7, 0, 2, 1, 1,
+                                   2026, 8, 19, 0, 0, 0, 0, 1))
+        grid = bytearray()
+        grid += b"\x00" + struct.pack(">I", 6) + b"\x00\x00"
+        grid += struct.pack(">H", 0) + b"\x06" + bytes(15)
+        grid += struct.pack(">II", 3, 2) + struct.pack(">II", 0, 0)
+        grid += struct.pack(">I", 60_000_000)
+        grid += struct.pack(">I", 10_000_000) + b"\x30"
+        grid += struct.pack(">I", 59_000_000)
+        grid += struct.pack(">I", 12_000_000)
+        grid += struct.pack(">II", 1_000_000, 1_000_000) + b"\x00"
+        product = sec(4, struct.pack(">HH", 0, 0) + bytes(25))
+        drs = sec(5, struct.pack(">IH", 6, 2)        # 6 pts, 5.2
+                  + struct.pack(">f", 1.5)           # R
+                  + struct.pack(">HH", 1, 1)         # E=1, D=1
+                  + bytes([3, 0])                    # nbits, field type
+                  + bytes([1, 0]) + bytes(8)         # split, mvm, missing
+                  + struct.pack(">I", 2)             # ngroups
+                  + bytes([0, 2])                    # width ref/bits
+                  + struct.pack(">I", 3) + bytes([1])  # len ref, inc
+                  + struct.pack(">I", 3)             # last length
+                  + bytes([0]))                      # len bits
+        payload = sec(7, bytes([0x54, 0x80, 0x6C]))
+        body = (ident + sec(3, bytes(grid)) + product + drs
+                + sec(6, b"\xff") + payload)
+        total = 16 + len(body) + 4
+        msg = (b"GRIB" + bytes(2) + bytes([0, 2])
+               + struct.pack(">Q", total) + body + b"7777")
+
+        g = decode_grib(msg)
+        expected = (1.5 + np.array([3, 4, 5, 5, 5, 5.0]) * 2.0) / 10.0
+        np.testing.assert_allclose(
+            g.array[:, :, 0], expected.reshape(2, 3).astype(np.float32))
+
     def test_unsupported_named_loudly(self):
         data = bytearray(encode_grib2(np.ones((2, 2)), 0, 0, 1, 1))
         data[7] = 1  # edition byte
