@@ -52,7 +52,8 @@ def _convert_one(src_path: str, dst_path: str, to: str, quality: int,
     from ..raster.image import decode_image_bytes
     with open(src_path, "rb") as f:
         g = decode_image_bytes(f.read(),
-                               base_dir=os.path.dirname(src_path))
+                               base_dir=os.path.dirname(src_path),
+                               origin=os.path.basename(src_path))
     arr = g.array
     if rescale is not None:
         arr = _to_uint8(arr, rescale)

@@ -17,9 +17,13 @@ module implements the GRIB edition-2 wire format directly:
   nodata metadata);
 * values unpacked per spec: Y = (R + X * 2^E) / 10^D, float32.
 
-GRIB edition 1 and the remaining exotic templates raise
-UnsupportedFormatError-compatible ValueErrors naming what was found,
-so ingestion skips are loud and counted like every other format gap.
+GRIB edition 1 decodes too: simple grid-point packing on regular
+lat/lon grids (IBM-370 reference floats, section-3 bitmaps,
+millidegree increments incl. the "increments not given" convention).
+The remaining exotic layouts (GRIB1 spherical harmonics / complex
+packing, thinned grids) raise UnsupportedFormatError-compatible
+ValueErrors naming what was found, so ingestion skips are loud and
+counted like every other format gap.
 
 ``encode_grib2`` writes a valid single-field message (simple, complex,
 complex-spatial-differenced or PNG packing) for fixtures and tests —
@@ -35,7 +39,8 @@ import numpy as np
 
 from .geotiff import GeoTIFF, RasterInfo
 
-__all__ = ["is_grib", "decode_grib", "sniff_grib_info", "encode_grib2"]
+__all__ = ["is_grib", "decode_grib", "sniff_grib_info", "encode_grib2",
+           "encode_grib1"]
 
 
 def is_grib(data: bytes) -> bool:
@@ -88,10 +93,14 @@ def _parse_messages(data: bytes) -> List[_Message]:
             raise ValueError(
                 f"corrupt GRIB: expected message at byte {pos}")
         edition = data[pos + 7]
+        if edition == 1:
+            m, pos = _parse_grib1_message(data, pos)
+            msgs.append(m)
+            continue
         if edition != 2:
             raise ValueError(
-                f"GRIB edition {edition} is not supported (edition 2 "
-                "only); convert with wgrib2/gdal_translate first")
+                f"GRIB edition {edition} is not supported (editions 1 "
+                "and 2 only); convert with wgrib2/gdal_translate first")
         (total_len,) = struct.unpack_from(">Q", data, pos + 8)
         m = _Message()
         m.discipline = data[pos + 6]
@@ -117,6 +126,80 @@ def _parse_messages(data: bytes) -> List[_Message]:
     if not msgs:
         raise ValueError("no GRIB messages in buffer")
     return msgs
+
+
+def _ibm_float(raw: bytes) -> float:
+    """IBM System/370 32-bit hex float (GRIB1 reference values)."""
+    v = int.from_bytes(raw, "big")
+    sign = -1.0 if v & 0x80000000 else 1.0
+    exponent = (v >> 24) & 0x7F
+    mantissa = v & 0xFFFFFF
+    return sign * mantissa * 16.0 ** (exponent - 64) / float(1 << 24)
+
+
+def _parse_grib1_message(data: bytes, pos: int) -> Tuple[_Message, int]:
+    """One GRIB edition-1 message (sections IS/PDS/GDS/BMS/BDS):
+    simple grid-point packing on a regular lat/lon grid."""
+    total = int.from_bytes(data[pos + 4:pos + 7], "big")
+    end = pos + total
+    m = _Message()
+    p = pos + 8  # PDS
+    pds_len = int.from_bytes(data[p:p + 3], "big")
+    flags = data[p + 7]
+    m.dec_scale = _s_int(data[p + 26:p + 28]) if pds_len >= 28 else 0
+    p += pds_len
+    if not flags & 0x80:
+        raise ValueError(
+            "GRIB1 message without a grid description section "
+            "(predefined/catalogued grids) is not supported")
+    gds_len = int.from_bytes(data[p:p + 3], "big")
+    gtype = data[p + 5]
+    if gtype != 0:
+        raise ValueError(
+            f"GRIB1 grid type {gtype} is not supported "
+            "(0 regular lat/lon only)")
+    m.ni = int.from_bytes(data[p + 6:p + 8], "big")
+    m.nj = int.from_bytes(data[p + 8:p + 10], "big")
+    if 0xFFFF in (m.ni, m.nj):
+        raise ValueError(
+            "GRIB1 thinned (quasi-regular) grids are not supported")
+    m.la1 = _s_int(data[p + 10:p + 13]) * 1e-3
+    m.lo1 = _s_int(data[p + 13:p + 16]) * 1e-3
+    la2 = _s_int(data[p + 17:p + 20]) * 1e-3
+    lo2 = _s_int(data[p + 20:p + 23]) * 1e-3
+    di = int.from_bytes(data[p + 23:p + 25], "big")
+    dj = int.from_bytes(data[p + 25:p + 27], "big")
+    m.scan = data[p + 27]
+    # 0xFFFF = "direction increments not given": derive from corners
+    m.di = di * 1e-3 if di != 0xFFFF else \
+        abs(lo2 - m.lo1) / max(m.ni - 1, 1)
+    m.dj = dj * 1e-3 if dj != 0xFFFF else \
+        abs(la2 - m.la1) / max(m.nj - 1, 1)
+    p += gds_len
+    if flags & 0x40:  # BMS
+        bms_len = int.from_bytes(data[p:p + 3], "big")
+        unused = data[p + 3]
+        bits = np.unpackbits(
+            np.frombuffer(data[p + 6:p + bms_len], dtype=np.uint8))
+        m.bitmap = bits[:(bms_len - 6) * 8 - unused].astype(bool)
+        p += bms_len
+    bds_len = int.from_bytes(data[p:p + 3], "big")
+    b4 = data[p + 3]
+    if b4 & 0x80:
+        raise ValueError(
+            "GRIB1 spherical-harmonic coefficients are not supported")
+    if b4 & 0x40:
+        raise ValueError(
+            "GRIB1 complex/second-order packing is not supported; "
+            "convert with wgrib2 first")
+    m.bin_scale = _s_int(data[p + 4:p + 6])
+    m.ref = _ibm_float(data[p + 6:p + 10])
+    m.nbits = data[p + 10]
+    m.payload = data[p + 11:p + bds_len]
+    m.drs_template = 0  # GRIB1 simple packing ≡ template 5.0 unpack
+    if data[end - 4:end] != b"7777":
+        raise ValueError("corrupt GRIB: missing 7777 terminator")
+    return m, end
 
 
 def _parse_grid(body: bytes, m: _Message) -> None:
@@ -518,3 +601,87 @@ def _enc_s16(v: int) -> int:
         return v
     raw = 0x8000 | (-v)
     return raw - 0x10000  # two's-complement reinterpretation for '>h'
+
+
+def _ibm_encode(x: float) -> bytes:
+    """Nearest IBM System/370 32-bit hex float (inverse of
+    _ibm_float, round-to-nearest on the 24-bit mantissa)."""
+    import math
+    if x == 0.0:
+        return bytes(4)
+    sign = 0x80000000 if x < 0 else 0
+    x = abs(x)
+    e = int(math.floor(math.log(x, 16.0))) + 1
+    mant = int(round(x / 16.0 ** e * float(1 << 24)))
+    if mant >= 1 << 24:  # rounding carried into the next hex digit
+        e += 1
+        mant = int(round(x / 16.0 ** e * float(1 << 24)))
+    e += 64
+    if not 0 <= e <= 127:
+        raise ValueError(f"value {x} outside IBM float range")
+    return struct.pack(">I", sign | (e << 24) | mant)
+
+
+def encode_grib1(field: np.ndarray, la1: float, lo1: float,
+                 di: float, dj: float, nbits: int = 12,
+                 dec_scale: int = 0,
+                 mask: Optional[np.ndarray] = None) -> bytes:
+    """One GRIB edition-1 message: regular lat/lon grid, simple
+    packing, IBM-float reference, scanning mode 0. ``mask`` False
+    marks missing points (bitmap section). For test fixtures and
+    round-trip validation."""
+    field = np.asarray(field, dtype=np.float64)
+    nj, ni = field.shape
+    scaled = field * (10.0 ** dec_scale)
+    valid = scaled[mask] if mask is not None else scaled.reshape(-1)
+    # quantize the reference through the IBM grid FIRST so X absorbs
+    # the quantization error instead of every decoded value
+    ref = _ibm_float(_ibm_encode(float(valid.min()) if valid.size
+                                 else 0.0))
+    x = np.round(valid - ref).astype(np.int64)
+    if x.size and (int(x.max()) >= (1 << nbits) or int(x.min()) < 0):
+        raise ValueError(f"field range needs more than {nbits} bits")
+
+    def mdeg(v: float) -> bytes:
+        return _enc_sbytes(int(round(v * 1e3)), 3)
+
+    pds = bytearray(28)
+    pds[0:3] = (28).to_bytes(3, "big")
+    pds[3] = 2                     # parameter table version
+    pds[7] = 0x80 | (0x40 if mask is not None else 0)
+    pds[12:17] = bytes([26, 1, 1, 0, 0])  # yy mm dd hh min
+    pds[24] = 21                   # century
+    pds[26:28] = _enc_sbytes(dec_scale, 2)
+    gds = bytearray(32)
+    gds[0:3] = (32).to_bytes(3, "big")
+    gds[3], gds[4], gds[5] = 0, 255, 0   # NV, PV missing, lat/lon
+    gds[6:8] = struct.pack(">H", ni)
+    gds[8:10] = struct.pack(">H", nj)
+    gds[10:13] = mdeg(la1)
+    gds[13:16] = mdeg(lo1)
+    gds[16] = 0x80                 # direction increments given
+    gds[17:20] = mdeg(la1 - dj * (nj - 1))
+    gds[20:23] = mdeg(lo1 + di * (ni - 1))
+    gds[23:25] = struct.pack(">H", int(round(di * 1e3)))
+    gds[25:27] = struct.pack(">H", int(round(dj * 1e3)))
+    gds[27] = 0                    # scanning mode
+    bms = b""
+    if mask is not None:
+        bm = np.packbits(mask.reshape(-1).astype(np.uint8)).tobytes()
+        unused = len(bm) * 8 - mask.size
+        bms = ((6 + len(bm)).to_bytes(3, "big") + bytes([unused])
+               + bytes(2) + bm)
+    payload = _pack_bits(x, nbits)
+    data_bits = x.size * nbits
+    bds_len = 11 + len(payload)
+    if bds_len % 2:                # BDS length must be even
+        payload += b"\x00"
+        bds_len += 1
+    unused_bits = (bds_len - 11) * 8 - data_bits
+    bds = ((bds_len).to_bytes(3, "big") + bytes([unused_bits & 0x0F])
+           + _enc_sbytes(0, 2) + _ibm_encode(ref)
+           + bytes([nbits]) + payload)
+    body = bytes(pds) + bytes(gds) + bms + bds
+    total = 8 + len(body) + 4
+    return (b"GRIB" + total.to_bytes(3, "big") + b"\x01"
+            + body + b"7777")

@@ -43,9 +43,6 @@ def _identify_unsupported(data: bytes) -> str:
     for magic, name in _KNOWN_MAGICS:
         if data[:len(magic)] == magic:
             return name
-    head = data.lstrip()[:20]
-    if head.startswith(b"ENVI"):
-        return "ENVI header"
     return f"unknown container (magic bytes {data[:4]!r})"
 
 
@@ -53,9 +50,9 @@ def _unsupported(data: bytes) -> UnsupportedFormatError:
     name = _identify_unsupported(data)
     return UnsupportedFormatError(
         f"unsupported raster format: {name}. Supported formats: "
-        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP, NetCDF, HDF5, GRIB2, VRT "
-        "(GIF decode-only); convert other containers (e.g. with "
-        "gdal_translate) before ingestion.")
+        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP, NetCDF, HDF5, GRIB2, "
+        "ENVI, VRT (GIF decode-only); convert other containers "
+        "(e.g. with gdal_translate) before ingestion.")
 
 
 def _is_png(data: bytes) -> bool:
@@ -152,14 +149,17 @@ def png_to_jpeg(data: bytes, quality: int = 100) -> bytes:
     return encode_jpeg(decode_png(data), quality=quality)
 
 
-def decode_image_bytes(data: bytes, base_dir: str = None) -> GeoTIFF:
+def decode_image_bytes(data: bytes, base_dir: str = None,
+                       origin: str = None) -> GeoTIFF:
     """Decode any supported raster from bytes, with georeferencing when
     the container carries it. The GDAL-universal decode equivalent
     (rasterio MemoryFile, _img_to_tf_mp.py:45-53). Returns bands-last.
 
-    ``base_dir`` is only consulted for VRT mosaics (their sources are
-    other files, resolved relative to the .vrt's directory); loaders
-    that know the origin path pass it."""
+    ``base_dir`` is only consulted for multi-file containers (VRT
+    sources, the ENVI flat binary next to its header), resolved
+    relative to the origin file's directory; ``origin`` is the origin
+    FILENAME (ENVI derives the data-file stem from it). Loaders that
+    know the origin path pass both."""
     if _is_tiff(data):
         return decode_geotiff(data)
     from .jp2 import is_jp2
@@ -195,6 +195,10 @@ def decode_image_bytes(data: bytes, base_dir: str = None) -> GeoTIFF:
     if is_vrt(data):
         from .vrt import decode_vrt
         return decode_vrt(data, base_dir=base_dir)
+    from .envi import is_envi_header
+    if is_envi_header(data):
+        from .envi import decode_envi
+        return decode_envi(data, base_dir=base_dir, origin=origin)
     raise _unsupported(data)
 
 
@@ -308,4 +312,9 @@ def sniff_image_info(data: bytes) -> RasterInfo:
     if is_vrt(data):
         from .vrt import sniff_vrt_info
         return sniff_vrt_info(data)
+    from .envi import is_envi_header
+    if is_envi_header(data):
+        # shape/dtype/geo live entirely in the header text
+        from .envi import sniff_envi_info
+        return sniff_envi_info(data)
     raise _unsupported(data)

@@ -161,8 +161,10 @@ def _load_any(path: str, dltile_from_filename: bool, decode: bool):
     from .. import storage
     data = storage.read_bytes(path)
     if decode:
-        # base_dir lets VRT mosaics resolve their relative sources
-        g = decode_image_bytes(data, base_dir=storage.dirname(path))
+        # base_dir + origin let multi-file containers (VRT sources,
+        # the ENVI flat binary) resolve their siblings
+        g = decode_image_bytes(data, base_dir=storage.dirname(path),
+                               origin=storage.basename(path))
         info = g.info
     else:
         info = sniff_image_info(data)

@@ -448,9 +448,241 @@ class TestGRIB2:
 
     def test_unsupported_named_loudly(self):
         data = bytearray(encode_grib2(np.ones((2, 2)), 0, 0, 1, 1))
-        data[7] = 1  # edition byte
-        with pytest.raises(ValueError, match="edition 1"):
+        data[7] = 3  # edition byte
+        with pytest.raises(ValueError, match="edition 3"):
             decode_grib(bytes(data))
+
+
+class TestGRIB1:
+    def test_hand_assembled_spec_golden(self):
+        """A GRIB edition-1 message assembled byte-by-byte from the WMO
+        FM 92-VIII tables, independent of encode_grib1: 3x2 grid,
+        simple packing, nbits=8, IBM-float R=100 (0x42640000), E=1,
+        D=0 -> Y = 100 + 2*X; Di/Dj = 0xFFFF ("increments not given",
+        derived from the corner coordinates)."""
+        pds = bytearray(28)
+        pds[0:3] = (28).to_bytes(3, "big")
+        pds[3:7] = bytes([2, 7, 0, 255])
+        pds[7] = 0x80                       # GDS present, no BMS
+        pds[8:12] = bytes([11, 1, 0, 0])    # param, level
+        pds[12:17] = bytes([26, 8, 19, 0, 0])
+        gds = bytearray(32)
+        gds[0:3] = (32).to_bytes(3, "big")
+        gds[3:6] = bytes([0, 255, 0])
+        gds[6:8] = struct.pack(">H", 3)     # Ni
+        gds[8:10] = struct.pack(">H", 2)    # Nj
+        gds[10:13] = (60_000).to_bytes(3, "big")   # La1 = 60N
+        gds[13:16] = (10_000).to_bytes(3, "big")   # Lo1 = 10E
+        gds[16] = 0
+        gds[17:20] = (59_000).to_bytes(3, "big")   # La2
+        gds[20:23] = (12_000).to_bytes(3, "big")   # Lo2
+        gds[23:27] = b"\xff\xff\xff\xff"    # increments not given
+        gds[27] = 0
+        payload = bytes([0, 1, 2, 3, 4, 5])
+        bds = ((18).to_bytes(3, "big") + bytes([8])   # 8 unused bits
+               + struct.pack(">H", 1)                 # E = 1
+               + b"\x42\x64\x00\x00"                  # R = 100.0 (IBM)
+               + bytes([8]) + payload + b"\x00")
+        body = bytes(pds) + bytes(gds) + bds
+        msg = (b"GRIB" + (8 + len(body) + 4).to_bytes(3, "big")
+               + b"\x01" + body + b"7777")
+
+        from dl_image_segmentation_tpu.raster.grib import is_grib
+        assert is_grib(msg)
+        g = decode_grib(msg)
+        assert g.array.shape == (2, 3, 1)
+        np.testing.assert_array_equal(
+            g.array[:, :, 0],
+            100.0 + 2.0 * np.arange(6, dtype=np.float32).reshape(2, 3))
+        assert g.info.epsg == 4326
+        assert g.info.geotransform == pytest.approx(
+            (9.5, 1.0, 0.0, 60.5, 0.0, -1.0))
+
+    def test_ibm_float_codec(self):
+        from dl_image_segmentation_tpu.raster.grib import (_ibm_encode,
+                                                           _ibm_float)
+        # published example: -118.625 = 0xC276A000
+        assert _ibm_encode(-118.625) == b"\xc2\x76\xa0\x00"
+        assert _ibm_float(b"\xc2\x76\xa0\x00") == -118.625
+        for v in (0.0, 1.0, -1.0, 0.5, 100.0, 273.15, 1e-5, 987654.0):
+            # hex normalization leaves as few as 21 mantissa bits
+            assert _ibm_float(_ibm_encode(v)) == pytest.approx(
+                v, rel=2 ** -21, abs=1e-12)
+
+    def test_roundtrip_and_bitmap(self):
+        from dl_image_segmentation_tpu.raster.grib import encode_grib1
+        rng = np.random.default_rng(8)
+        field = np.round(rng.uniform(250, 310, (5, 8)), 1)
+        data = encode_grib1(field, 50.0, 8.0, 0.25, 0.25, nbits=16,
+                            dec_scale=1)
+        g = decode_grib(data)
+        np.testing.assert_allclose(g.array[:, :, 0], field, atol=0.051)
+        assert g.info.geotransform == pytest.approx(
+            (7.875, 0.25, 0.0, 50.125, 0.0, -0.25))
+        mask = np.ones((5, 8), bool)
+        mask[0, 0] = mask[4, 7] = False
+        d2 = encode_grib1(field, 50.0, 8.0, 0.25, 0.25, nbits=16,
+                          dec_scale=1, mask=mask)
+        g2 = decode_grib(d2)
+        assert np.isnan(g2.array[0, 0, 0]) and np.isnan(g2.array[4, 7, 0])
+        np.testing.assert_allclose(g2.array[:, :, 0][mask], field[mask],
+                                   atol=0.051)
+        # multi-message: two GRIB1 fields stack into two bands
+        g3 = decode_grib(data + d2)
+        assert g3.array.shape == (5, 8, 2)
+        assert sniff_grib_info(data + d2).count == 2
+
+    def test_unsupported_layouts_loud(self):
+        from dl_image_segmentation_tpu.raster.grib import encode_grib1
+        base = bytearray(encode_grib1(np.ones((2, 2)), 0, 0, 1, 1))
+        gds_grid_type = 8 + 28 + 5
+        bad = bytearray(base)
+        bad[gds_grid_type] = 5  # polar stereographic
+        with pytest.raises(ValueError, match="grid type 5"):
+            decode_grib(bytes(bad))
+        bad = bytearray(base)
+        bad[8 + 28 + 32 + 3] |= 0x40  # complex packing flag
+        with pytest.raises(ValueError, match="complex"):
+            decode_grib(bytes(bad))
+        bad = bytearray(base)
+        struct.pack_into(">H", bad, 8 + 28 + 6, 0xFFFF)  # thinned Ni
+        with pytest.raises(ValueError, match="thinned"):
+            decode_grib(bytes(bad))
+
+
+class TestENVI:
+    def test_interleaves_roundtrip(self):
+        from dl_image_segmentation_tpu.raster.envi import (decode_envi,
+                                                           encode_envi)
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 4000, (5, 7, 3)).astype(np.uint16)
+        gt = (500000.0, 10.0, 0.0, 2100000.0, 0.0, -10.0)
+        for il in ("bsq", "bil", "bip"):
+            for bo in (0, 1):
+                hdr, data = encode_envi(arr, interleave=il,
+                                        geotransform=gt, epsg=32643,
+                                        nodata=0.0, byte_order=bo)
+                g = decode_envi(hdr, data=data)
+                np.testing.assert_array_equal(g.array, arr)
+                assert g.info.geotransform == pytest.approx(gt)
+                assert g.info.epsg == 32643
+                assert g.info.nodata == 0.0
+                assert g.array.dtype == np.uint16
+
+    def test_hand_written_header_golden(self):
+        """A header typed out by hand (independent of encode_envi):
+        southern-hemisphere UTM, ref pixel not at (1,1), multi-line
+        description, header offset."""
+        from dl_image_segmentation_tpu.raster.envi import (
+            decode_envi, sniff_envi_info, is_envi_header)
+        hdr = (b"ENVI\n"
+               b"description = {\n  two-line\n  description }\n"
+               b"samples = 4\nlines = 3\nbands   = 1\n"
+               b"header offset = 7\nfile type = ENVI Standard\n"
+               b"data type = 4\ninterleave = bsq\nbyte order = 0\n"
+               b"map info = {UTM, 3.0, 2.0, 500020.0, 8999990.0, "
+               b"10.0, 10.0, 43, South, WGS-84, units=Meters}\n")
+        assert is_envi_header(hdr)
+        si = sniff_envi_info(hdr)
+        assert (si.width, si.height, si.count) == (4, 3, 1)
+        assert si.dtype == "float32" and si.epsg == 32743
+        # ref pixel (3,2) at (500020, 8999990) -> corner (500000, 9e6)
+        assert si.geotransform == pytest.approx(
+            (500000.0, 10.0, 0.0, 9000000.0, 0.0, -10.0))
+        vals = np.arange(12, dtype="<f4")
+        g = decode_envi(hdr, data=b"PADDING" + vals.tobytes())
+        np.testing.assert_array_equal(g.array[:, :, 0],
+                                      vals.reshape(3, 4))
+
+    def test_wkt_epsg_fallback_and_geographic(self):
+        from dl_image_segmentation_tpu.raster.envi import sniff_envi_info
+        hdr = (b"ENVI\nsamples = 2\nlines = 2\ndata type = 1\n"
+               b'coordinate system string = {PROJCS["WGS 84 / UTM 31N",'
+               b'GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]],'
+               b'AUTHORITY["EPSG","32631"]]}\n')
+        assert sniff_envi_info(hdr).epsg == 32631
+        geo = (b"ENVI\nsamples = 2\nlines = 2\ndata type = 2\n"
+               b"map info = {Geographic Lat/Lon, 1, 1, 8.0, 50.0, "
+               b"0.5, 0.5, WGS-84}\n")
+        si = sniff_envi_info(geo)
+        assert si.epsg == 4326 and si.dtype == "int16"
+
+    def test_sibling_data_file_resolution(self, tmp_path):
+        from dl_image_segmentation_tpu.raster.envi import encode_envi
+        from dl_image_segmentation_tpu.raster.image import (
+            decode_image_bytes, sniff_image_info)
+        arr = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+        hdr, data = encode_envi(arr, interleave="bil")
+        # foo.hdr -> foo.img, and foo.img.hdr -> foo.img
+        for hname, dname in [("a.hdr", "a.img"), ("b.img.hdr", "b.img"),
+                             ("c.hdr", "c.dat")]:
+            (tmp_path / hname).write_bytes(hdr)
+            (tmp_path / dname).write_bytes(data)
+            g = decode_image_bytes(hdr, base_dir=str(tmp_path),
+                                   origin=hname)
+            np.testing.assert_array_equal(g.array, arr)
+        si = sniff_image_info(hdr)   # dispatch, header-only
+        assert (si.width, si.height) == (6, 4)
+
+    def test_loud_failures(self, tmp_path):
+        from dl_image_segmentation_tpu.raster.envi import (decode_envi,
+                                                           encode_envi)
+        hdr, data = encode_envi(np.zeros((2, 2), np.uint8))
+        with pytest.raises(ValueError, match="not found"):
+            decode_envi(hdr, base_dir=str(tmp_path), origin="x.hdr")
+        with pytest.raises(ValueError, match="too short"):
+            decode_envi(hdr, data=data[:-1])
+        bad = hdr.replace(b"data type = 1", b"data type = 6")
+        with pytest.raises(ValueError, match="data type 6"):
+            decode_envi(bad, data=data)
+        bad = hdr.replace(b"interleave = bsq", b"interleave = foo")
+        with pytest.raises(ValueError, match="interleave"):
+            decode_envi(bad, data=data)
+
+    def test_chips_to_tfrecords(self, tmp_path):
+        """An ENVI chip folder flows through the MP engine
+        (file_ext='hdr') into FloatList records that parse back —
+        closing the reference's any-GDAL-format loop
+        (_img_to_tf_mp.py:45-53) for ENVI."""
+        from dl_image_segmentation_tpu import (
+            images_to_tfrecords_mp, parse_higher_dtype_array_proto)
+        from dl_image_segmentation_tpu.records.tfrecord import read_records
+        from dl_image_segmentation_tpu.raster.envi import encode_envi
+
+        root = tmp_path / "chips"
+        (root / "images").mkdir(parents=True)
+        (root / "labels").mkdir()
+        rng = np.random.default_rng(6)
+        gt = (500000.0, 10.0, 0.0, 2100000.0, 0.0, -10.0)
+        truth = {}
+        for i in range(3):
+            img = rng.integers(0, 4000, (6, 5, 4)).astype(np.int16)
+            lbl = rng.integers(0, 3, (6, 5, 1)).astype(np.uint8)
+            name = f"chip{i}"
+            for sub, a in (("images", img), ("labels", lbl)):
+                hdr, data = encode_envi(a, interleave="bsq",
+                                        geotransform=gt, epsg=32643)
+                (root / sub / f"{name}.hdr").write_bytes(hdr)
+                (root / sub / f"{name}.img").write_bytes(data)
+            truth[f"{name}.hdr"] = (img, lbl)
+        n = images_to_tfrecords_mp(
+            "envi", str(root), str(tmp_path / "recs"), num_shards=2,
+            num_proc=2, dltile_from_filename=False, file_ext="hdr",
+            store_as_array=True)
+        assert n == 3
+        seen = 0
+        for shard in sorted((tmp_path / "recs").iterdir()):
+            for rec in read_records(str(shard)):
+                img, lbl, ident = parse_higher_dtype_array_proto(rec)
+                name = str(ident if isinstance(ident, str)
+                           else ident.decode()).split("|")[0]
+                eimg, elbl = truth[name]
+                np.testing.assert_array_equal(
+                    np.asarray(img).reshape(6, 5, 4), eimg)
+                np.testing.assert_array_equal(
+                    np.asarray(lbl).reshape(6, 5), elbl[:, :, 0])
+                seen += 1
+        assert seen == 3
 
 
 class TestVRT:
