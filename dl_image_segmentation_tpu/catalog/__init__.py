@@ -15,6 +15,11 @@ Catalog interface with two backends:
   retries, real ``processing_level`` asset selection -- the role the
   DL API played for the reference (catalog/httpserver.py is the
   hermetic server fixture)
+* STACCatalog (catalog.stac) -- SpatioTemporal Asset Catalog client,
+  static trees AND item-search APIs: collections as products, items
+  as scenes, band-per-asset or multi-band assets read windowed over
+  HTTP ranges (catalog/stacserver.py is the hermetic fixture +
+  static-tree builder)
 
 ``search`` returns scene metadata (date, cloud fraction); ``load``
 materialises a (S, H, W, B) stack + (S, H, W) validity mask windowed
@@ -25,9 +30,11 @@ compositing kernels (ops/compositing.py) do the rest.
 from .base import Catalog, SceneMeta, set_default_catalog, get_default_catalog
 from .http import HTTPCatalog
 from .local import LocalCatalog
+from .stac import STACCatalog
 from .synthetic import SyntheticCatalog
 
 __all__ = [
     "Catalog", "SceneMeta", "LocalCatalog", "SyntheticCatalog",
-    "HTTPCatalog", "set_default_catalog", "get_default_catalog",
+    "HTTPCatalog", "STACCatalog", "set_default_catalog",
+    "get_default_catalog",
 ]

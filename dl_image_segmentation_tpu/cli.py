@@ -32,6 +32,15 @@ def cmd_create_chips(args) -> int:
 
     if args.catalog == "synthetic":
         catalog = SyntheticCatalog()
+    elif args.catalog.startswith(("stac+http://", "stac+https://")):
+        # STAC endpoint (static tree or item-search API) — the open
+        # standard successor of the reference's DL scene service;
+        # --processing-level filters items' processing:level property
+        from .catalog.stac import STACCatalog
+        level = args.processing_level
+        catalog = STACCatalog(
+            args.catalog,
+            processing_level=None if level == "surface" else level)
     elif args.catalog.startswith(("http://", "https://")):
         # remote scene catalog (the reference's DL-API role,
         # _descartes_img_chips.py:512-513): COG windowed reads +
@@ -771,13 +780,19 @@ def main(argv=None) -> int:
     c.add_argument("--max-cloud-fraction", type=float, default=None)
     c.add_argument("--nodata", type=int, default=255)
     c.add_argument("--catalog", required=True,
-                   help="local catalog root, 'synthetic', or an "
-                        "http(s):// scene-server base URL")
+                   help="local catalog root, 'synthetic', an "
+                        "http(s):// scene-server base URL, or a "
+                        "stac+http(s):// STAC endpoint (static "
+                        "catalog.json tree or item-search API)")
     c.add_argument("--processing-level", default="surface",
                    help="asset level requested from an HTTP catalog "
                         "(reference requests surface reflectance, "
                         "_descartes_img_chips.py:617-627); scenes "
-                        "without an assets map serve every level")
+                        "without an assets map serve every level. On "
+                        "a STAC catalog this filters the items' "
+                        "processing:level property instead (e.g. "
+                        "L2A); the default 'surface' maps to "
+                        "no filter there")
     c.add_argument("--workers", type=int, default=8)
     c.add_argument("--batch-tiles", type=int, default=16,
                    help="composite+burn K tiles per device dispatch "
