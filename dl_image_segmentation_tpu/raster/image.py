@@ -33,9 +33,7 @@ class UnsupportedFormatError(ValueError):
     """
 
 
-_KNOWN_MAGICS = (
-    (b"\x0e\x03\x13\x01", "HDF4"),
-)
+_KNOWN_MAGICS = ()
 
 
 def _identify_unsupported(data: bytes) -> str:
@@ -50,9 +48,9 @@ def _unsupported(data: bytes) -> UnsupportedFormatError:
     name = _identify_unsupported(data)
     return UnsupportedFormatError(
         f"unsupported raster format: {name}. Supported formats: "
-        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP, NetCDF, HDF5, GRIB2, "
-        "ENVI, VRT (GIF decode-only); convert other containers "
-        "(e.g. with gdal_translate) before ingestion.")
+        "GeoTIFF, PNG, JPEG, JPEG 2000, BMP, NetCDF, HDF4, HDF5, "
+        "GRIB (1+2), ENVI, VRT (GIF decode-only); convert other "
+        "containers (e.g. with gdal_translate) before ingestion.")
 
 
 def _is_png(data: bytes) -> bool:
@@ -199,6 +197,11 @@ def decode_image_bytes(data: bytes, base_dir: str = None,
     if is_envi_header(data):
         from .envi import decode_envi
         return decode_envi(data, base_dir=base_dir, origin=origin)
+    from .hdf4 import is_hdf4
+    if is_hdf4(data):
+        # MODIS's container: in-repo DD-chain/SDS parser
+        from .hdf4 import decode_hdf4
+        return decode_hdf4(data)
     raise _unsupported(data)
 
 
@@ -317,4 +320,8 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         # shape/dtype/geo live entirely in the header text
         from .envi import sniff_envi_info
         return sniff_envi_info(data)
+    from .hdf4 import is_hdf4
+    if is_hdf4(data):
+        from .hdf4 import sniff_hdf4_info
+        return sniff_hdf4_info(data)
     raise _unsupported(data)

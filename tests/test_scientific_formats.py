@@ -550,6 +550,97 @@ class TestGRIB1:
             decode_grib(bytes(bad))
 
 
+class TestHDF4:
+    def _mk(self, **kw):
+        from dl_image_segmentation_tpu.raster.hdf4 import encode_hdf4
+        rng = np.random.default_rng(12)
+        img = rng.integers(-2000, 16000, (3, 7, 9)).astype(np.int16)
+        return img, encode_hdf4({"sur_refl": img}, **kw)
+
+    @pytest.mark.parametrize("storage", ["plain", "deflate", "chunked"])
+    def test_storage_roundtrip(self, storage):
+        from dl_image_segmentation_tpu.raster.hdf4 import (
+            decode_hdf4, hdf4_variables, sniff_hdf4_info)
+        img, data = self._mk(storage=storage)
+        g = decode_hdf4(data)
+        # (3, 7, 9) -> bands-last (7, 9, 3)
+        np.testing.assert_array_equal(
+            g.array, img.transpose(1, 2, 0))
+        assert g.array.dtype == np.int16
+        assert hdf4_variables(data) == {"sur_refl": (3, 7, 9)}
+        si = sniff_hdf4_info(data)
+        assert (si.width, si.height, si.count) == (9, 7, 3)
+
+    def test_chunked_edge_chunks_and_dtype(self):
+        """Chunk grid not dividing the shape: edge chunks crop; a
+        float64 SDS keeps its values bit-exact through deflate."""
+        from dl_image_segmentation_tpu.raster.hdf4 import (decode_hdf4,
+                                                           encode_hdf4)
+        rng = np.random.default_rng(13)
+        img = rng.standard_normal((11, 13))
+        data = encode_hdf4({"f": img}, storage="chunked", chunk=(4, 5))
+        np.testing.assert_array_equal(
+            decode_hdf4(data).array[:, :, 0], img)
+
+    def test_fill_value_and_selection(self):
+        from dl_image_segmentation_tpu.raster.hdf4 import (
+            decode_hdf4, encode_hdf4)
+        small = np.ones((2, 2), np.uint8)
+        big = np.full((8, 8), 7, np.uint16)
+        data = encode_hdf4({"small": small, "big": big},
+                           fill_value=65535.0)
+        g = decode_hdf4(data)            # biggest wins by default
+        assert (g.array[:, :, 0] == 7).all()
+        assert g.info.nodata == 65535.0
+        g2 = decode_hdf4(data, variable="small")
+        assert g2.array.shape == (2, 2, 1)
+        with pytest.raises(ValueError, match="not found"):
+            decode_hdf4(data, variable="nope")
+
+    def test_hand_assembled_spec_golden(self):
+        """An HDF4 file assembled byte-by-byte from the HDF 4.2 spec
+        (magic, one DD block, NT/SDD/SD/NDG), independent of
+        encode_hdf4: a 2x3 big-endian int16 SDS."""
+        vals = np.arange(6, dtype=">i2").reshape(2, 3)
+        nt = bytes([1, 22, 16, 0])                     # ver, INT16, 16b
+        sdd = (struct.pack(">H", 2) + struct.pack(">ii", 2, 3)
+               + struct.pack(">HH", 106, 2) * 3)       # data + 2 scales
+        sd = vals.tobytes()
+        ndg = struct.pack(">HHHH", 701, 3, 702, 4)
+        payloads = [(106, 2, nt), (701, 3, sdd), (702, 4, sd),
+                    (720, 5, ndg)]
+        header = 4 + 6 + 12 * len(payloads)
+        out = bytearray(b"\x0e\x03\x13\x01")
+        out += struct.pack(">hi", len(payloads), 0)
+        pos = header
+        for tag, ref, body in payloads:
+            out += struct.pack(">HHii", tag, ref, pos, len(body))
+            pos += len(body)
+        for _, _, body in payloads:
+            out += body
+
+        from dl_image_segmentation_tpu.raster.hdf4 import (decode_hdf4,
+                                                           is_hdf4)
+        assert is_hdf4(bytes(out))
+        g = decode_hdf4(bytes(out))
+        np.testing.assert_array_equal(g.array[:, :, 0], vals)
+        assert g.array.dtype == np.int16
+
+    def test_unsupported_named_loudly(self):
+        from dl_image_segmentation_tpu.raster.hdf4 import decode_hdf4
+        img, data = self._mk(storage="deflate")
+        raw = bytearray(data)
+        # find the extended SD element and patch the comp-type field
+        # inside its special header
+        from dl_image_segmentation_tpu.raster.hdf4 import _dd_list, _SD
+        dds = _dd_list(bytes(raw))
+        off, ln = dds[(_SD | 0x4000, next(
+            ref for (tag, ref) in dds if tag == (_SD | 0x4000)))]
+        struct.pack_into(">H", raw, off + 12, 9)       # comp type 9
+        with pytest.raises(ValueError, match="compression type 9"):
+            decode_hdf4(bytes(raw))
+
+
 class TestENVI:
     def test_interleaves_roundtrip(self):
         from dl_image_segmentation_tpu.raster.envi import (decode_envi,
@@ -763,8 +854,9 @@ class TestVRT:
 
 class TestDispatchAndPipeline:
     def test_universal_dispatch(self, tmp_path):
-        """decode_image_bytes / sniff_image_info route all four new
-        containers; HDF4 stays a loud UnsupportedFormatError."""
+        """decode_image_bytes / sniff_image_info route all the new
+        containers; a truly unknown blob stays a loud
+        UnsupportedFormatError."""
         def build(f):
             f.createDimension("y", 2)
             f.createDimension("x", 2)
@@ -798,8 +890,14 @@ class TestDispatchAndPipeline:
         assert g.array.shape == (2, 2, 1)
         assert sniff_image_info(vrt).width == 2
 
-        with pytest.raises(UnsupportedFormatError, match="HDF4"):
-            decode_image_bytes(b"\x0e\x03\x13\x01" + bytes(64))
+        from dl_image_segmentation_tpu.raster.hdf4 import encode_hdf4
+        h4 = encode_hdf4(
+            {"v": np.arange(6, dtype=np.int16).reshape(2, 3)})
+        assert decode_image_bytes(h4).array.shape == (2, 3, 1)
+        assert sniff_image_info(h4).width == 3
+
+        with pytest.raises(UnsupportedFormatError, match="unknown"):
+            decode_image_bytes(b"\x00\x11\x22\x33" + bytes(64))
 
     def test_netcdf_chips_to_tfrecords(self, tmp_path):
         """End-to-end: a .nc chip folder flows through the MP engine
