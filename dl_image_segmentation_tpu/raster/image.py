@@ -296,9 +296,22 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         return RasterInfo(width=w, height=abs(h), count=count,
                           dtype="uint8")
     if _is_gif(data):
-        raise UnsupportedFormatError(
-            "GIF is decode-only (no header-only sniff); use "
-            "store_as_array mode or convert to PNG")
+        import struct
+        w, h = struct.unpack("<HH", data[6:10])
+        flags = data[10]
+        # band count AFTER decode (PIL first frame): a grayscale
+        # identity-ramp global color table opens as "L" (1 band);
+        # anything else is "P" which _pil_decode expands to RGB
+        count = 3
+        if flags & 0x80:
+            n_ent = 2 << (flags & 0x07)
+            pal = data[13:13 + 3 * n_ent]
+            if len(pal) == 3 * n_ent and all(
+                    pal[3 * i] == pal[3 * i + 1] == pal[3 * i + 2] == i
+                    for i in range(n_ent)):
+                count = 1
+        return RasterInfo(width=w, height=h, count=count,
+                          dtype="uint8")
     from .netcdf import is_netcdf_classic
     if is_netcdf_classic(data):
         from .netcdf import sniff_netcdf_info

@@ -431,6 +431,34 @@ class TestPaletteAndSniffConsistency:
         arr = decode_image(buf.getvalue())
         assert arr.shape == (8, 8, 3)
 
+    def test_gif_sniff_matches_decode_bands(self):
+        """GIF header-only sniff mirrors PIL's first-frame mode: a
+        grayscale identity-ramp palette decodes as 1 band, any colour
+        or permuted-grey palette expands to RGB."""
+        import io
+        from PIL import Image
+        from dl_image_segmentation_tpu.raster.image import (
+            decode_image, sniff_image_info)
+        rng = np.random.RandomState(4)
+        cases = []
+        grey = Image.fromarray(
+            np.arange(64, dtype=np.uint8).reshape(8, 8), "L")
+        cases.append(grey)
+        cases.append(Image.fromarray(
+            rng.randint(0, 255, (8, 8, 3), np.uint8)))
+        permuted = grey.convert("P")
+        permuted.putpalette(sum(([(i * 37) % 256] * 3
+                                 for i in range(256)), []))
+        cases.append(permuted)
+        for img in cases:
+            buf = io.BytesIO()
+            img.save(buf, "GIF")
+            data = buf.getvalue()
+            arr = decode_image(data)
+            si = sniff_image_info(data)
+            assert (si.height, si.width, si.count) == arr.shape
+            assert si.dtype == arr.dtype.name
+
     def test_bmp_sniff_matches_decode_bands(self):
         import io
         from PIL import Image
