@@ -665,10 +665,10 @@ def cmd_serve(args) -> int:
 
 
 def cmd_inspect(args) -> int:
-    import glob
+    from . import storage
     from .records.tfrecord import read_records
 
-    files = sorted(glob.glob(args.records))
+    files = storage.glob(args.records)
     total = 0
     first = None
     for f in files:

@@ -133,8 +133,13 @@ class CogReader:
                     needed.append((plane * strips_per_plane + sj,
                                    plane, sj, 0))
 
-        raw = self._fetch_chunks([i for i, _p, _j, _i in needed])
+        raw = self._fetch_chunks([i for i, _p, _j, _i in needed
+                                  if lay.counts[i] > 0])
         for (idx, plane, cj, ci) in needed:
+            if lay.counts[idx] == 0:
+                # sparse COG (GDAL SPARSE_OK): offset=0/count=0 marks
+                # an all-fill chunk — leave the zeros in place
+                continue
             data = raw[idx]
             if lay.tiled:
                 cy0, cx0 = cj * lay.tile_h, ci * lay.tile_w

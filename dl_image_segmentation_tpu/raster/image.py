@@ -33,6 +33,26 @@ class UnsupportedFormatError(ValueError):
     """
 
 
+class CorruptRasterError(ValueError):
+    """A RECOGNIZED container failed to parse/decode. Distinct from
+    UnsupportedFormatError (unknown container): the message names the
+    format so writer skip summaries stay diagnosable
+    (test_writers_parsers.py::TestFormatGuardrails)."""
+
+
+def _named(fmt: str, fn, *args, **kwargs):
+    """Run a container decoder, wrapping its failures with the format
+    name; the original message is preserved for substring matching."""
+    try:
+        return fn(*args, **kwargs)
+    except (CorruptRasterError, UnsupportedFormatError):
+        raise
+    except Exception as e:
+        raise CorruptRasterError(
+            f"corrupt or unreadable {fmt} container; "
+            f"{type(e).__name__}: {e}") from e
+
+
 _KNOWN_MAGICS = ()
 
 
@@ -159,49 +179,50 @@ def decode_image_bytes(data: bytes, base_dir: str = None,
     FILENAME (ENVI derives the data-file stem from it). Loaders that
     know the origin path pass both."""
     if _is_tiff(data):
-        return decode_geotiff(data)
+        return _named("GeoTIFF", decode_geotiff, data)
     from .jp2 import is_jp2
     if is_jp2(data):
         # Sentinel-2's native format: OpenJPEG decode via PIL
         # (GIL-releasing), GeoJP2/GMLJP2 georeferencing parsed in-repo
         from .jp2 import decode_jp2
-        return decode_jp2(data)
+        return _named("JPEG 2000", decode_jp2, data)
     if _is_png(data) or _is_jpeg(data) or _is_bmp(data) or _is_gif(data):
         if _is_png(data):
             # libdeflate fast path (the training-feed hot lane);
             # PIL handles the rest of the format space
-            arr = _decode_png_arr(data)
+            arr = _named("PNG", _decode_png_arr, data)
         else:
-            arr = _pil_decode(data)
+            arr = _named("image", _pil_decode, data)
         info = RasterInfo(width=arr.shape[1], height=arr.shape[0],
                           count=arr.shape[2], dtype=arr.dtype.name)
         return GeoTIFF(arr, info)
     from .netcdf import is_netcdf_classic
     if is_netcdf_classic(data):
         from .netcdf import decode_netcdf
-        return decode_netcdf(data)
+        return _named("NetCDF", decode_netcdf, data)
     from .hdf5 import is_hdf5
     if is_hdf5(data):
         # covers NetCDF-4 too (an HDF5 container with CF attrs)
         from .hdf5 import decode_hdf5
-        return decode_hdf5(data)
+        return _named("HDF5", decode_hdf5, data)
     from .grib import is_grib
     if is_grib(data):
         from .grib import decode_grib
-        return decode_grib(data)
+        return _named("GRIB", decode_grib, data)
     from .vrt import is_vrt
     if is_vrt(data):
         from .vrt import decode_vrt
-        return decode_vrt(data, base_dir=base_dir)
+        return _named("VRT", decode_vrt, data, base_dir=base_dir)
     from .envi import is_envi_header
     if is_envi_header(data):
         from .envi import decode_envi
-        return decode_envi(data, base_dir=base_dir, origin=origin)
+        return _named("ENVI", decode_envi, data, base_dir=base_dir,
+                      origin=origin)
     from .hdf4 import is_hdf4
     if is_hdf4(data):
         # MODIS's container: in-repo DD-chain/SDS parser
         from .hdf4 import decode_hdf4
-        return decode_hdf4(data)
+        return _named("HDF4", decode_hdf4, data)
     raise _unsupported(data)
 
 
@@ -264,11 +285,11 @@ def sniff_image_info(data: bytes) -> RasterInfo:
         raise ValueError("no JPEG SOF marker found")
     if _is_tiff(data):
         from .geotiff import decode_geotiff_info
-        return decode_geotiff_info(data)
+        return _named("GeoTIFF", decode_geotiff_info, data)
     from .jp2 import is_jp2
     if is_jp2(data):
         from .jp2 import sniff_jp2_info
-        return sniff_jp2_info(data)
+        return _named("JPEG 2000", sniff_jp2_info, data)
     if _is_bmp(data):
         import struct
         w, h = struct.unpack("<ii", data[18:26])
@@ -315,26 +336,26 @@ def sniff_image_info(data: bytes) -> RasterInfo:
     from .netcdf import is_netcdf_classic
     if is_netcdf_classic(data):
         from .netcdf import sniff_netcdf_info
-        return sniff_netcdf_info(data)
+        return _named("NetCDF", sniff_netcdf_info, data)
     from .hdf5 import is_hdf5
     if is_hdf5(data):
         from .hdf5 import sniff_hdf5_info
-        return sniff_hdf5_info(data)
+        return _named("HDF5", sniff_hdf5_info, data)
     from .grib import is_grib
     if is_grib(data):
         from .grib import sniff_grib_info
-        return sniff_grib_info(data)
+        return _named("GRIB", sniff_grib_info, data)
     from .vrt import is_vrt
     if is_vrt(data):
         from .vrt import sniff_vrt_info
-        return sniff_vrt_info(data)
+        return _named("VRT", sniff_vrt_info, data)
     from .envi import is_envi_header
     if is_envi_header(data):
         # shape/dtype/geo live entirely in the header text
         from .envi import sniff_envi_info
-        return sniff_envi_info(data)
+        return _named("ENVI", sniff_envi_info, data)
     from .hdf4 import is_hdf4
     if is_hdf4(data):
         from .hdf4 import sniff_hdf4_info
-        return sniff_hdf4_info(data)
+        return _named("HDF4", sniff_hdf4_info, data)
     raise _unsupported(data)

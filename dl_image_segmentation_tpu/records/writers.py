@@ -309,8 +309,13 @@ def _write_one_shard(writer, worker_index: int, img_files, lbl_files,
         except Exception as e:  # noqa: BLE001 -- skip-and-continue contract
             print(e)
             print(f"SKIPPED: Unexpected error while decoding {filename}.")
+            from ..raster.image import CorruptRasterError
             if isinstance(e, UnsupportedFormatError):
                 reason = str(e).split(".")[0]  # "unsupported ...: JP2"
+            elif isinstance(e, CorruptRasterError):
+                # "corrupt or unreadable HDF5 container" — keep the
+                # format name in the summary line
+                reason = str(e).split(";")[0]
             else:
                 reason = type(e).__name__
             skipped[reason] = skipped.get(reason, 0) + 1

@@ -13,8 +13,9 @@ HTTP server around ``Trainer.predict_probs`` designed TPU-first:
   the softmax map, class-map requests its argmax (bit-identical to
   ``Trainer.predict``);
 - decode and scaling reuse the offline rules (`dlseg-tpu predict`):
-  PNG/JPG/GeoTIFF bytes through this framework's own codecs, ``.npy``
-  bodies taken as raw (already-scaled) float arrays;
+  request bodies route through the universal decoder, so ANY supported
+  raster works (PNG/JPG/GeoTIFF/JP2/NetCDF/HDF4/HDF5/GRIB/ENVI...),
+  plus ``.npy`` bodies taken as raw (already-scaled) float arrays;
 - bounded admission: beyond ``max_queue`` waiting requests the server
   answers 503 immediately (fail fast beats unbounded latency), and
   shutdown fails queued requests instead of letting them time out.
@@ -27,8 +28,8 @@ Endpoints:
                               outputs are byte-comparable)
   POST /predict?probs=1    -> float32 (H, W, num_classes) .npy bytes
 
-Request body: an encoded PNG/JPG/GeoTIFF chip, or a .npy float array
-(H, W, C). Responses are .npy (application/x-npy); errors are JSON
+Request body: an encoded raster chip in any supported container, or
+a .npy float array (H, W, C). Responses are .npy (application/x-npy); errors are JSON
 with appropriate 4xx/5xx statuses.
 
 Bodies of any OTHER (H, W) with the model's band count run the

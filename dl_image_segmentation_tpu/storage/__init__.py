@@ -28,7 +28,6 @@ hot local lanes (bench.py, the native shard writers) pay one
 
 from __future__ import annotations
 
-import fnmatch
 import io
 import os
 import tempfile
@@ -136,8 +135,9 @@ def listdir(path: str) -> List[str]:
 
 def glob(pattern: str) -> List[str]:
     """Shell-style glob. gs:// patterns list the static prefix then
-    fnmatch, so 'gs://b/recs/name-*' behaves like the local glob the
-    reference's shard patterns assume."""
+    match, so 'gs://b/recs/name-*' behaves like the local glob the
+    reference's shard patterns assume — including that '*' and '?'
+    never cross '/' (a shard pattern must not pull nested objects)."""
     if not is_remote(pattern):
         import glob as _glob
         return sorted(_glob.glob(pattern))
@@ -148,9 +148,42 @@ def glob(pattern: str) -> List[str]:
         if k != -1:
             cut = min(cut, k)
     static = name_pat[:cut]
+    rx = _glob_regex(name_pat)
     items, _ = get_client().list(bucket, static)
     return sorted(f"gs://{bucket}/{it['name']}" for it in items
-                  if fnmatch.fnmatchcase(it["name"], name_pat))
+                  if rx.fullmatch(it["name"]))
+
+
+def _glob_regex(pat: str):
+    """Glob pattern -> regex with local-glob semantics: '*' and '?'
+    never match '/', '[...]' classes pass through ('[!' negates)."""
+    import re
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = i + 1
+            if j < len(pat) and pat[j] in "!]":
+                j += 1
+            while j < len(pat) and pat[j] != "]":
+                j += 1
+            if j >= len(pat):
+                out.append(re.escape(c))  # unclosed: literal '['
+            else:
+                inner = pat[i + 1:j]
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                out.append("[" + inner + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out) + r"\Z")
 
 
 def makedirs(path: str, exist_ok: bool = True) -> None:

@@ -93,6 +93,35 @@ class TestCogReader:
             CogReader(fetch)
         assert stats["calls"] == 1  # no futile growth loop
 
+    def test_sparse_tiles_read_as_zeros(self):
+        """GDAL writes sparse COGs with offset=0/count=0 for empty
+        tiles; those must fill with zeros, not crash the decoder."""
+        import struct
+        arr = np.arange(128 * 128, dtype=np.uint16).reshape(128, 128, 1)
+        data = bytearray(encode_geotiff(arr, tiled=True, compress="lzw",
+                                        tile_size=64))
+        # walk the classic little-endian IFD to the TileOffsets (324)
+        # and TileByteCounts (325) arrays and zero entry 3 (tile 1,1)
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        patched = 0
+        for k in range(n_entries):
+            e = ifd_off + 2 + 12 * k
+            tag, typ, cnt, val = struct.unpack_from("<HHII", data, e)
+            if tag in (324, 325):
+                assert cnt == 4  # 2x2 grid of 64x64 tiles
+                size = 4 if typ == 4 else 8
+                struct.pack_into("<I" if typ == 4 else "<Q",
+                                 data, val + 3 * size, 0)
+                patched += 1
+        assert patched == 2
+        r = CogReader(_counting_fetch(bytes(data))[0])
+        full = r.read_full()
+        np.testing.assert_array_equal(full[:64, :64], arr[:64, :64])
+        assert (full[64:, 64:] == 0).all()
+        win, _ = r.read_window(100, 100, 120, 120)  # inside the hole
+        assert (win == 0).all()
+
 
 @pytest.fixture(scope="module")
 def catalog_root(tmp_path_factory):

@@ -74,6 +74,17 @@ class TestGCSRoundtrip:
         assert len(storage.glob(
             "gs://bucket/recs/name-0000?-of-00002")) == 2
 
+    def test_glob_does_not_cross_slashes(self, fake):
+        """Local glob semantics: '*' and '?' never match '/', so a
+        shard pattern cannot accidentally pull nested objects."""
+        for n in ["recs/name-1", "recs/name-x/nested",
+                  "recs/name-y/deep/er"]:
+            storage.write_bytes(f"gs://bucket/{n}", b"x")
+        assert storage.glob("gs://bucket/recs/name-*") == [
+            "gs://bucket/recs/name-1"]
+        assert storage.glob("gs://bucket/recs/name-*/nested") == [
+            "gs://bucket/recs/name-x/nested"]
+
     def test_replace_remote(self, fake):
         storage.write_bytes("gs://bucket/a", b"payload")
         storage.replace("gs://bucket/a", "gs://bucket/b")

@@ -328,27 +328,33 @@ class TestAtomicAndResume:
 
 
 class TestFormatGuardrails:
-    """Unsupported containers fail loudly by NAME (VERDICT r1 #8); the
-    writer summary reports skip counts. (JP2 moved OUT of this class
-    in round 4: it is now a supported format, tests/test_jp2.py.)"""
+    """Failures stay loud and NAMED (VERDICT r1 #8), across both
+    regimes: truly unknown containers raise UnsupportedFormatError,
+    and CORRUPT files of recognized formats raise CorruptRasterError
+    naming the format (every container in this class became a
+    supported format during rounds 3-4); the writer summary reports
+    skip counts either way."""
 
     HDF = b"\x89HDF\r\n\x1a\n" + b"\x00" * 64
 
     def test_sniff_names_the_format(self):
         from dl_image_segmentation_tpu.raster.image import (
-            UnsupportedFormatError, sniff_image_info)
-        with pytest.raises(UnsupportedFormatError, match="HDF5"):
+            CorruptRasterError, sniff_image_info)
+        with pytest.raises(CorruptRasterError, match="HDF5"):
             sniff_image_info(self.HDF)
-        with pytest.raises(UnsupportedFormatError, match="NetCDF"):
+        with pytest.raises(CorruptRasterError, match="NetCDF"):
             sniff_image_info(b"CDF\x01" + b"\x00" * 32)
-        with pytest.raises(UnsupportedFormatError, match="VRT"):
+        with pytest.raises(CorruptRasterError, match="VRT"):
             sniff_image_info(b"<VRTDataset rasterXSize='4'>")
 
     def test_decode_names_the_format(self):
         from dl_image_segmentation_tpu.raster.image import (
-            UnsupportedFormatError, decode_image_bytes)
-        with pytest.raises(UnsupportedFormatError, match="HDF5"):
+            CorruptRasterError, UnsupportedFormatError,
+            decode_image_bytes)
+        with pytest.raises(CorruptRasterError, match="HDF5"):
             decode_image_bytes(self.HDF)
+        with pytest.raises(UnsupportedFormatError, match="unknown"):
+            decode_image_bytes(b"\x00\x11\x22\x33" + bytes(32))
 
     def test_writer_summary_reports_skips(self, tmp_path, capsys):
         from dl_image_segmentation_tpu.raster.image import encode_png
