@@ -22,6 +22,9 @@ HTTP server around ``Trainer.predict_probs`` designed TPU-first:
 
 Endpoints:
   GET  /healthz            -> JSON status (model, step, batch size)
+  GET  /metrics            -> Prometheus text exposition (request
+                              counters, queue depth, latency
+                              histograms)
   POST /predict            -> int32 class map as .npy bytes (same
                               dtype as Trainer.predict and the offline
                               windowed path, so served and offline
@@ -76,7 +79,8 @@ def scale_image(src: np.ndarray, scale: str) -> np.ndarray:
 
 
 class _Pending:
-    __slots__ = ("img", "probs", "event", "result", "error", "status")
+    __slots__ = ("img", "probs", "event", "result", "error", "status",
+                 "t0")
 
     def __init__(self, img: np.ndarray, probs: bool):
         self.img = img
@@ -85,6 +89,42 @@ class _Pending:
         self.result: Optional[np.ndarray] = None
         self.error: Optional[str] = None
         self.status: int = 500  # HTTP status when error is set
+        self.t0 = time.perf_counter()
+
+
+class _Hist:
+    """Fixed-bucket latency histogram in Prometheus exposition shape
+    (cumulative ``le`` buckets + sum + count)."""
+
+    BOUNDS = (0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25,
+              0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.counts = [0] * (len(self.BOUNDS) + 1)
+        self.sum = 0.0
+        self.count = 0
+
+    def observe(self, v: float) -> None:
+        i = 0
+        while i < len(self.BOUNDS) and v > self.BOUNDS[i]:
+            i += 1
+        with self._lock:
+            self.counts[i] += 1
+            self.sum += v
+            self.count += 1
+
+    def lines(self, name: str) -> list:
+        out = [f"# TYPE {name} histogram"]
+        cum = 0
+        with self._lock:
+            for bound, c in zip(self.BOUNDS, self.counts):
+                cum += c
+                out.append(f'{name}_bucket{{le="{bound}"}} {cum}')
+            out.append(f'{name}_bucket{{le="+Inf"}} {self.count}')
+            out.append(f"{name}_sum {self.sum:.6f}")
+            out.append(f"{name}_count {self.count}")
+        return out
 
 
 class PredictServer:
@@ -109,6 +149,9 @@ class PredictServer:
         self.served = 0
         self.batches = 0
         self.rejected = 0
+        self.errors = 0
+        self.request_latency = _Hist()   # enqueue -> result ready
+        self.dispatch_latency = _Hist()  # one device batch
         self._stop = False
         # serializes the _stop check against put_nowait so an enqueue
         # racing close() can never strand a pending in a drained queue
@@ -184,6 +227,7 @@ class PredictServer:
 
     def _run(self, batch):
         try:
+            t_dispatch = time.perf_counter()
             imgs = np.stack([p.img for p in batch])
             if len(batch) < self.batch_size:
                 # pad to the compiled batch size: one jit shape forever
@@ -202,11 +246,16 @@ class PredictServer:
                             .astype(np.int32))
             self.served += len(batch)
             self.batches += 1
+            self.dispatch_latency.observe(time.perf_counter()
+                                          - t_dispatch)
         except Exception as e:  # noqa: BLE001 -- surface to every caller
+            self.errors += 1
             for p in batch:
                 p.error = f"{type(e).__name__}: {e}"
         finally:
+            done = time.perf_counter()
             for p in batch:
+                self.request_latency.observe(done - p.t0)
                 p.event.set()
 
 
@@ -302,7 +351,10 @@ def make_http_server(host: str, port: int, server: PredictServer,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.split("?")[0] != "/healthz":
+            route = self.path.split("?")[0]
+            if route == "/metrics":
+                return self._metrics()
+            if route != "/healthz":
                 return self._json(404, {"error": "not found"})
             self._json(200, {
                 "ok": True, "model": cfg.model,
@@ -315,6 +367,36 @@ def make_http_server(host: str, port: int, server: PredictServer,
                 "rejected": server.rejected,
                 "max_queue": server.max_queue,
                 "max_pixels": max_pixels})
+
+        def _metrics(self):
+            """Prometheus text exposition: counters, queue gauge, and
+            request/dispatch latency histograms — the standard scrape
+            surface for production serving."""
+            lines = [
+                "# TYPE dlseg_requests_served_total counter",
+                f"dlseg_requests_served_total {server.served}",
+                "# TYPE dlseg_batches_total counter",
+                f"dlseg_batches_total {server.batches}",
+                "# TYPE dlseg_requests_rejected_total counter",
+                f"dlseg_requests_rejected_total {server.rejected}",
+                "# TYPE dlseg_batch_errors_total counter",
+                f"dlseg_batch_errors_total {server.errors}",
+                "# TYPE dlseg_queue_depth gauge",
+                f"dlseg_queue_depth {server.q.qsize()}",
+                "# TYPE dlseg_batch_size gauge",
+                f"dlseg_batch_size {server.batch_size}",
+            ]
+            lines += server.request_latency.lines(
+                "dlseg_request_latency_seconds")
+            lines += server.dispatch_latency.lines(
+                "dlseg_dispatch_latency_seconds")
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _npy_response(self, arr: np.ndarray):
             out = _npy_bytes(arr)

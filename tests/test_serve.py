@@ -56,6 +56,43 @@ class TestServe:
         assert h["ok"] and h["num_classes"] == 2
         assert h["batch_size"] == 8 and h["image_size"] == 16
 
+    def test_metrics_prometheus_exposition(self, live_server):
+        """GET /metrics: counters track served traffic and the latency
+        histograms are internally consistent (monotone cumulative
+        buckets, +Inf == count, count advances with requests)."""
+        trainer, ps, base = live_server
+        img = np.random.RandomState(0).rand(16, 16, 3).astype(
+            np.float32)
+        for _ in range(3):
+            status, _ct, _body = _post(base + "/predict", _npy(img))
+            assert status == 200
+
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert r.headers.get("Content-Type", "").startswith(
+                "text/plain")
+            text = r.read().decode()
+        vals = {}
+        for line in text.splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            key, _, v = line.rpartition(" ")
+            vals[key] = float(v)
+        assert vals["dlseg_requests_served_total"] >= 3
+        assert vals["dlseg_batches_total"] >= 1
+        assert vals["dlseg_batch_size"] == 8
+        assert vals["dlseg_batch_errors_total"] == 0
+        # histogram consistency
+        for name in ("dlseg_request_latency_seconds",
+                     "dlseg_dispatch_latency_seconds"):
+            buckets = [(k, v) for k, v in vals.items()
+                       if k.startswith(name + "_bucket")]
+            counts = [v for _k, v in buckets]
+            assert counts == sorted(counts)  # cumulative, monotone
+            inf = vals[f'{name}_bucket{{le="+Inf"}}']
+            assert inf == vals[name + "_count"] > 0
+            assert vals[name + "_sum"] >= 0.0
+        assert vals["dlseg_request_latency_seconds_count"] >= 3
+
     def test_npy_body_matches_offline_predict(self, live_server):
         trainer, ps, base = live_server
         rng = np.random.RandomState(0)
