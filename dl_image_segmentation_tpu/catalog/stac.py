@@ -81,13 +81,18 @@ class STACCatalog(Catalog):
     def __init__(self, url: str,
                  processing_level: Optional[str] = None,
                  max_attempts: int = 5, cache_readers: int = 32,
-                 timeout: float = 60.0):
+                 timeout: float = 60.0, token: Optional[str] = None):
         if url.startswith("stac+"):
             url = url[len("stac+"):]
         self.url = url
         self.processing_level = processing_level
         self.max_attempts = max_attempts
         self.timeout = timeout
+        # bearer auth for commercial STAC APIs; $STAC_AUTH_TOKEN is the
+        # non-invasive default (mirrors the GCS client's GCS_OAUTH_TOKEN)
+        import os
+        self.token = token if token is not None \
+            else os.environ.get("STAC_AUTH_TOKEN")
         self._lock = threading.Lock()
         self._readers: Dict[str, CogReader] = {}
         self._reader_order: List[str] = []
@@ -133,8 +138,11 @@ class STACCatalog(Catalog):
     def _request(self, method: str, abs_url: str,
                  headers: Optional[dict] = None,
                  body: Optional[bytes] = None) -> Tuple[int, bytes]:
+        hdrs = dict(headers or {})
+        if self.token:
+            hdrs.setdefault("Authorization", f"Bearer {self.token}")
         status, data, _ = http_request(
-            method, abs_url, data=body, headers=headers,
+            method, abs_url, data=body, headers=hdrs,
             ok_statuses=(200, 206), max_attempts=self.max_attempts,
             timeout=self.timeout)
         return status, data

@@ -152,9 +152,11 @@ class StacServer:
     verbatim (static mode). ``fail_next`` injects transient failures."""
 
     def __init__(self, root: str, api: bool = False,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 require_token: Optional[str] = None):
         self.root = os.path.abspath(root)
         self.api = api
+        self.require_token = require_token
         self.requests = 0
         self.search_requests = 0
         self.range_requests = 0
@@ -188,9 +190,16 @@ class StacServer:
                         srv._fail_remaining -= 1
                         status = srv._fail_status
                     else:
-                        return False
-                self._reply(status, b'{"error": "injected"}')
-                return True
+                        status = 0
+                if status:
+                    self._reply(status, b'{"error": "injected"}')
+                    return True
+                if srv.require_token is not None:
+                    auth = self.headers.get("Authorization", "")
+                    if auth != f"Bearer {srv.require_token}":
+                        self._reply(401, b'{"error": "unauthorized"}')
+                        return True
+                return False
 
             def do_GET(self):
                 if self._maybe_fail():

@@ -252,6 +252,25 @@ class TestTransportDiscipline:
             assert srv.bytes_served < size * 0.1, (
                 f"fetched {srv.bytes_served} of {size}")
 
+    def test_bearer_token_auth(self, stac_root, monkeypatch):
+        """Commercial STAC APIs gate everything behind bearer auth:
+        the token rides every request (search AND asset ranges); a
+        missing/wrong token is a hard 401, not a retry loop."""
+        from dl_image_segmentation_tpu.storage.gcs import GCSError
+        with StacServer(stac_root, api=True,
+                        require_token="sekrit") as srv:
+            with pytest.raises(GCSError) as ei:
+                STACCatalog(srv.url)
+            assert ei.value.status == 401
+            cat = STACCatalog(srv.url, token="sekrit")
+            metas = cat.search(TILE, "s2", end=dt.date(2020, 10, 31))
+            stack, _ = cat.load(metas, TILE, ["red"])
+            assert stack.shape[0] == 1
+            # env-var default, like the GCS client's GCS_OAUTH_TOKEN
+            monkeypatch.setenv("STAC_AUTH_TOKEN", "sekrit")
+            cat2 = STACCatalog(srv.url)
+            assert cat2.products() == ["levels", "s2"]
+
     def test_transient_failures_retry(self, stac_root):
         with StacServer(stac_root) as srv:
             cat = STACCatalog(srv.url, max_attempts=4)
