@@ -116,12 +116,11 @@ class LocalCatalog(Catalog):
         model input for multi-product stacking (the reference's
         prior-model-outputs use case, _descartes_img_chips.py:493-497).
         Returns the number of scenes added."""
-        import glob as _glob
         n = 0
         # the index is written ONCE at the end: per-scene dumps would
         # re-serialize the whole (growing) index N times -- O(N^2) over
         # a large predict-output folder
-        for f in sorted(_glob.glob(os.path.join(folder, "*.tif"))):
+        for f in self._st.glob(self._st.join(folder, "*.tif")):
             g = read_geotiff(f)
             if g.info.geotransform is None or g.info.epsg is None:
                 continue

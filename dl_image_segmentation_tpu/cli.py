@@ -292,8 +292,6 @@ def cmd_predict(args) -> int:
     """Run the model over a chip folder and write georeferenced
     prediction GeoTIFFs (usable as a LocalCatalog product for the
     multi-product stacking flow, reference :472-518)."""
-    import glob as _glob
-
     import numpy as np
 
     from .raster.geotiff import read_geotiff, write_geotiff
@@ -353,7 +351,7 @@ def cmd_predict(args) -> int:
         print("predict needs --images DIR, --records GLOB or "
               "--geotiff FILE", file=sys.stderr)
         return 2
-    files = sorted(_glob.glob(os.path.join(args.images, "*.tif")))
+    files = _storage.glob(_storage.join(args.images, "*.tif"))
     if not files:
         print(f"no .tif chips in {args.images}")
         return 1
@@ -559,9 +557,9 @@ def _predict_from_records(args, trainer) -> int:
     reconstructing the geotransform/CRS from tile-key or `name|gt|crs`
     identifiers (geo/georef.py); identifiers without georeferencing
     still produce a plain raster."""
-    import glob as _glob
-
     import numpy as np
+
+    from . import storage as _storage
 
     from .geo.georef import georef_from_identifier
     from .pipeline.input import PARSE_FNS
@@ -570,7 +568,7 @@ def _predict_from_records(args, trainer) -> int:
     from .serve import scale_image
 
     parse = PARSE_FNS[args.mode]
-    files = sorted(_glob.glob(args.records))
+    files = _storage.glob(args.records)
     if not files:
         print(f"no shards match {args.records!r}")
         return 1

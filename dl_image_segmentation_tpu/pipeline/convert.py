@@ -47,13 +47,13 @@ def _convert_one(src_path: str, dst_path: str, to: str, quality: int,
                  rescale: Optional[Tuple[float, float]]) -> bool:
     """Convert one raster file; returns False if the output already
     existed (resume skip). Raises on anything the target can't hold."""
-    if os.path.exists(dst_path):
+    from .. import storage
+    if storage.exists(dst_path):
         return False
     from ..raster.image import decode_image_bytes
-    with open(src_path, "rb") as f:
-        g = decode_image_bytes(f.read(),
-                               base_dir=os.path.dirname(src_path),
-                               origin=os.path.basename(src_path))
+    g = decode_image_bytes(storage.read_bytes(src_path),
+                           base_dir=storage.dirname(src_path),
+                           origin=storage.basename(src_path))
     arr = g.array
     if rescale is not None:
         arr = _to_uint8(arr, rescale)
@@ -77,10 +77,7 @@ def _convert_one(src_path: str, dst_path: str, to: str, quality: int,
                 "--rescale lo hi to map into uint8, or keep GeoTIFF "
                 "and use the any-format engine / store_as_array=True)")
         data = encode_png(arr)
-    tmp = dst_path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, dst_path)
+    storage.write_bytes(dst_path, data)  # atomic both backends
     return True
 
 
@@ -99,24 +96,24 @@ def convert_chip_folder(directory: str, out_directory: str,
     """
     if to not in ("png", "jpg"):
         raise ValueError(f"to must be 'png' or 'jpg', got {to!r}")
+    from .. import storage
     rs = tuple(float(v) for v in rescale) if rescale is not None else None
     jobs = []
     for sub in _SUBFOLDERS:
-        src_dir = os.path.join(directory, sub)
-        dst_dir = os.path.join(out_directory, sub)
+        src_dir = storage.join(directory, sub)
+        dst_dir = storage.join(out_directory, sub)
         names = sorted(
-            e.name for e in os.scandir(src_dir)
-            if not e.name.startswith(".")
-            and e.name.endswith(f".{file_ext}"))
+            n for n in storage.listdir(src_dir)
+            if not n.startswith(".") and n.endswith(f".{file_ext}"))
         if not names:
             raise FileNotFoundError(
                 f"no .{file_ext} files in {src_dir!r}")
-        os.makedirs(dst_dir, exist_ok=True)
+        storage.makedirs(dst_dir, exist_ok=True)
         sub_rs = rs if (sub == "images" or rescale_labels) else None
         for name in names:
             stem = name[:-(len(file_ext) + 1)]
-            jobs.append((os.path.join(src_dir, name),
-                         os.path.join(dst_dir, f"{stem}.{to}"), sub_rs))
+            jobs.append((storage.join(src_dir, name),
+                         storage.join(dst_dir, f"{stem}.{to}"), sub_rs))
     written = 0
     width = max(1, min(num_workers, len(jobs)))
     with ThreadPoolExecutor(max_workers=width) as ex:

@@ -15,7 +15,6 @@ is written with our GeoTIFF codec, LZW tiled, georeferenced.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 from typing import Dict, Optional, Tuple
 
@@ -96,7 +95,8 @@ def stitch_folder(chip_dir: str, out_path: str,
     the same folder) are skipped. Chips are read and pasted one at a
     time -- peak memory is one mosaic plus one chip, not two mosaics.
     Returns (n_tiles, (height, width))."""
-    files = sorted(_glob.glob(os.path.join(chip_dir, "*.tif")))
+    from .. import storage as _storage
+    files = _storage.glob(_storage.join(chip_dir, "*.tif"))
     entries = []
     for f in files:
         try:
@@ -108,8 +108,7 @@ def stitch_folder(chip_dir: str, out_path: str,
     tiles = [t for t, _ in entries]
     t0, ti_min, tj_max, width, height, gt, epsg = _grid_frame(tiles)
     from ..raster.geotiff import decode_geotiff_info
-    with open(entries[0][1], "rb") as fh:
-        info0 = decode_geotiff_info(fh.read())
+    info0 = decode_geotiff_info(_storage.read_bytes(entries[0][1]))
     nodata: Optional[float] = info0.nodata
     mosaic = np.full((height, width, info0.count),
                      fill_value, dtype=np.dtype(info0.dtype))

@@ -19,7 +19,6 @@ the manifest.
 
 from __future__ import annotations
 
-import glob as _glob
 import hashlib
 import json
 import os
@@ -42,8 +41,9 @@ class RecordsSink:
 
 
 def _sha256(path: str) -> str:
+    from .. import storage as _storage
     h = hashlib.sha256()
-    with open(path, "rb") as f:
+    with _storage.open_read(path) as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     return h.hexdigest()
@@ -70,15 +70,22 @@ class LocalDirSink(RecordsSink):
                 and os.path.exists(os.path.join(self.root, shard_name)))
 
     def put_shard(self, path: str) -> str:
-        name = os.path.basename(path)
+        from .. import storage as _storage
+        name = _storage.basename(path)
         dest = os.path.join(self.root, name)
         tmp = dest + ".tmp"
-        try:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            os.link(path, tmp)
-        except OSError:
-            shutil.copyfile(path, tmp)
+        if _storage.is_remote(path):
+            # gs:// shard -> local sink (e.g. pulling a bucket's
+            # records onto pod-local SSD); stream, don't slurp
+            with _storage.open_read(path) as src, open(tmp, "wb") as f:
+                shutil.copyfileobj(src, f)
+        else:
+            try:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                os.link(path, tmp)
+            except OSError:
+                shutil.copyfile(path, tmp)
         os.replace(tmp, dest)
         entry = {"sha256": _sha256(dest),
                  "bytes": os.path.getsize(dest)}
@@ -144,7 +151,8 @@ def push_shards(pattern, sink: RecordsSink,
     through ``sink``. Skips shards the sink already has when
     ``resume``. Returns the remote identifiers of pushed shards."""
     if isinstance(pattern, str):
-        files = sorted(_glob.glob(pattern))
+        from .. import storage as _storage
+        files = _storage.glob(pattern)
     else:
         files = sorted(pattern)
     # aborted writers deliberately leave .tmp files; never push them

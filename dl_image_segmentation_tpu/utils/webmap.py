@@ -125,14 +125,14 @@ def write_html_map_for_folder(out_path: str, chip_dir: str,
                               labels: Optional[str] = None) -> str:
     """Map every chip in a folder (tile-key filenames) plus an optional
     vector label dataset -- the `dlseg-tpu map` CLI backend."""
-    import glob as _glob
+    from .. import storage as _storage
     import os
 
     from ..geo.tilegrid import Tile
 
     tiles = []
-    for f in sorted(_glob.glob(os.path.join(chip_dir, "*.tif"))) + \
-            sorted(_glob.glob(os.path.join(chip_dir, "*.png"))):
+    for f in (_storage.glob(_storage.join(chip_dir, "*.tif"))
+              + _storage.glob(_storage.join(chip_dir, "*.png"))):
         try:
             tiles.append(Tile.from_filename(os.path.basename(f)))
         except ValueError:

@@ -141,6 +141,64 @@ class TestRemoteRasters:
         assert is_done(job)
 
 
+class TestRemoteTools:
+    """Round-4 follow-through: the tool commands that previously
+    bypassed the storage layer (convert, stitch, push) run their whole
+    IO against gs://."""
+
+    def _chips_on_gs(self, n=3, size=16):
+        from dl_image_segmentation_tpu.geo.tilegrid import Tile
+        rng = np.random.RandomState(5)
+        names = []
+        base = Tile.from_key("16:0:10.0:43:-900:8394")
+        for i in range(n):
+            t = Tile(16, 0, 10.0, 43, base.ti + i, base.tj)
+            fn = t.key.replace(":", "#") + ".tif"
+            img = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
+            lbl = rng.randint(0, 3, (size, size, 1)).astype(np.uint8)
+            write_geotiff(f"gs://bucket/chips/images/{fn}", img,
+                          geotransform=t.geotrans, epsg=32643)
+            write_geotiff(f"gs://bucket/chips/labels/{fn}", lbl,
+                          geotransform=t.geotrans, epsg=32643)
+            names.append(fn)
+        return names
+
+    def test_convert_chip_folder_gs(self, fake):
+        from dl_image_segmentation_tpu.pipeline.convert import (
+            convert_chip_folder)
+        names = self._chips_on_gs()
+        n = convert_chip_folder("gs://bucket/chips", "gs://bucket/png",
+                                num_workers=2)
+        assert n == 2 * len(names)
+        out = storage.listdir("gs://bucket/png/images")
+        assert len(out) == len(names) and out[0].endswith(".png")
+        # resumable: second run rewrites nothing
+        assert convert_chip_folder("gs://bucket/chips",
+                                   "gs://bucket/png",
+                                   num_workers=2) == 0
+
+    def test_stitch_folder_gs(self, fake):
+        from dl_image_segmentation_tpu.pipeline.stitch import (
+            stitch_folder)
+        names = self._chips_on_gs()
+        n, (h, w) = stitch_folder("gs://bucket/chips/images",
+                                  "gs://bucket/mosaic.tif")
+        assert n == len(names)
+        g = read_geotiff("gs://bucket/mosaic.tif")
+        assert (g.array.shape[0], g.array.shape[1]) == (h, w)
+
+    def test_push_shards_gs_pattern(self, fake, tmp_path):
+        from dl_image_segmentation_tpu.records.sink import (
+            LocalDirSink, push_shards)
+        for i in range(2):
+            storage.write_bytes(f"gs://bucket/recs/set-0000{i}-of-00002",
+                                b"shardbytes%d" % i)
+        storage.write_bytes("gs://bucket/recs/set-x/nested", b"junk")
+        sink = LocalDirSink(str(tmp_path / "out"))
+        pushed = push_shards("gs://bucket/recs/set-*", sink)
+        assert len(pushed) == 2
+
+
 class TestRemoteCheckpoints:
     def _trainer(self):
         from dl_image_segmentation_tpu.train.trainer import (TrainConfig,
