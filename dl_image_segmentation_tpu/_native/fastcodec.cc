@@ -374,6 +374,8 @@ uint64_t fc_encode_example_framed(
 
 #include <cstdio>
 #include <sys/stat.h>
+#include <fcntl.h>
+#include <unistd.h>
 
 static bool read_file_into(const char* path, uint8_t* dst, uint64_t len) {
     FILE* f = fopen(path, "rb");
@@ -382,6 +384,36 @@ static bool read_file_into(const char* path, uint8_t* dst, uint64_t len) {
     fclose(f);
     return got == len;
 }
+
+// One open(2) per file for the whole pair encode: fstat for the size,
+// pread for the sniff head and the payload (fopen/fread twice per file
+// was ~6 extra syscalls + 2 FILE allocations per pair -- measurable at
+// ~10k pairs/s on one core).
+struct FdFile {
+    int fd = -1;
+    int64_t len = -1;
+    explicit FdFile(const char* path) {
+        fd = open(path, O_RDONLY | O_CLOEXEC);
+        if (fd < 0) return;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || st.st_size <= 0) return;
+        len = (int64_t)st.st_size;
+    }
+    ~FdFile() { if (fd >= 0) close(fd); }
+    bool ok() const { return fd >= 0 && len > 0; }
+    bool pread_all(uint8_t* dst, uint64_t n, uint64_t off) const {
+        while (n) {
+            ssize_t r = pread(fd, dst, n, (off_t)off);
+            if (r <= 0) return false;
+            dst += r; off += (uint64_t)r; n -= (uint64_t)r;
+        }
+        return true;
+    }
+    int64_t pread_head(uint8_t* dst, uint64_t n) const {
+        ssize_t r = pread(fd, dst, n, 0);
+        return (int64_t)r;
+    }
+};
 
 static int64_t file_size(const char* path) {
     struct stat st;
@@ -437,34 +469,28 @@ static uint64_t encode_pair_files_core(
     const char* img_path, const char* lbl_path,
     const uint8_t* ident, uint64_t ident_len,
     uint8_t* out, uint64_t cap, int* cap_short) {
-    int64_t img_len = file_size(img_path);
-    int64_t lbl_len = file_size(lbl_path);
-    if (img_len <= 0 || lbl_len <= 0) return 0;
+    FdFile fimg(img_path), flbl(lbl_path);
+    if (!fimg.ok() || !flbl.ok()) return 0;
+    int64_t img_len = fimg.len;
+    int64_t lbl_len = flbl.len;
 
     // feature sizes (both payloads as BytesList: raw encoded files)
     uint64_t f_ident = data_feature_size(ident_len);
     uint64_t f_img = data_feature_size((uint64_t)img_len);
     uint64_t f_tgt = data_feature_size((uint64_t)lbl_len);
-    // dims unknown until headers read; headers live inside the payload
-    // region, so read payloads first into their final positions, then
-    // backfill the int64 features. Because int64 feature size depends
-    // on the VALUE, reserve layout assuming <= 2 varint bytes (dims up
-    // to 16383 px), checked after sniffing.
-    // Simpler + robust: read only the first 4KB of the image to sniff,
-    // compute exact layout, then stream the files into place.
+    // dims come from the container headers: sniff the first 4KB of
+    // each file, compute the exact layout, then pread the payloads
+    // straight into their final positions (the files stay open -- one
+    // open/fstat per file for the whole encode).
     uint8_t head[4096];
-    FILE* f = fopen(img_path, "rb");
-    if (!f) return 0;
-    size_t hn = fread(head, 1, sizeof head, f);
-    fclose(f);
+    int64_t hn = fimg.pread_head(head, sizeof head);
     int64_t ih, iw, ic;
-    if (!sniff_shape(head, hn, &ih, &iw, &ic)) return 0;
-    f = fopen(lbl_path, "rb");
-    if (!f) return 0;
-    hn = fread(head, 1, sizeof head, f);
-    fclose(f);
+    if (hn <= 0 || !sniff_shape(head, (uint64_t)hn, &ih, &iw, &ic))
+        return 0;
+    hn = flbl.pread_head(head, sizeof head);
     int64_t lh, lw, lc;
-    if (!sniff_shape(head, hn, &lh, &lw, &lc)) return 0;
+    if (hn <= 0 || !sniff_shape(head, (uint64_t)hn, &lh, &lw, &lc))
+        return 0;
     if (ic > 3) return 0;  // MT-engine contract: <=3 bands
 
     uint64_t f_ic = int64_feature_size(ic);
@@ -504,7 +530,7 @@ static uint64_t encode_pair_files_core(
         p = put_varint(p, inner);
         *p++ = 0x0A;
         p = put_varint(p, (uint64_t)img_len);
-        if (!read_file_into(img_path, p, (uint64_t)img_len)) return 0;
+        if (!fimg.pread_all(p, (uint64_t)img_len, 0)) return 0;
         p += img_len;
     }
     p = put_entry_header(p, "image/width", 11, f_iw);
@@ -519,7 +545,7 @@ static uint64_t encode_pair_files_core(
         p = put_varint(p, inner);
         *p++ = 0x0A;
         p = put_varint(p, (uint64_t)lbl_len);
-        if (!read_file_into(lbl_path, p, (uint64_t)lbl_len)) return 0;
+        if (!flbl.pread_all(p, (uint64_t)lbl_len, 0)) return 0;
         p += lbl_len;
     }
     p = put_entry_header(p, "target/width", 12, f_tw);
@@ -1473,15 +1499,14 @@ uint64_t fc_write_shard_tifarr(const char* const* img_paths,
     uint64_t written = 0;
     for (uint64_t i = 0; i < count; i++) {
         failed[i] = 1;
-        int64_t isz = file_size(img_paths[i]);
-        int64_t lsz = file_size(lbl_paths[i]);
-        if (isz <= 0 || lsz <= 0) continue;
+        FdFile fimg(img_paths[i]), flbl(lbl_paths[i]);
+        if (!fimg.ok() || !flbl.ok()) continue;
+        int64_t isz = fimg.len;
+        int64_t lsz = flbl.len;
         uint64_t need = (uint64_t)isz + (uint64_t)lsz;
         if (need > filecap) continue;  // oversized pair: Python path
-        if (!read_file_into(img_paths[i], filebuf, (uint64_t)isz))
-            continue;
-        if (!read_file_into(lbl_paths[i], filebuf + isz, (uint64_t)lsz))
-            continue;
+        if (!fimg.pread_all(filebuf, (uint64_t)isz, 0)) continue;
+        if (!flbl.pread_all(filebuf + isz, (uint64_t)lsz, 0)) continue;
         uint64_t n = 0;
         if (mapped) {
             FC_MAPPED_ENCODE(m, mapped, n,
