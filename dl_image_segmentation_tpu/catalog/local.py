@@ -241,9 +241,8 @@ class LocalCatalog(Catalog):
         full = self._st.join(self.root, rel_path)
         try:
             if self._st.is_remote(full):
-                from ..storage.gcs import get_client, split_gcs_path
-                b, n = split_gcs_path(full)
-                meta = get_client().stat(b, n)
+                cli, b, n = self._st.client_for(full)
+                meta = cli.stat(b, n)
                 return int(meta["size"]) if meta else 0
             return os.path.getsize(full)
         except OSError:

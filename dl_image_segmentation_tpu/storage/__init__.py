@@ -1,7 +1,8 @@
-"""Pluggable filesystem layer: local paths and ``gs://`` URIs.
+"""Pluggable filesystem layer: local paths, ``gs://`` and ``s3://``.
 
 The reference reads and writes EVERYTHING through ``tf.io.gfile``,
-which transparently handles local, GCS and HTTP paths
+whose filesystem registry transparently dispatches local, GCS and S3
+paths on the scheme
 (/root/reference/dl_segmentation_utils/_img_to_tf_threaded.py:87-88,
 _img_to_tf_mp.py:43-44; shard globs in parse_tfrecords.ipynb cell 4).
 This module is that dispatch point for the rebuild: every data-plane
@@ -12,14 +13,20 @@ identically (TPU pods read training data from GCS, not local disk).
 
 Semantics that the data plane depends on:
 
-* ``write_bytes`` is ATOMIC in both backends — local writes go
-  tmp + os.replace; GCS object creation is inherently atomic (the
-  object is invisible until the upload completes). This preserves the
-  'existing shard/chip == complete shard/chip' resume invariant.
-* ``glob``/``listdir`` on gs:// list by prefix then filter, so shard
-  patterns like ``gs://b/recs/name-*`` work exactly like local globs.
-* ``makedirs`` is a no-op on GCS (no directories to race on — the
-  reference's mkdir-TOCTOU workaround is local-only by construction).
+* ``write_bytes`` is ATOMIC in every backend — local writes go
+  tmp + os.replace; GCS and S3 object creation is inherently atomic
+  (the object is invisible until the upload completes). This preserves
+  the 'existing shard/chip == complete shard/chip' resume invariant.
+* ``glob``/``listdir`` on remote URIs list by prefix then filter, so
+  shard patterns like ``gs://b/recs/name-*`` (or the s3:// twin) work
+  exactly like local globs.
+* ``makedirs`` is a no-op on object stores (no directories to race on
+  — the reference's mkdir-TOCTOU workaround is local-only by
+  construction).
+
+Backends are clients with ONE shared method surface
+(download/upload/stat/delete/list/rewrite): storage/gcs.py (JSON API)
+and storage/s3.py (REST + SigV4); ``client_for`` picks by scheme.
 
 Local paths take a short-circuit at the top of every function: the
 hot local lanes (bench.py, the native shard writers) pay one
@@ -39,11 +46,38 @@ __all__ = [
     "is_remote", "read_bytes", "write_bytes", "exists", "listdir",
     "glob", "makedirs", "unlink", "open_read", "replace", "join",
     "basename", "dirname", "SpooledWriter", "download_dir", "upload_dir",
+    "split_url", "client_for",
 ]
+
+_SCHEMES = ("gs://", "s3://")
 
 
 def is_remote(path) -> bool:
-    return isinstance(path, str) and path.startswith("gs://")
+    return isinstance(path, str) and path.startswith(_SCHEMES)
+
+
+def split_url(path: str):
+    """'gs://b/k' or 's3://b/k' -> (scheme, bucket, key); scheme keeps
+    its '://' so rebuilt URLs are f'{scheme}{bucket}/{key}'."""
+    for scheme in _SCHEMES:
+        if path.startswith(scheme):
+            rest = path[len(scheme):]
+            bucket, _, name = rest.partition("/")
+            if not bucket:
+                raise ValueError(f"remote path has no bucket: {path!r}")
+            return scheme, bucket, name
+    raise ValueError(f"not a remote path: {path!r}")
+
+
+def client_for(path: str):
+    """(client, bucket, key) for a remote path — the client exposes
+    the shared method surface (download/upload/stat/delete/list/
+    rewrite) regardless of backend (storage.gcs / storage.s3)."""
+    scheme, bucket, name = split_url(path)
+    if scheme == "s3://":
+        from .s3 import get_s3_client
+        return get_s3_client(), bucket, name
+    return get_client(), bucket, name
 
 
 def join(base: str, *parts: str) -> str:
@@ -73,8 +107,8 @@ def read_bytes(path: str) -> bytes:
     if not is_remote(path):
         with open(path, "rb") as f:
             return f.read()
-    bucket, name = split_gcs_path(path)
-    return get_client().download(bucket, name)
+    cli, bucket, name = client_for(path)
+    return cli.download(bucket, name)
 
 
 def read_range(path: str, start: int, end: Optional[int] = None) -> bytes:
@@ -83,8 +117,8 @@ def read_range(path: str, start: int, end: Optional[int] = None) -> bytes:
         with open(path, "rb") as f:
             f.seek(start)
             return f.read() if end is None else f.read(end - start + 1)
-    bucket, name = split_gcs_path(path)
-    return get_client().download(bucket, name, start=start, end=end)
+    cli, bucket, name = client_for(path)
+    return cli.download(bucket, name, start=start, end=end)
 
 
 def open_read(path: str) -> IO[bytes]:
@@ -107,15 +141,15 @@ def write_bytes(path: str, data: bytes) -> None:
             f.write(data)
         os.replace(tmp, path)
         return
-    bucket, name = split_gcs_path(path)
-    get_client().upload(bucket, name, data)
+    cli, bucket, name = client_for(path)
+    cli.upload(bucket, name, data)
 
 
 def exists(path: str) -> bool:
     if not is_remote(path):
         return os.path.exists(path)
-    bucket, name = split_gcs_path(path)
-    return get_client().stat(bucket, name) is not None
+    cli, bucket, name = client_for(path)
+    return cli.stat(bucket, name) is not None
 
 
 def listdir(path: str) -> List[str]:
@@ -124,10 +158,10 @@ def listdir(path: str) -> List[str]:
     (trailing '/' stripped)."""
     if not is_remote(path):
         return sorted(os.listdir(path))
-    bucket, prefix = split_gcs_path(path)
+    cli, bucket, prefix = client_for(path)
     if prefix and not prefix.endswith("/"):
         prefix += "/"
-    items, prefixes = get_client().list(bucket, prefix, delimiter="/")
+    items, prefixes = cli.list(bucket, prefix, delimiter="/")
     names = [it["name"][len(prefix):] for it in items]
     names += [p[len(prefix):].rstrip("/") for p in prefixes]
     return sorted(n for n in names if n)
@@ -141,7 +175,8 @@ def glob(pattern: str) -> List[str]:
     if not is_remote(pattern):
         import glob as _glob
         return sorted(_glob.glob(pattern))
-    bucket, name_pat = split_gcs_path(pattern)
+    scheme, bucket, name_pat = split_url(pattern)
+    cli = client_for(pattern)[0]
     cut = len(name_pat)
     for ch in "*?[":
         k = name_pat.find(ch)
@@ -149,8 +184,8 @@ def glob(pattern: str) -> List[str]:
             cut = min(cut, k)
     static = name_pat[:cut]
     rx = _glob_regex(name_pat)
-    items, _ = get_client().list(bucket, static)
-    return sorted(f"gs://{bucket}/{it['name']}" for it in items
+    items, _ = cli.list(bucket, static)
+    return sorted(f"{scheme}{bucket}/{it['name']}" for it in items
                   if rx.fullmatch(it["name"]))
 
 
@@ -195,8 +230,8 @@ def unlink(path: str) -> None:
     if not is_remote(path):
         os.unlink(path)
         return
-    bucket, name = split_gcs_path(path)
-    if not get_client().delete(bucket, name):
+    cli, bucket, name = client_for(path)
+    if not cli.delete(bucket, name):
         raise FileNotFoundError(path)
 
 
@@ -209,10 +244,13 @@ def replace(src: str, dst: str) -> None:
         os.replace(src, dst)
         return
     if is_remote(src) and is_remote(dst):
-        sb, sn = split_gcs_path(src)
-        db, dn = split_gcs_path(dst)
-        cli = get_client()
-        cli.rewrite(sb, sn, db, dn)
+        s_scheme, sb, sn = split_url(src)
+        d_scheme, db, dn = split_url(dst)
+        cli = client_for(src)[0]
+        if s_scheme == d_scheme:
+            cli.rewrite(sb, sn, db, dn)
+        else:  # cross-backend: move the bytes through this host
+            client_for(dst)[0].upload(db, dn, cli.download(sb, sn))
         cli.delete(sb, sn)
         return
     if is_remote(dst):
@@ -294,17 +332,17 @@ def upload_dir(local_dir: str, remote_dir: str) -> int:
 
 
 def download_dir(remote_dir: str, local_dir: str) -> int:
-    """Mirror a gs:// prefix into a local directory tree."""
-    bucket, prefix = split_gcs_path(remote_dir)
+    """Mirror a remote prefix into a local directory tree."""
+    cli, bucket, prefix = client_for(remote_dir)
     if prefix and not prefix.endswith("/"):
         prefix += "/"
-    items, _ = get_client().list(bucket, prefix)
+    items, _ = cli.list(bucket, prefix)
     n = 0
     for it in items:
         rel = it["name"][len(prefix):]
         dst = os.path.join(local_dir, *rel.split("/"))
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        data = get_client().download(bucket, it["name"])
+        data = cli.download(bucket, it["name"])
         with open(dst, "wb") as f:
             f.write(data)
         n += 1

@@ -856,11 +856,10 @@ class _GCSMirroredManager:
 
     def _sync_up(self):
         from .. import storage
-        from ..storage.gcs import get_client, split_gcs_path
-        bucket, prefix = split_gcs_path(self._remote)
+        cli, bucket, prefix = storage.client_for(self._remote)
         if prefix and not prefix.endswith("/"):
             prefix += "/"
-        items, _ = get_client().list(bucket, prefix)
+        items, _ = cli.list(bucket, prefix)
         remote = {it["name"][len(prefix):] for it in items}
         local = set()
         for root, _dirs, files in os.walk(self._local):
@@ -873,7 +872,6 @@ class _GCSMirroredManager:
         for name in sorted(local - remote):
             with open(os.path.join(self._local, *name.split("/")),
                       "rb") as f:
-                storage.write_bytes(f"gs://{bucket}/{prefix}{name}",
-                                    f.read())
+                cli.upload(bucket, prefix + name, f.read())
         for name in sorted(remote - local):  # pruned steps
-            get_client().delete(bucket, prefix + name)
+            cli.delete(bucket, prefix + name)
