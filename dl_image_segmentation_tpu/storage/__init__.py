@@ -331,19 +331,41 @@ def upload_dir(local_dir: str, remote_dir: str) -> int:
     return n
 
 
-def download_dir(remote_dir: str, local_dir: str) -> int:
-    """Mirror a remote prefix into a local directory tree."""
+def download_dir(remote_dir: str, local_dir: str,
+                 delete_extras: bool = False) -> int:
+    """Mirror a remote prefix into a local directory tree.
+
+    With ``delete_extras`` the local tree becomes an EXACT mirror:
+    local files absent remotely are deleted (and emptied directories
+    pruned). Checkpoint staging uses this so a stale staging dir from
+    an earlier run at the same URI cannot fabricate a resume point —
+    the remote is the source of truth."""
     cli, bucket, prefix = client_for(remote_dir)
     if prefix and not prefix.endswith("/"):
         prefix += "/"
     items, _ = cli.list(bucket, prefix)
     n = 0
+    keep = set()
     for it in items:
         rel = it["name"][len(prefix):]
+        keep.add(rel)
         dst = os.path.join(local_dir, *rel.split("/"))
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         data = cli.download(bucket, it["name"])
         with open(dst, "wb") as f:
             f.write(data)
         n += 1
+    if delete_extras and os.path.isdir(local_dir):
+        for root, dirs, files in os.walk(local_dir, topdown=False):
+            rel_root = os.path.relpath(root, local_dir)
+            for fn in files:
+                rel = fn if rel_root == "." else \
+                    f"{rel_root.replace(os.sep, '/')}/{fn}"
+                if rel not in keep:
+                    os.unlink(os.path.join(root, fn))
+            for d in dirs:
+                try:
+                    os.rmdir(os.path.join(root, d))
+                except OSError:
+                    pass
     return n

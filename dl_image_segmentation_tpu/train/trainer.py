@@ -693,7 +693,9 @@ class Trainer:
                 tempfile.gettempdir(), "dlseg-ckpt-mirror",
                 hashlib.sha1(directory.encode()).hexdigest()[:16])
             os.makedirs(local, exist_ok=True)
-            storage.download_dir(directory, local)
+            # exact mirror: a stale staging dir left by an earlier run
+            # at the same URI must not fabricate a resume point
+            storage.download_dir(directory, local, delete_extras=True)
             mgr = ocp.CheckpointManager(
                 local, options=ocp.CheckpointManagerOptions(
                     max_to_keep=keep, create=True))

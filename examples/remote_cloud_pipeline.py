@@ -4,6 +4,7 @@
     HTTP scene catalog  ->  create-chips (COG windowed reads, retries)
     local chips         ->  TFRecord shards on gs:// (fake GCS)
     gs:// shards        ->  training with gs:// managed checkpoints
+    gs:// shards        ->  mirrored to s3:// and CRC-verified there
 
 Everything remote is served by in-process fixtures so the example is
 hermetic: ``catalog.httpserver.SceneServer`` plays the scene service
@@ -103,6 +104,21 @@ def main() -> int:
                         if n.startswith("ckpt/")]
         print(f"gs://bucket now holds {len(gcs.objects)} objects "
               f"({len(ckpt_objects)} checkpoint files)")
+
+        # -- second cloud: mirror the shards to s3:// and verify them
+        # there (the storage layer dispatches per scheme, so the same
+        # CLI reads either bucket)
+        from dl_image_segmentation_tpu import storage
+        from dl_image_segmentation_tpu.storage.fake_s3 import FakeS3
+        with FakeS3() as s3:
+            os.environ["AWS_ENDPOINT_URL_S3"] = s3.endpoint
+            for shard in storage.glob("gs://bucket/recs/demo-*"):
+                storage.write_bytes(
+                    "s3://mirror/recs/" + storage.basename(shard),
+                    storage.read_bytes(shard))
+            cli("inspect", "--records", "s3://mirror/recs/demo-*",
+                "--verify-crc")
+            print(f"s3://mirror holds {len(s3.objects)} shard objects")
     print("remote/cloud pipeline complete")
     return 0
 

@@ -260,6 +260,39 @@ class TestRemoteCheckpoints:
         finally:
             mgr2.close()
 
+    def test_stale_staging_dir_does_not_fabricate_resume(self, fake):
+        """A fresh (empty) bucket at a previously-used URI must open
+        with no checkpoints, even though the URI-keyed local staging
+        dir still holds the earlier run's files (remote is the source
+        of truth)."""
+        tr = self._trainer()
+        rng = np.random.RandomState(2)
+        mgr = tr.checkpoint_manager("gs://bucket/stale", keep=2)
+        try:
+            tr.train_step(rng.rand(8, 8, 8, 3).astype(np.float32),
+                          rng.randint(0, 2, (8, 8, 8)).astype(np.int32))
+            tr.save_managed(mgr)
+            assert mgr.latest_step() == 1
+        finally:
+            mgr.close()
+        # simulate a brand-new empty bucket at the same URI
+        fake.objects.clear()
+        tr2 = self._trainer()
+        mgr2 = tr2.checkpoint_manager("gs://bucket/stale", keep=2)
+        try:
+            assert mgr2.latest_step() is None
+            assert tr2.restore_latest(mgr2) is None
+            # and a save from the fresh run must not resurrect stale
+            # steps remotely
+            tr2.train_step(rng.rand(8, 8, 8, 3).astype(np.float32),
+                           rng.randint(0, 2, (8, 8, 8)).astype(np.int32))
+            tr2.save_managed(mgr2)
+            steps = {k[1].split("/")[1] for k in fake.objects
+                     if k[1].startswith("stale/")}
+            assert steps == {"1"}
+        finally:
+            mgr2.close()
+
 
 class TestMultiHostRemote:
     def test_two_host_partitioned_write_to_gs_equals_one_host(
