@@ -155,10 +155,7 @@ def reproject_bounds(bounds: Sequence[float], from_zone: int,
     if from_zone == to_zone:
         return [x0 - margin, y0 - margin, x1 + margin, y1 + margin]
     from ..geo import crs as _crs
-    xs = np.array([x0, (x0 + x1) / 2, x1, x0, x1, x0, (x0 + x1) / 2,
-                   x1], np.float64)
-    ys = np.array([y0, y0, y0, (y0 + y1) / 2, (y0 + y1) / 2, y1, y1,
-                   y1], np.float64)
+    xs, ys = _crs.boundary_samples(x0, y0, x1, y1)
     lon, lat = _crs.utm_to_lonlat(xs, ys, from_zone)
     tx, ty = _crs.lonlat_to_utm(lon, lat, to_zone)
     return [float(np.min(tx)) - margin, float(np.min(ty)) - margin,

@@ -62,6 +62,7 @@ class LocalCatalog(Catalog):
         self._cache_order: List[str] = []
         self._cache_max = cache_scenes
         self._bounds_cache: Dict[str, list] = {}
+        self._size_cache: Dict[str, int] = {}
         self._window_bytes = window_bytes
         self._readers: Dict[str, tuple] = {}  # path -> (reader, info)
 
@@ -238,15 +239,26 @@ class LocalCatalog(Catalog):
         return b
 
     def _scene_size(self, rel_path: str) -> int:
+        # memoized: scenes are immutable, and on gs:// catalogs an
+        # uncached stat would cost one HTTP round-trip per (tile,
+        # scene) across a whole export
+        with self._lock:
+            hit = self._size_cache.get(rel_path)
+        if hit is not None:
+            return hit
         full = self._st.join(self.root, rel_path)
         try:
             if self._st.is_remote(full):
                 cli, b, n = self._st.client_for(full)
                 meta = cli.stat(b, n)
-                return int(meta["size"]) if meta else 0
-            return os.path.getsize(full)
+                size = int(meta["size"]) if meta else 0
+            else:
+                size = os.path.getsize(full)
         except OSError:
-            return 0
+            size = 0
+        with self._lock:
+            self._size_cache[rel_path] = size
+        return size
 
     def _window_reader(self, rel_path: str):
         """(CogReader over byte ranges, RasterInfo) for a big scene,

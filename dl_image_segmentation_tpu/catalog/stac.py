@@ -57,17 +57,9 @@ def _iso_date(s: str) -> _dt.date:
 
 
 def _tile_lonlat_bbox(tile) -> List[float]:
-    """The tile's padded bounds as a WGS84 [w, s, e, n] bbox (8
-    boundary samples, like base.reproject_bounds)."""
+    """The tile's padded bounds as a WGS84 [w, s, e, n] bbox."""
     from ..geo import crs as _crs
-    x0, y0, x1, y1 = (float(v) for v in tile.bounds)
-    xs = np.array([x0, (x0 + x1) / 2, x1, x0, x1, x0,
-                   (x0 + x1) / 2, x1], np.float64)
-    ys = np.array([y0, y0, y0, (y0 + y1) / 2, (y0 + y1) / 2,
-                   y1, y1, y1], np.float64)
-    lon, lat = _crs.utm_to_lonlat(xs, ys, tile.zone)
-    return [float(np.min(lon)), float(np.min(lat)),
-            float(np.max(lon)), float(np.max(lat))]
+    return list(_crs.utm_bounds_to_lonlat_bbox(tile.bounds, tile.zone))
 
 
 def _bbox_intersects(a: Sequence[float], b: Sequence[float]) -> bool:
@@ -312,8 +304,8 @@ class STACCatalog(Catalog):
                     (out_idx, src_idx))
                 hrefs[href] = asset
             n = tile.raster_size
-            out = None
             valid = np.ones((n, n), bool)
+            wins: List[Tuple[List[Tuple[int, int]], np.ndarray]] = []
             for href, mapping in per_asset.items():
                 reader = self._reader(href)
                 info = reader.info
@@ -321,11 +313,17 @@ class STACCatalog(Catalog):
                 sel = [src for _, src in mapping]
                 win, v = load_scene_window(reader, info, tile, sel,
                                            nodata, resampler)
-                if out is None:
-                    out = np.zeros((n, n, len(bands)), win.dtype)
+                wins.append((mapping, win))
+                valid &= v
+            # assemble under the PROMOTED dtype across assets — a
+            # uint8 SCL asset next to a uint16 reflectance asset must
+            # widen, not silently wrap the wider values
+            out = np.zeros((n, n, len(bands)),
+                           np.result_type(*(w.dtype for _, w in wins))
+                           if wins else np.float32)
+            for mapping, win in wins:
                 for k, (out_idx, _) in enumerate(mapping):
                     out[:, :, out_idx] = win[:, :, k]
-                valid &= v
             stacks.append(out)
             valids.append(valid)
         if not stacks:

@@ -166,6 +166,30 @@ def utm_to_lonlat(easting, northing, zone):
     return tm_to_lonlat(easting, northing, lon0, false_northing=0.0)
 
 
+def boundary_samples(x0, y0, x1, y1):
+    """Corner + edge-midpoint sample points of a rectangle (8 points,
+    as (xs, ys) float64 arrays). The standard sampling for
+    reprojecting a UTM-aligned bbox: meridian convergence bows the
+    straight edges by far less than the margins callers apply."""
+    xs = np.array([x0, (x0 + x1) / 2, x1, x0, x1, x0, (x0 + x1) / 2,
+                   x1], np.float64)
+    ys = np.array([y0, y0, y0, (y0 + y1) / 2, (y0 + y1) / 2, y1, y1,
+                   y1], np.float64)
+    return xs, ys
+
+
+def utm_bounds_to_lonlat_bbox(bounds, zone, margin: float = 0.0):
+    """Equator-referenced UTM [x0, y0, x1, y1] -> WGS84
+    (w, s, e, n) bbox via 8 boundary samples, padded by ``margin``
+    degrees. Shared by the STAC search bbox, the label spatial-index
+    query, and zone-reprojected catalog bounds."""
+    x0, y0, x1, y1 = (float(v) for v in bounds)
+    xs, ys = boundary_samples(x0, y0, x1, y1)
+    lon, lat = utm_to_lonlat(xs, ys, zone)
+    return (float(lon.min()) - margin, float(lat.min()) - margin,
+            float(lon.max()) + margin, float(lat.max()) + margin)
+
+
 def utm_wkt(zone: int, north: bool = True) -> str:
     """OGC WKT1 for EPSG:326xx / 327xx, equivalent to what GDAL attaches to
     the reference's GeoTIFF chips (_descartes_img_chips.py:846-848)."""

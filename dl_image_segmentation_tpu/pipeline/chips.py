@@ -504,18 +504,10 @@ def _indexed_layer(label_data, layer_idx):
 
 
 def _tile_lonlat_bbox(ctx):
-    """The padded tile's lon/lat bbox (corner + edge-midpoint samples;
-    meridian convergence bows UTM edges by far less than the margin)."""
-    x0, y0, x1, y1 = ctx.bounds
-    xs = np.array([x0, (x0 + x1) / 2, x1, x0, x1, x0,
-                   (x0 + x1) / 2, x1], np.float64)
-    ys = np.array([y0, y0, y0, (y0 + y1) / 2, (y0 + y1) / 2, y1, y1, y1],
-                  np.float64)
-    lon, lat = _crs.utm_to_lonlat(xs, ys, ctx.zone)
-    # margin ~ one pixel in degrees so border-touching features stay in
-    m = abs(ctx.resolution) / 100000.0
-    return (float(lon.min()) - m, float(lat.min()) - m,
-            float(lon.max()) + m, float(lat.max()) + m)
+    """The padded tile's lon/lat bbox, with a margin of ~one pixel in
+    degrees so border-touching features stay in."""
+    return _crs.utm_bounds_to_lonlat_bbox(
+        ctx.bounds, ctx.zone, margin=abs(ctx.resolution) / 100000.0)
 
 
 def create_label_array_for_tile(ctx, label_data, attrib_to_burn=None,

@@ -108,6 +108,12 @@ def _parse_messages(data: bytes) -> List[_Message]:
         sp = pos + 16
         while sp < end - 4:
             (sec_len,) = struct.unpack_from(">I", data, sp)
+            if sec_len < 5 or sp + sec_len > end - 4:
+                # a zero/short length would spin forever; overlong
+                # would swallow the 7777 terminator — both corrupt
+                raise ValueError(
+                    f"corrupt GRIB2: section at byte {sp} has length "
+                    f"{sec_len}")
             sec_num = data[sp + 4]
             body = data[sp:sp + sec_len]
             if sec_num == 3:
@@ -141,6 +147,12 @@ def _parse_grib1_message(data: bytes, pos: int) -> Tuple[_Message, int]:
     """One GRIB edition-1 message (sections IS/PDS/GDS/BMS/BDS):
     simple grid-point packing on a regular lat/lon grid."""
     total = int.from_bytes(data[pos + 4:pos + 7], "big")
+    if total < 24 or pos + total > len(data):
+        # a short/zero length would re-parse the same bytes forever
+        # (the terminator check can false-match the PREVIOUS message's
+        # 7777 when end <= pos)
+        raise ValueError(
+            f"corrupt GRIB1: message at byte {pos} has length {total}")
     end = pos + total
     m = _Message()
     p = pos + 8  # PDS

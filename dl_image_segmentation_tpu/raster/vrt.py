@@ -178,14 +178,18 @@ def decode_vrt(data: bytes, base_dir: Optional[str] = None,
                     f"VRT source resampling {resampling!r} not "
                     "supported (nearest only)")
             patch = _nearest(window, dh, dw).astype(np.float64)
+            # NODATA masks SOURCE values, before ScaleRatio/ScaleOffset
+            # are applied (GDAL's ComplexSource semantics) — a scaled
+            # nodata pixel must stay nodata, and a valid pixel that
+            # happens to scale TO the nodata value must survive
+            src_nd = src_el.findtext("NODATA")
+            keep = None if src_nd is None else patch != float(src_nd)
             ratio = float(src_el.findtext("ScaleRatio", "1"))
             offset = float(src_el.findtext("ScaleOffset", "0"))
             if ratio != 1.0 or offset != 0.0:
                 patch = patch * ratio + offset
-            src_nd = src_el.findtext("NODATA")
             dst = out[dy:dy + dh, dx:dx + dw, bi]
-            if src_nd is not None:
-                keep = patch != float(src_nd)
+            if keep is not None:
                 dst[keep] = patch[keep].astype(info.dtype)
             else:
                 dst[:] = patch.astype(info.dtype)

@@ -99,8 +99,9 @@ def basename(path: str) -> str:
 def dirname(path: str) -> str:
     if not is_remote(path):
         return os.path.dirname(path)
-    head = path.rstrip("/").rsplit("/", 1)[0]
-    return head if head != "gs:/" else path
+    root = path.rstrip("/")
+    head = root.rsplit("/", 1)[0]
+    return root if head.endswith(":/") else head  # bucket root: no parent
 
 
 def read_bytes(path: str) -> bytes:
@@ -348,6 +349,8 @@ def download_dir(remote_dir: str, local_dir: str,
     keep = set()
     for it in items:
         rel = it["name"][len(prefix):]
+        if not rel or rel.endswith("/"):
+            continue  # pseudo-folder placeholder (console-created)
         keep.add(rel)
         dst = os.path.join(local_dir, *rel.split("/"))
         os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -193,7 +193,11 @@ def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
 
 
 class Trainer:
-    def __init__(self, config: TrainConfig, mesh: Optional[Mesh] = None):
+    def __init__(self, config: TrainConfig, mesh: Optional[Mesh] = None,
+                 _variant: Optional[Tuple[int, int]] = None):
+        # _variant: internal (s2d, model_features) override used by
+        # checkpoint-variant migration (_try_other_s2d_variant) to
+        # rebuild as a specific reachable tree; not a public knob.
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             n_model=config.n_model)
@@ -225,6 +229,9 @@ class Trainer:
         else:
             self.s2d = config.s2d
             self.model_features = config.base_features
+        if _variant is not None:
+            self.s2d, self.model_features = _variant
+            self._s2d_auto = False
         if config.model == "deeplab":
             from ..models.deeplab import DeepLabLite
             self.model = DeepLabLite(num_classes=config.num_classes,
@@ -744,26 +751,35 @@ class Trainer:
     def _try_other_s2d_variant(self, err: Exception) -> bool:
         """Checkpoint-variant migration under s2d AUTO: a restore that
         failed on tree structure and an auto-resolved trainer means
-        the checkpoint was trained as the OTHER variant (e.g. a
-        pre-auto classic full-res tree). Rebuild this trainer as that
-        variant (same user-facing config) and report True so the
-        caller retries — old checkpoints keep loading with the same
-        command line. Explicit --s2d never switches silently."""
-        if not getattr(self, "_s2d_auto", False):
-            return False
-        import dataclasses as _dc
-        other = 1 if self.s2d > 1 else 2
-        if other > 1 and (self.config.image_size % other
-                          or self.config.model != "unet"):
-            return False
-        print(f"checkpoint does not match the auto-selected s2d="
-              f"{self.s2d} parameter tree ({type(err).__name__}); "
-              f"retrying as the s2d={other} variant")
-        cfg = _dc.replace(self.config, s2d=other)
-        self.__init__(cfg, mesh=self.mesh)
-        # remember this came from auto so a SECOND mismatch (genuinely
-        # incompatible checkpoint) fails loudly instead of ping-ponging
-        self._s2d_auto = False
+        the checkpoint was trained as another reachable variant of the
+        SAME user-facing config. Three trees are reachable for a unet
+        config with base_features=bf: (s2d=1, width bf) classic,
+        (s2d=2, width 2*bf) the auto equal-FLOPs packing, and
+        (s2d=2, width bf) a pre-auto explicit --s2d 2 run. Rebuild
+        this trainer as the next untried variant and report True so
+        the caller retries — old checkpoints keep loading with the
+        same command line. Explicit --s2d never switches silently."""
+        cands = getattr(self, "_s2d_untried", None)
+        if cands is None:
+            if not getattr(self, "_s2d_auto", False):
+                return False
+            bf = self.config.base_features
+            variants = [(1, bf)]
+            if (self.config.model == "unet"
+                    and self.config.image_size % 2 == 0):
+                variants += [(2, 2 * bf), (2, bf)]
+            cands = [v for v in variants
+                     if v != (self.s2d, self.model_features)]
+        if not cands:
+            return False  # genuinely incompatible checkpoint
+        (s2d, feats), rest = cands[0], cands[1:]
+        print(f"checkpoint does not match the s2d={self.s2d}/"
+              f"features={self.model_features} parameter tree "
+              f"({type(err).__name__}); retrying as the s2d={s2d}/"
+              f"features={feats} variant")
+        self.__init__(self.config, mesh=self.mesh,
+                      _variant=(s2d, feats))
+        self._s2d_untried = rest
         return True
 
     def save_checkpoint(self, path: str):

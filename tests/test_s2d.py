@@ -193,6 +193,64 @@ class TestS2dAuto:
         assert b.s2d == 2
         np.testing.assert_array_equal(b.predict(imgs), a.predict(imgs))
 
+    def test_packed_auto_ckpt_restores_when_auto_resolves_classic(
+            self, tmp_path):
+        """A checkpoint saved under auto-packed (s2d=2, width 2*bf)
+        must restore with the same base_features when auto resolves
+        classic (e.g. inference at a small image size) — the variant
+        walk has to reach the DOUBLED-width tree, not just flip s2d."""
+        cfg_big = TrainConfig(num_classes=2, in_channels=3,
+                              base_features=4, levels=1,
+                              image_size=128, batch_size=8,
+                              precision="fp32")
+        a = Trainer(cfg_big)
+        assert (a.s2d, a.model_features) == (2, 8)
+        rng = np.random.RandomState(3)
+        imgs = rng.rand(8, 128, 128, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 128, 128)).astype(np.int32)
+        a.train_step(imgs, lbls)
+        a.save_checkpoint(str(tmp_path / "packed"))
+
+        cfg_small = TrainConfig(num_classes=2, in_channels=3,
+                                base_features=4, levels=1,
+                                image_size=64, batch_size=8,
+                                precision="fp32")
+        b = Trainer(cfg_small)
+        assert (b.s2d, b.model_features) == (1, 4)  # auto: classic
+        b.restore_checkpoint(str(tmp_path / "packed"))
+        assert (b.s2d, b.model_features) == (2, 8)
+        assert int(b.state.step) == 1
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               a.state.params, b.state.params)
+
+    def test_round3_explicit_packed_ckpt_restores_under_auto(
+            self, tmp_path):
+        """A pre-auto explicit --s2d 2 checkpoint (s2d=2 at the
+        UNDOUBLED width) restores under the new auto default — the
+        third reachable variant in the walk."""
+        cfg_old = TrainConfig(num_classes=2, in_channels=3,
+                              base_features=4, levels=1,
+                              image_size=128, batch_size=8,
+                              precision="fp32", s2d=2)
+        old = Trainer(cfg_old)
+        assert (old.s2d, old.model_features) == (2, 4)
+        rng = np.random.RandomState(4)
+        imgs = rng.rand(8, 128, 128, 3).astype(np.float32)
+        lbls = rng.randint(0, 2, (8, 128, 128)).astype(np.int32)
+        old.train_step(imgs, lbls)
+        old.save_checkpoint(str(tmp_path / "r3"))
+        pred_old = old.predict(imgs)
+
+        cfg_auto = TrainConfig(num_classes=2, in_channels=3,
+                               base_features=4, levels=1,
+                               image_size=128, batch_size=8,
+                               precision="fp32")
+        tr = Trainer(cfg_auto)
+        assert (tr.s2d, tr.model_features) == (2, 8)
+        tr.restore_checkpoint(str(tmp_path / "r3"))
+        assert (tr.s2d, tr.model_features) == (2, 4)
+        np.testing.assert_array_equal(tr.predict(imgs), pred_old)
+
     def test_explicit_mismatch_still_fails_loudly(self, tmp_path):
         cfg1 = TrainConfig(num_classes=2, in_channels=3,
                            base_features=4, levels=1, image_size=128,

@@ -452,6 +452,14 @@ class TestGRIB2:
         with pytest.raises(ValueError, match="edition 3"):
             decode_grib(bytes(data))
 
+    def test_zero_length_section_is_loud_not_a_hang(self):
+        # a zero section length must raise, not spin the section walk
+        # forever (sp += 0)
+        data = bytearray(encode_grib2(np.ones((2, 2)), 0, 0, 1, 1))
+        struct.pack_into(">I", data, 16, 0)  # first section's length
+        with pytest.raises(ValueError, match="section"):
+            decode_grib(bytes(data))
+
 
 class TestGRIB1:
     def test_hand_assembled_spec_golden(self):
@@ -547,6 +555,17 @@ class TestGRIB1:
         bad = bytearray(base)
         struct.pack_into(">H", bad, 8 + 28 + 6, 0xFFFF)  # thinned Ni
         with pytest.raises(ValueError, match="thinned"):
+            decode_grib(bytes(bad))
+
+    def test_zero_length_message_is_loud_not_a_hang(self):
+        # a second message whose 3-byte total length is 0 would re-read
+        # the same bytes forever (and its terminator check would
+        # false-match the FIRST message's 7777); must raise instead
+        from dl_image_segmentation_tpu.raster.grib import encode_grib1
+        good = encode_grib1(np.ones((2, 2)), 0, 0, 1, 1)
+        bad = bytearray(good + good)
+        bad[len(good) + 4:len(good) + 7] = (0).to_bytes(3, "big")
+        with pytest.raises(ValueError, match="corrupt GRIB1"):
             decode_grib(bytes(bad))
 
 
@@ -838,6 +857,29 @@ class TestVRT:
         expect = np.repeat(np.repeat(
             left[:2, :2, 0].astype(np.float64), 2, 0), 2, 1) * 2 + 0.5
         np.testing.assert_allclose(g.array[:, :, 0], expect)
+
+    def test_complex_source_nodata_masks_source_values(self, tmp_path):
+        """NODATA applies to SOURCE values BEFORE ScaleRatio/Offset
+        (GDAL's ComplexSource semantics): a nodata source pixel stays
+        at the band NoDataValue even though its scaled value differs,
+        and a valid pixel that scales TO the nodata value survives."""
+        left, _ = self._parts(tmp_path)  # values 1..16 uint16
+        xml = f"""<VRTDataset rasterXSize="4" rasterYSize="4">
+          <VRTRasterBand dataType="Float32" band="1">
+            <NoDataValue>0</NoDataValue>
+            <ComplexSource>
+              <SourceFilename>{tmp_path}/left.tif</SourceFilename>
+              <NODATA>6</NODATA>
+              <ScaleRatio>2</ScaleRatio>
+              <ScaleOffset>-2</ScaleOffset>
+            </ComplexSource>
+          </VRTRasterBand>
+        </VRTDataset>"""
+        g = decode_vrt(xml.encode())
+        src = left[:, :, 0].astype(np.float64)
+        expect = src * 2 - 2          # source 4 scales to 6: kept
+        expect[src == 6] = 0.0        # source 6 is nodata: masked
+        np.testing.assert_array_equal(g.array[:, :, 0], expect)
 
     def test_unsupported_features_loud(self, tmp_path):
         warped = b'<VRTDataset rasterXSize="2" rasterYSize="2" ' \

@@ -169,6 +169,34 @@ class TestStaticMode:
             assert [m.scene_id for m in metas] == ["lv-toa"]
 
 
+class TestMixedDtypeAssets:
+    def test_load_promotes_across_asset_dtypes(self, tmp_path):
+        """Requested bands living in assets of DIFFERENT dtypes (the
+        Sentinel-2 shape: uint8 SCL next to uint16 reflectance) must
+        assemble under the promoted dtype — not silently wrap the
+        wider values into the first asset's narrow dtype."""
+        root = str(tmp_path / "tree")
+        b = StacBuilder(root)
+        b.add_collection("mix", bands=["scl", "red"])
+        n = TILE.raster_size
+        scl = np.full((n, n, 1), 4, np.uint8)
+        red = np.full((n, n, 1), 1500, np.uint16)
+        b.add_item("mix", "item", dt.date(2020, 5, 1),
+                   {"scl": {"array": scl, "geotransform": TILE.geotrans,
+                            "epsg": EPSG},
+                    "red": {"array": red, "geotransform": TILE.geotrans,
+                            "epsg": EPSG}})
+        with StacServer(root) as srv:
+            cat = STACCatalog(srv.url)
+            metas = cat.search(TILE, "mix")
+            # scl FIRST: the narrow asset must not set the result dtype
+            stack, valid = cat.load(metas, TILE, ["scl", "red"])
+            assert valid.all()
+            assert stack.dtype == np.uint16
+            assert (stack[0, :, :, 0] == 4).all()
+            assert (stack[0, :, :, 1] == 1500).all()
+
+
 class TestAPIMode:
     def test_search_paged_and_server_filtered(self, stac_root):
         with StacServer(stac_root, api=True) as srv:

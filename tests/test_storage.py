@@ -33,6 +33,10 @@ class TestPathHelpers:
     def test_basename_dirname(self):
         assert storage.basename("gs://b/a/c.tif") == "c.tif"
         assert storage.dirname("gs://b/a/c.tif") == "gs://b/a"
+        assert storage.dirname("s3://b/a/c.tif") == "s3://b/a"
+        # bucket roots have no parent — never degrade to 'gs:/'
+        assert storage.dirname("gs://b") == "gs://b"
+        assert storage.dirname("s3://b/") == "s3://b"
 
     def test_split(self):
         from dl_image_segmentation_tpu.storage.gcs import split_gcs_path
@@ -101,6 +105,19 @@ class TestGCSRoundtrip:
         assert storage.download_dir("gs://bucket/ckpt", str(dn)) == 2
         assert (dn / "f1").read_bytes() == b"1"
         assert (dn / "sub" / "f2").read_bytes() == b"2"
+
+    def test_download_dir_skips_pseudo_folder_placeholders(
+            self, fake, tmp_path):
+        """Console-created 'folders' are zero-byte objects whose names
+        end in '/'; download_dir must skip them (and an object equal to
+        the prefix itself), not crash trying to open a directory."""
+        storage.write_bytes("gs://bucket/ckpt/", b"")       # the prefix
+        storage.write_bytes("gs://bucket/ckpt/sub/", b"")   # a subfolder
+        storage.write_bytes("gs://bucket/ckpt/sub/f", b"data")
+        dn = tmp_path / "down"
+        assert storage.download_dir("gs://bucket/ckpt", str(dn),
+                                    delete_extras=True) == 1
+        assert (dn / "sub" / "f").read_bytes() == b"data"
 
     def test_names_with_hash_chars(self, fake):
         # chip filenames contain '#' (tile-key contract); must survive
