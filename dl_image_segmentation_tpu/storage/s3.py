@@ -177,10 +177,17 @@ class S3Client:
         hdrs = dict(headers or {})
         if self.access_key and self.secret_key:
             payload_hash = hashlib.sha256(data or b"").hexdigest()
+            # S3 mandates every x-amz-* request header be signed
+            # (e.g. rewrite's x-amz-copy-source) — fold them into the
+            # signature and let sigv4_headers re-emit them.
+            extra = {}
+            for k in list(hdrs):
+                if k.lower().startswith("x-amz-"):
+                    extra[k] = hdrs.pop(k)
             hdrs.update(sigv4_headers(
                 method, url, self.region, "s3", self.access_key,
                 self.secret_key, payload_hash,
-                session_token=self.session_token))
+                session_token=self.session_token, extra_signed=extra))
         return http_request(method, url, data=data, headers=hdrs,
                             ok_statuses=ok_statuses,
                             max_attempts=self.max_attempts)

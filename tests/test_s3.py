@@ -61,6 +61,30 @@ class TestSigV4:
             hashlib.sha256(b"body").hexdigest()
         assert "x-amz-content-sha256" in h["Authorization"]
 
+    def test_caller_x_amz_headers_are_signed(self, monkeypatch):
+        """S3 mandates every x-amz-* request header be signed —
+        rewrite's x-amz-copy-source must land in SignedHeaders, or
+        real AWS rejects the copy with SignatureDoesNotMatch."""
+        import dl_image_segmentation_tpu.storage.s3 as s3mod
+        captured = {}
+
+        def fake_http(method, url, data=None, headers=None,
+                      ok_statuses=(200,), max_attempts=5):
+            captured["headers"] = dict(headers or {})
+            return 200, b"<CopyObjectResult/>", {}
+
+        monkeypatch.setattr(s3mod, "http_request", fake_http)
+        cli = S3Client(endpoint="http://s3.example", region="us-east-1",
+                       access_key="AK", secret_key="SK")
+        cli.rewrite("b", "src.tif", "b", "dst.tif")
+        hdrs = captured["headers"]
+        auth = hdrs["Authorization"]
+        signed = auth.split("SignedHeaders=")[1].split(",")[0]
+        assert "x-amz-copy-source" in signed.split(";")
+        # and the header itself still rides the request, exactly once
+        amz_src = [k for k in hdrs if k.lower() == "x-amz-copy-source"]
+        assert len(amz_src) == 1
+
     def test_session_token_signed(self):
         h = sigv4_headers("GET", "https://s3.example/b/k", "us-east-1",
                           "s3", "AK", "SK",
