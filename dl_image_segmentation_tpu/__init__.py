@@ -51,6 +51,11 @@ _LAZY = {
 }
 
 
+# star-imports (the reference's notebooks use flat `from pkg import
+# ...` style) resolve through __getattr__ one name at a time
+__all__ = sorted(_LAZY)
+
+
 def __getattr__(name):
     mod = _LAZY.get(name)
     if mod is None:
