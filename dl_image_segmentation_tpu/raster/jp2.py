@@ -227,5 +227,9 @@ def encode_jp2(array: np.ndarray,
     # insert the uuid box before the codestream box
     off, ln = _find_codestream(data)
     # find the start of the jp2c BOX header (payload offset - header)
-    hdr_start = data.rfind(b"jp2c", 0, off) - 4
+    pos = data.rfind(b"jp2c", 0, off)
+    if pos < 4:  # raw J2K codestream: nowhere to put a geo box
+        raise ValueError("encoder produced no JP2 container (raw "
+                         "codestream) — cannot embed GeoJP2")
+    hdr_start = pos - 4
     return data[:hdr_start] + box + data[hdr_start:]
