@@ -92,7 +92,7 @@ def get_default_catalog() -> Catalog:
         "$DLSEG_CATALOG to a local catalog root")
 
 
-RESAMPLERS = ("near", "bilinear", "cubic")
+RESAMPLERS = ("near", "bilinear", "cubic", "cubicspline", "lanczos")
 
 
 def validate_resampler(name: str) -> None:
@@ -101,7 +101,7 @@ def validate_resampler(name: str) -> None:
     argument, _descartes_img_chips.py:483, 512-513)."""
     if name not in RESAMPLERS:
         raise ValueError(f"unknown resampler {name!r} "
-                         "(expected 'near', 'bilinear' or 'cubic')")
+                         f"(expected one of {', '.join(map(repr, RESAMPLERS))})")
 
 
 def _epsg_zone(epsg: Optional[int]) -> Optional[int]:
@@ -129,6 +129,42 @@ def _cubic_weights(t: np.ndarray) -> Tuple[np.ndarray, ...]:
     w2 = -(a + 2.0) * t3 + (2.0 * a + 3.0) * t2 - a * t  # tap at +1
     w3 = a * (t2 - t3)                              # tap at +2 (x=2-t)
     return w0, w1, w2, w3
+
+
+def _bspline_weights(t: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Cubic B-spline weights (GDAL's 'cubicspline': approximating,
+    non-negative, smoothing) for the 4 taps at offsets -1, 0, +1, +2
+    around fractional position ``t`` in [0, 1)."""
+    t2 = t * t
+    t3 = t2 * t
+    u = 1.0 - t
+    w0 = u * u * u / 6.0                            # tap at -1 (x=1+t)
+    w1 = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0          # tap at 0
+    w2 = (4.0 - 6.0 * u * u + 3.0 * u * u * u) / 6.0  # tap at +1
+    w3 = t3 / 6.0                                   # tap at +2 (x=2-t)
+    return w0, w1, w2, w3
+
+
+def _lanczos_weights(t: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Lanczos a=3 windowed-sinc weights (GDAL's 'lanczos') for the 6
+    taps at offsets -2..+3 around fractional position ``t`` in [0, 1),
+    normalized so each axis' truncated window sums to 1 (GDAL likewise
+    normalizes by the accumulated weight)."""
+    ws = []
+    for j in (-2, -1, 0, 1, 2, 3):
+        x = t - j
+        ws.append(np.sinc(x) * np.sinc(x / 3.0))
+    total = sum(ws)
+    return tuple(w / total for w in ws)
+
+
+# tap offsets + weight function per convolution-kernel resampler;
+# "near"/"bilinear" keep their dedicated paths
+_KERNELS = {
+    "cubic": ((-1, 0, 1, 2), _cubic_weights),
+    "cubicspline": ((-1, 0, 1, 2), _bspline_weights),
+    "lanczos": ((-2, -1, 0, 1, 2, 3), _lanczos_weights),
+}
 
 
 def equator_referenced_gt(gt: Sequence[float],
@@ -176,8 +212,9 @@ def bounds_in_tile_zone(bounds: Sequence[float], epsg: Optional[int],
 
 # extra source pixels around a tile window so interpolating
 # resamplers have real neighbours at the window edge (bilinear needs
-# 1, cubic needs 2)
+# 1, cubic/cubicspline need 2, lanczos needs 3)
 WINDOW_MARGIN = 2
+_WINDOW_MARGIN_LANCZOS = 3
 
 
 def load_scene_window(reader, info, tile, band_sel: Sequence[int],
@@ -196,10 +233,12 @@ def load_scene_window(reader, info, tile, band_sel: Sequence[int],
     else:
         src_zone = tile.zone
         tx0, ty0, tx1, ty1 = tile.bounds
-    c0 = int(np.floor((tx0 - sgt[0]) / sgt[1])) - WINDOW_MARGIN
-    c1 = int(np.ceil((tx1 - sgt[0]) / sgt[1])) + WINDOW_MARGIN
-    r0 = int(np.floor((ty1 - sgt[3]) / sgt[5])) - WINDOW_MARGIN
-    r1 = int(np.ceil((ty0 - sgt[3]) / sgt[5])) + WINDOW_MARGIN
+    margin = (_WINDOW_MARGIN_LANCZOS if resampler == "lanczos"
+              else WINDOW_MARGIN)
+    c0 = int(np.floor((tx0 - sgt[0]) / sgt[1])) - margin
+    c1 = int(np.ceil((tx1 - sgt[0]) / sgt[1])) + margin
+    r0 = int(np.floor((ty1 - sgt[3]) / sgt[5])) - margin
+    r1 = int(np.ceil((ty0 - sgt[3]) / sgt[5])) + margin
     win, (oy, ox) = reader.read_window(r0, c0, r1, c1)
     n = tile.raster_size
     if win.size == 0:
@@ -241,9 +280,14 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
     with the tile grid keeps its full extent; still conservative vs
     GDAL's nodata-excluding weights, documented deviation), or
     "cubic" (4x4 Keys cubic convolution, a=-0.5 — GDAL's 'cubic';
-    edge taps clamp, any nodata tap invalidates the pixel). Matches
-    the reference's resampler values passed to SceneCollection.mosaic
-    (_descartes_img_chips.py:483, 512-513).
+    edge taps clamp, any nodata tap invalidates the pixel),
+    "cubicspline" (4x4 approximating cubic B-spline — GDAL's
+    'cubicspline'; same clamp/nodata rules), or "lanczos" (6x6
+    Lanczos a=3 windowed sinc, per-axis weight-normalized — GDAL's
+    'lanczos'; same rules). Matches the resampler values the
+    reference forwarded to SceneCollection.mosaic — its docs name
+    'near' and 'cubic' and defer to the DL/GDAL set for the rest
+    (_descartes_img_chips.py:483, 487-488, 512-513).
 
     This is the local equivalent of the server-side windowing/resample
     the DL API performed for ctx-shaped mosaics."""
@@ -260,7 +304,7 @@ def resample_to_tile(src: np.ndarray, src_gt: Sequence[float], tile,
     x = gt[0] + cols * gt[1]          # (W,)
     y = gt[3] + rows * gt[5]          # (H,)
     h_src, w_src = src.shape[:2]
-    if cross_zone or method == "cubic":
+    if cross_zone or method in _KERNELS:
         X, Y = np.meshgrid(x, y)      # (H, W) target centres
         if cross_zone:
             from ..geo import crs as _crs
@@ -379,18 +423,20 @@ def _sample_grid(src: np.ndarray, src_gt: Sequence[float],
         out = np.where(valid[:, :, None], res, 0).astype(src.dtype)
         return out, valid
 
-    # cubic: 4x4 Keys convolution around (r0, c0); edge taps clamp
+    # convolution kernels (cubic / cubicspline / lanczos): separable
+    # taps around (r0, c0); edge taps clamp
+    offsets, weight_fn = _KERNELS[method]
     r0 = np.floor(fy).astype(np.int64)
     c0 = np.floor(fx).astype(np.int64)
     ty = np.clip(fy - r0, 0.0, 1.0)
     tx = np.clip(fx - c0, 0.0, 1.0)
-    wys = _cubic_weights(ty)
-    wxs = _cubic_weights(tx)
+    wys = weight_fn(ty)
+    wxs = weight_fn(tx)
     res = np.zeros(X.shape + (src.shape[2],), np.float64)
     tap_nodata = np.zeros(X.shape, bool)
-    for j, wy in zip((-1, 0, 1, 2), wys):
+    for j, wy in zip(offsets, wys):
         rj = np.clip(r0 + j, 0, h_src - 1)
-        for i, wx in zip((-1, 0, 1, 2), wxs):
+        for i, wx in zip(offsets, wxs):
             ci = np.clip(c0 + i, 0, w_src - 1)
             q = src[rj, ci]
             res += (wy * wx)[:, :, None] * q.astype(np.float64)

@@ -391,10 +391,11 @@ def stack_products_for_tile(ctx, products, bands_per_product,
     """First-wins mosaic per product, all bands stacked (reference
     :472-518). No date filtering (whole-collection mosaic).
 
-    resampler: "near" or "bilinear", applied when scene rasters are
-    windowed/resampled onto the tile grid (the reference forwards it
-    to SceneCollection.mosaic, _descartes_img_chips.py:483, 512-513);
-    unknown values raise ValueError."""
+    resampler: any of catalog.base.RESAMPLERS ("near", "bilinear",
+    "cubic", "cubicspline", "lanczos"), applied when scene rasters
+    are windowed/resampled onto the tile grid (the reference forwards
+    it to SceneCollection.mosaic, _descartes_img_chips.py:483,
+    512-513); unknown values raise ValueError."""
     validate_resampler(resampler)
     cat = _resolve_catalog(catalog)
     all_arrays = []

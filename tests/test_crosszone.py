@@ -200,4 +200,98 @@ class TestCubic:
     def test_unknown_resampler_message_lists_cubic(self):
         with pytest.raises(ValueError, match="cubic"):
             resample_to_tile(np.zeros((4, 4, 1)), (0, 1, 0, 0, 0, -1),
-                             TILE, method="lanczos")
+                             TILE, method="mode")
+
+    def test_cubicspline_smooths_but_tracks_linear_fields(self):
+        # the B-spline kernel is approximating: it does NOT
+        # interpolate arbitrary data, but it DOES reproduce linear
+        # fields exactly (B-splines have linear precision)
+        h, w, gt = self._tile_grid_source(scale=1.7, jitter=3.3)
+        cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(h, dtype=np.float64))
+        src = (5.0 * cols - 2.5 * rows)[:, :, None].astype(np.float32)
+        out, valid = resample_to_tile(src, gt, TILE,
+                                      method="cubicspline")
+        n = TILE.raster_size
+        tgt = TILE.geotrans_equator
+        xs = tgt[0] + (np.arange(n) + 0.5) * tgt[1]
+        ys = tgt[3] + (np.arange(n) + 0.5) * tgt[5]
+        fcol = (xs - gt[0]) / gt[1] - 0.5
+        frow = (ys - gt[3]) / gt[5] - 0.5
+        exp = 5.0 * fcol[None, :] - 2.5 * frow[:, None]
+        np.testing.assert_allclose(out[:, :, 0][valid], exp[valid],
+                                   atol=1e-3)
+
+    def test_cubicspline_weights_are_a_partition_of_unity(self):
+        # constant fields come back exactly: non-negative weights
+        # summing to 1 at every fractional offset
+        h, w, gt = self._tile_grid_source(scale=2.3, jitter=4.1)
+        src = np.full((h, w, 2), 123.0, np.float32)
+        out, valid = resample_to_tile(src, gt, TILE,
+                                      method="cubicspline")
+        np.testing.assert_allclose(out[valid], 123.0, atol=1e-4)
+
+    def test_lanczos_identity_on_aligned_grid(self):
+        h, w, gt = self._tile_grid_source()
+        rng = np.random.RandomState(1)
+        src = rng.randint(0, 60000, (h, w, 3)).astype(np.uint16)
+        out, valid = resample_to_tile(src, gt, TILE, method="lanczos")
+        assert valid.all()
+        np.testing.assert_array_equal(out, src[2:2 + TILE.raster_size,
+                                               2:2 + TILE.raster_size])
+
+    def test_lanczos_beats_bilinear_on_high_frequency_field(self):
+        # the windowed sinc's pass band is where it earns its keep:
+        # on an 8-px-period field bilinear attenuates ~12x worse
+        # (on LOW frequencies Keys cubic is the more accurate kernel
+        # — lanczos' truncated window costs it polynomial precision)
+        h, w, gt = self._tile_grid_source(scale=2.3, jitter=4.1)
+        k = 2.0 * np.pi / 8.0
+        cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(h, dtype=np.float64))
+        src = np.sin(k * cols)[:, :, None].astype(np.float32)
+        lan, vl = resample_to_tile(src, gt, TILE, method="lanczos")
+        bil, vb = resample_to_tile(src, gt, TILE, method="bilinear")
+        n = TILE.raster_size
+        tgt = TILE.geotrans_equator
+        xs = tgt[0] + (np.arange(n) + 0.5) * tgt[1]
+        fcol = (xs - gt[0]) / gt[1] - 0.5
+        exp = np.tile(np.sin(k * fcol), (n, 1))
+        m = vl & vb
+        err_l = np.abs(lan[:, :, 0] - exp)[m].mean()
+        err_b = np.abs(bil[:, :, 0] - exp)[m].mean()
+        assert err_l < err_b * 0.25, (err_l, err_b)
+
+    def test_lanczos_nodata_tap_invalidates(self):
+        h, w, gt = self._tile_grid_source()
+        src = np.full((h, w, 1), 7.0, np.float32)
+        src[12, 12, 0] = -1.0
+        out, valid = resample_to_tile(src, gt, TILE, nodata=-1.0,
+                                      method="lanczos")
+        # within the 6x6 stencil of the island
+        assert not valid[9, 9]
+        assert valid[25, 25] and out[25, 25, 0] == 7.0
+
+    def test_kernel_resamplers_cross_zone(self):
+        # the new kernels ride the same per-pixel zone->WGS84->zone
+        # path as cubic: a smooth field warped from zone 42 matches
+        # the analytically-mapped expectation
+        arr, gt = _zone42_scene_for_tile(TILE)
+        cols = arr[:, :, 0].astype(np.float64)
+        src = np.sin(cols / 9.0)[:, :, None].astype(np.float32)
+        n = TILE.raster_size
+        tgt = TILE.geotrans_equator
+        xs = tgt[0] + (np.arange(n) + 0.5) * tgt[1]
+        ys = tgt[3] + (np.arange(n) + 0.5) * tgt[5]
+        X, Y = np.meshgrid(xs, ys)
+        lon, lat = crs.utm_to_lonlat(X.ravel(), Y.ravel(), TILE.zone)
+        sx, _ = crs.lonlat_to_utm(lon, lat, SRC_ZONE)
+        fcol = ((np.asarray(sx) - gt[0]) / gt[1] - 0.5).reshape(n, n)
+        exp = np.sin(fcol / 9.0)
+        for method in ("cubicspline", "lanczos"):
+            out, valid = resample_to_tile(src, gt, TILE,
+                                          src_epsg=32600 + SRC_ZONE,
+                                          method=method)
+            assert valid.all()
+            err = np.abs(out[:, :, 0] - exp).mean()
+            assert err < 5e-3, (method, err)

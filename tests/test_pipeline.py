@@ -96,11 +96,11 @@ class TestMosaics:
         assert arr.shape == (64, 64, 5)
 
     def test_stack_products_rejects_unknown_resampler(self, catalog):
-        # 'cubic' graduated to a real resampler in round 4; 'lanczos'
-        # is the unknown example now
+        # 'cubic' (and later 'cubicspline'/'lanczos') graduated to
+        # real resamplers; 'mode' is the unknown example now
         with pytest.raises(ValueError, match="resampler"):
             stack_products_for_tile(TILE, ["sentinel-2:L1C"],
-                                    ["red green"], resampler="lanczos",
+                                    ["red green"], resampler="mode",
                                     catalog=catalog)
 
     def test_stack_products_accepts_bilinear(self, catalog):
@@ -161,7 +161,7 @@ class TestResample:
         from dl_image_segmentation_tpu.catalog.base import resample_to_tile
         src, gt = self._src()
         with pytest.raises(ValueError, match="resampler"):
-            resample_to_tile(src, gt, TILE, method="lanczos")
+            resample_to_tile(src, gt, TILE, method="mode")
 
     def test_bilinear_aligned_source_is_identity(self):
         """A source exactly co-registered with the tile grid (the
@@ -192,7 +192,7 @@ class TestResample:
         from dl_image_segmentation_tpu.catalog.local import LocalCatalog
         cat = LocalCatalog.create(str(tmp_path / "cat"))
         with pytest.raises(ValueError, match="resampler"):
-            cat.load([], TILE, ["red"], resampler="lanczos")
+            cat.load([], TILE, ["red"], resampler="mode")
 
 
 class TestLabelBurn:
