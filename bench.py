@@ -18,6 +18,7 @@ import json
 import os
 import shutil
 import time
+import zlib
 
 
 def _out_root() -> str:
@@ -48,6 +49,63 @@ def _pow2_workers(cap: int) -> int:
 
 NWORK_MT = _pow2_workers(8)
 NWORK_MP = _pow2_workers(4)
+
+# Calibrated host-speed probe (VERDICT r4 item 1): a fixed pure-CPU
+# spin whose idle-host time is pinned below. On a loaded/slow host the
+# spin takes longer and host_speed_index drops below ~0.9, making
+# "regression vs shared-VM noise" decidable from the bench artifact
+# alone. Calibration: min-of-10 = 0.0895 s on this box, idle
+# (loadavg 0.0), 2026-08-20.
+_PROBE_CAL_S = 0.0895
+_PROBE_BUF = bytes(range(256)) * (8 * 1024 * 1024 // 256)  # 8 MiB
+
+
+def host_speed_probe() -> float:
+    """host_speed_index: 1.0 = the calibrated idle host; <1 = slower
+    (contention or a weaker VM). Min of 5 spins after 2 warmups --
+    the first spins absorb CPU frequency ramp-up."""
+    def spin() -> float:
+        t0 = time.perf_counter()
+        crc = 0
+        for _ in range(48):
+            crc = zlib.crc32(_PROBE_BUF, crc)
+        return time.perf_counter() - t0
+
+    spin(), spin()
+    best = min(spin() for _ in range(5))
+    return round(_PROBE_CAL_S / best, 3)
+
+
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _rate_stats(rates, probes) -> dict:
+    """Median + spread over per-rep throughputs (the r4 verdict's
+    required shape: a best-of capture can't distinguish a slow host
+    from a regression; median(spread) + per-rep probes can). probes
+    has len(rates)+1 entries bracketing every rep; ``clean_value`` is
+    the median over only the reps whose BOTH bracketing probes read
+    >= 0.9 -- the framework's speed with neighbor-VM contention
+    factored out, present only when at least 2 reps ran clean."""
+    med = _median(rates)
+    clean = [r for i, r in enumerate(rates)
+             if probes[i] >= 0.9 and probes[i + 1] >= 0.9]
+    out = {
+        "value": round(med, 1),
+        "reps": [round(r, 1) for r in rates],
+        "best": round(max(rates), 1),
+        "spread_pct": round(
+            100.0 * (max(rates) - min(rates)) / med, 1),
+        "probe_reps": probes,
+        "host_speed_index": min(probes),
+    }
+    if len(clean) >= 2:
+        out["clean_value"] = round(_median(clean), 1)
+        out["clean_reps"] = len(clean)
+    return out
 
 N_CHIPS = 6000
 SIZE = 256
@@ -139,8 +197,8 @@ def bench_tifarr() -> dict:
                                num_proc=NWORK_MP, store_as_array=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.sync()
-    value = 0.0
-    for _ in range(3):
+    rates, probes = [], [host_speed_probe()]
+    for _ in range(7):
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(sink):
             n = images_to_tfrecords_mp("btif", chip_dir, out_dir,
@@ -148,7 +206,9 @@ def bench_tifarr() -> dict:
                                        store_as_array=True)
         dt = time.perf_counter() - t0
         shutil.rmtree(out_dir, ignore_errors=True)
-        value = max(value, n / dt)
+        rates.append(n / dt)
+        probes.append(host_speed_probe())
+    stats = _rate_stats(rates, probes)
     # per-core normalization vs the reference (VERDICT r2 item 7): the
     # reference translates ~6,000 chips in "a few seconds" on a
     # 12-VCORE laptop (README.md:29, translate nb cells 12/16), i.e.
@@ -156,13 +216,13 @@ def bench_tifarr() -> dict:
     # 175). This box exposes os.cpu_count() cores; the per-core rate
     # here is directly comparable.
     ncores = os.cpu_count() or 1
-    per_core = value / ncores
+    per_core = stats["value"] / ncores
     return {
         "metric": "256x256 uint16 4-band LZW GeoTIFF pairs -> "
                   "decoded-array TFRecords (tifarr, 4 shards)",
-        "value": round(value, 1),
+        **stats,
         "unit": "pairs/s",
-        "vs_r1": round(value / 180.0, 2),
+        "vs_r1": round(stats["value"] / 180.0, 2),
         "cores": ncores,
         "pairs_per_sec_per_core": round(per_core, 1),
         "vs_ref_per_core": round(per_core / 175.0, 2),
@@ -191,10 +251,14 @@ def main() -> None:
     # steal bandwidth from the timed run
     os.sync()
 
-    # best of 3 timed reps: a single pass is hostage to transient
-    # page-cache / writeback state on this shared box
-    value = 0.0
-    for _ in range(3):
+    # 9 timed reps, reported as median(spread) + a host-speed probe
+    # bracketing every rep: a single pass is hostage to transient
+    # page-cache / writeback / neighbor-VM state on this shared box,
+    # and a best-of capture can't distinguish a slow host from a real
+    # regression (the r4 lesson: -14% driver capture, cause
+    # undecidable from the artifact).
+    rates, probes = [], [host_speed_probe()]
+    for _ in range(9):
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(sink):
             n = images_to_tfrecords_mt("bench", chip_dir, out_dir,
@@ -202,13 +266,15 @@ def main() -> None:
                                        store_as_array=False)
         dt = time.perf_counter() - t0
         shutil.rmtree(out_dir, ignore_errors=True)
-        value = max(value, n / dt)
+        rates.append(n / dt)
+        probes.append(host_speed_probe())
+    stats = _rate_stats(rates, probes)
     headline = {
         "metric": "256x256 RGB chips -> sharded TFRecords (raw-bytes "
                   "mode, 8 shards)",
-        "value": round(value, 1),
+        **stats,
         "unit": "chips/s",
-        "vs_baseline": round(value / BASELINE_CHIPS_PER_SEC, 3),
+        "vs_baseline": round(stats["value"] / BASELINE_CHIPS_PER_SEC, 3),
     }
     # headline RUNS first (cleanest cache state) but PRINTS last: the
     # driver parses the final stdout line
