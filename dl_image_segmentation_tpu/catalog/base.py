@@ -62,8 +62,10 @@ class Catalog:
 
         Returns (stack (S, H, W, B) source dtype, valid (S, H, W) bool)
         where H = W = tile.raster_size, resampled with ``resampler``
-        ("near" or "bilinear", matching the reference's mosaic
-        resampler argument, _descartes_img_chips.py:483, 512-513)."""
+        (one of catalog.base.RESAMPLERS -- the full GDAL kernel set:
+        near | bilinear | cubic | cubicspline | lanczos -- matching
+        the reference's mosaic resampler argument,
+        _descartes_img_chips.py:483, 512-513)."""
         raise NotImplementedError
 
 
@@ -212,9 +214,16 @@ def bounds_in_tile_zone(bounds: Sequence[float], epsg: Optional[int],
 
 # extra source pixels around a tile window so interpolating
 # resamplers have real neighbours at the window edge (bilinear needs
-# 1, cubic/cubicspline need 2, lanczos needs 3)
+# 1, cubic/cubicspline need 2, lanczos needs 3); kernel resamplers
+# derive theirs from the tap table so a wider kernel added to
+# _KERNELS can never silently under-read its window
 WINDOW_MARGIN = 2
-_WINDOW_MARGIN_LANCZOS = 3
+
+
+def _window_margin(resampler: str) -> int:
+    if resampler in _KERNELS:
+        return max(abs(o) for o in _KERNELS[resampler][0])
+    return WINDOW_MARGIN
 
 
 def load_scene_window(reader, info, tile, band_sel: Sequence[int],
@@ -233,8 +242,7 @@ def load_scene_window(reader, info, tile, band_sel: Sequence[int],
     else:
         src_zone = tile.zone
         tx0, ty0, tx1, ty1 = tile.bounds
-    margin = (_WINDOW_MARGIN_LANCZOS if resampler == "lanczos"
-              else WINDOW_MARGIN)
+    margin = _window_margin(resampler)
     c0 = int(np.floor((tx0 - sgt[0]) / sgt[1])) - margin
     c1 = int(np.ceil((tx1 - sgt[0]) / sgt[1])) + margin
     r0 = int(np.floor((ty1 - sgt[3]) / sgt[5])) - margin
