@@ -132,7 +132,16 @@ def cmd_train(args) -> int:
                       class_weights=(
                           tuple(float(w) for w
                                 in args.class_weights.split(","))
-                          if args.class_weights else None))
+                          if args.class_weights else None),
+                      augment_invert=args.augment_invert,
+                      augment_brightness=args.augment_brightness,
+                      augment_contrast=args.augment_contrast,
+                      augment_geometric=args.augment)
+    # any photometric knob implies augmentation (geometric ops stay
+    # gated on --augment itself)
+    do_augment = (args.augment or args.augment_invert > 0
+                  or args.augment_brightness > 0
+                  or args.augment_contrast > 0)
     trainer = Trainer(cfg)
     manager = None
     if args.save_every > 0:
@@ -220,7 +229,7 @@ def cmd_train(args) -> int:
             out = trainer.train_scanned(
                 pool, total_steps=chunk,
                 steps_per_dispatch=args.scan_steps,
-                refresh_feed=refresh, augment=args.augment)
+                refresh_feed=refresh, augment=do_augment)
             remaining -= chunk
             log_metrics(trainer.state.step, loss=out["loss"],
                         accuracy=out["accuracy"],
@@ -238,21 +247,34 @@ def cmd_train(args) -> int:
                   f"imgs/s={out['examples_per_sec']:.1f} "
                   f"duty={out['duty_cycle']:.3f}")
     elif remaining > 0:
-        if args.augment:
+        if do_augment:
             import jax
             from .ops.augment import augment_pairs
+            from .train.trainer import normalize_images
             akey = jax.random.PRNGKey(cfg.seed)
         with DevicePrefetcher(feed.batches(), trainer.place_batch) as pf:
             it = iter(pf)
             for step in range(remaining):
                 images, labels = next(it)
-                if args.augment:
-                    # on-device dihedral augmentation (exact, label-
-                    # safe; ops/augment.py), already-placed batches --
-                    # costs no host time
+                if do_augment:
+                    # on-device augmentation (dihedral ops exact and
+                    # label-safe; ops/augment.py), already-placed
+                    # batches -- costs no host time. Photometric ops
+                    # act in the normalized [0,1] domain, so integer
+                    # feeds normalize first (idempotent: the train
+                    # step's normalize passes floats through).
+                    if (args.augment_invert > 0
+                            or args.augment_brightness > 0
+                            or args.augment_contrast > 0):
+                        images = normalize_images(images)
                     images, labels = augment_pairs(
                         jax.random.fold_in(akey, done_already + step),
-                        images, labels)
+                        images, labels,
+                        hflip=args.augment, vflip=args.augment,
+                        rot90=args.augment,
+                        invert_prob=args.augment_invert,
+                        brightness=args.augment_brightness,
+                        contrast=args.augment_contrast)
                 metrics = trainer.train_step(images, labels)
                 if step % args.log_every == 0 or step == remaining - 1:
                     stats = trainer.throughput_stats()
@@ -948,6 +970,24 @@ def main(argv=None) -> int:
                          "(flips + 90-degree rotations, applied "
                          "identically to image and label; exact and "
                          "label-safe -- ops/augment.py)")
+    tr.add_argument("--augment-invert", type=float, default=0.0,
+                    metavar="P",
+                    help="probability of per-example intensity "
+                         "inversion (image only, labels untouched; "
+                         "the reference's RandomInvert sketch). "
+                         "Assumes a [0,1]-normalized feed (any "
+                         "integer-dtype storage mode)")
+    tr.add_argument("--augment-brightness", type=float, default=0.0,
+                    metavar="B",
+                    help="per-example additive brightness jitter "
+                         "~ U(-B, +B) on the [0,1] scale, clipped "
+                         "(image only)")
+    tr.add_argument("--augment-contrast", type=float, default=0.0,
+                    metavar="C",
+                    help="per-example contrast jitter around the "
+                         "per-channel mean, factor ~ U(1-C, 1+C) "
+                         "(image only; scale-invariant, safe for "
+                         "raw-DN tifarr feeds)")
     tr.set_defaults(fn=cmd_train)
 
     pr = sub.add_parser("predict", help="chips -> prediction GeoTIFFs")

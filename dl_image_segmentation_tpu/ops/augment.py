@@ -21,18 +21,33 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("hflip", "vflip", "rot90",
-                                             "invert_prob"))
+                                             "invert_prob", "brightness",
+                                             "contrast"))
 def augment_pairs(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
                   hflip: bool = True, vflip: bool = True, rot90: bool = True,
-                  invert_prob: float = 0.0
+                  invert_prob: float = 0.0, brightness: float = 0.0,
+                  contrast: float = 0.0
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Random dihedral augmentation applied identically to image and
-    label. images: (N, H, W, C) float; labels: (N, H, W) any dtype.
-    ``invert_prob``: probability of value inversion (RandomInvert
-    equivalent, images only), assumes images scaled to [0, 1].
+    """Random dihedral + photometric augmentation; geometric ops are
+    applied identically to image and label, photometric ops to the
+    image only. images: (N, H, W, C) float; labels: (N, H, W) any
+    dtype.
+
+    Photometric knobs (the reference's Keras-preprocessing sketch:
+    RandomInvert plus the RandomBrightness/RandomContrast family,
+    parse_tfrecords.ipynb cells 50-56), all per-example:
+
+    * ``invert_prob``: probability of value inversion (images only),
+      assumes images scaled to [0, 1].
+    * ``brightness``: additive jitter delta ~ U(-b, +b) on the [0, 1]
+      scale, output clipped to [0, 1] (Keras RandomBrightness
+      semantics; meaningful for [0, 1]-normalized feeds).
+    * ``contrast``: multiplicative jitter around the per-example
+      per-channel mean, factor ~ U(1-c, 1+c) (Keras RandomContrast
+      semantics; scale-invariant, safe for raw-DN float feeds too).
     """
     n = images.shape[0]
-    k_h, k_v, k_r, k_i = jax.random.split(key, 4)
+    k_h, k_v, k_r, k_i, k_b, k_c = jax.random.split(key, 6)
 
     def sel(mask, a, b):
         return jnp.where(mask[:, None, None, None], a, b)
@@ -68,6 +83,16 @@ def augment_pairs(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray,
     if invert_prob > 0:
         m = jax.random.bernoulli(k_i, invert_prob, (n,))
         images = sel(m, 1.0 - images, images)
+    if contrast > 0:
+        f = jax.random.uniform(k_c, (n, 1, 1, 1),
+                               minval=1.0 - contrast,
+                               maxval=1.0 + contrast)
+        mean = jnp.mean(images, axis=(1, 2), keepdims=True)
+        images = mean + (images - mean) * f
+    if brightness > 0:
+        d = jax.random.uniform(k_b, (n, 1, 1, 1),
+                               minval=-brightness, maxval=brightness)
+        images = jnp.clip(images + d, 0.0, 1.0)
     return images, labels
 
 

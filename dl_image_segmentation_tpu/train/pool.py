@@ -24,6 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _rank_adapted(sharding, ndim: int):
+    """A NamedSharding whose spec is cut/padded to ``ndim`` axes, so
+    one example-axis sharding (e.g. batch_sharding(mesh)) placed on
+    both the 4-D image pool and the 3-D label pool shards each on its
+    leading axis. Non-NamedShardings pass through untouched."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    if not isinstance(sharding, NamedSharding):
+        return sharding
+    spec = list(sharding.spec) + [None] * ndim
+    return NamedSharding(sharding.mesh, PartitionSpec(*spec[:ndim]))
+
+
 class DeviceDataPool:
     """A device-resident (images uint8/float, labels int) example pool.
 
@@ -33,8 +45,11 @@ class DeviceDataPool:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  sharding=None):
-        put = (lambda x: jax.device_put(x, sharding)) if sharding \
-            else jax.device_put
+        def put(x):
+            if sharding is None:
+                return jax.device_put(x)
+            return jax.device_put(x, _rank_adapted(sharding, x.ndim))
+
         self.images = put(images)
         self.labels = put(labels)
         jax.block_until_ready((self.images, self.labels))

@@ -103,6 +103,18 @@ class TrainConfig:
     # per-class loss weights for imbalanced datasets (None = uniform);
     # a tuple of num_classes floats, see masked_xent_loss
     class_weights: Optional[Tuple[float, ...]] = None
+    # photometric augmentation knobs (ops/augment.py augment_pairs;
+    # the reference's RandomInvert/brightness/contrast sketch,
+    # parse_tfrecords.ipynb cells 50-56). Applied in train paths that
+    # augment (scan-mode via train_scanned(augment=True), step-mode
+    # via the CLI); images only, labels untouched.
+    augment_invert: float = 0.0
+    augment_brightness: float = 0.0
+    augment_contrast: float = 0.0
+    # geometric (dihedral) ops when augmentation is on; False = the
+    # photometric-only combination (e.g. --augment-contrast without
+    # --augment)
+    augment_geometric: bool = True
 
 
 class TrainState:
@@ -395,7 +407,13 @@ class Trainer:
                 images = normalize_images(images)
                 if augment:
                     ky, asub = jax.random.split(ky)
-                    images, labels = augment_pairs(asub, images, labels)
+                    geo = cfg.augment_geometric
+                    images, labels = augment_pairs(
+                        asub, images, labels,
+                        hflip=geo, vflip=geo, rot90=geo,
+                        invert_prob=cfg.augment_invert,
+                        brightness=cfg.augment_brightness,
+                        contrast=cfg.augment_contrast)
 
                 def loss_fn(params):
                     logits = apply_fn(params, images)

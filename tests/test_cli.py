@@ -189,6 +189,27 @@ class TestManagedCheckpointTraining:
         steps = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
         assert steps == [4, 6]
 
+    def test_photometric_augment_flags(self, tmp_path, capsys):
+        """--augment-invert/-brightness/-contrast train without
+        --augment (photometric-only), in both step mode and scan
+        mode; losses stay finite and steps complete."""
+        pattern = self._write_records(tmp_path)
+        base = ["train", "--records", pattern, "--mode", "tifarr",
+                "--classes", "2", "--channels", "3",
+                "--features", "4", "--levels", "1",
+                "--image-size", "16", "--batch-size", "8",
+                "--steps", "2", "--log-every", "1", "--workers", "1",
+                "--augment-invert", "0.5",
+                "--augment-brightness", "0.1",
+                "--augment-contrast", "0.2"]
+        assert cli_main(base) == 0
+        out = capsys.readouterr().out
+        assert "loss=" in out and "nan" not in out
+        assert cli_main(base + ["--scan-steps", "2",
+                                "--pool-size", "16"]) == 0
+        out = capsys.readouterr().out
+        assert "loss=" in out and "nan" not in out
+
     def test_restore_finetune_runs_full_step_budget(self, tmp_path,
                                                     capsys):
         # --restore is a FINE-TUNE: the checkpoint's step counter comes

@@ -435,6 +435,77 @@ class TestRandomInvert:
         np.testing.assert_allclose(np.asarray(out), 0.75)
 
 
+class TestPhotometricAugment:
+    """brightness/contrast jitter in augment_pairs (the reference's
+    Keras RandomBrightness/RandomContrast family, parse nb cells
+    50-56): numerics, label safety, and the off-by-default contract."""
+
+    def _pairs(self, n=16):
+        rng = np.random.RandomState(5)
+        imgs = jnp.asarray(rng.rand(n, 8, 8, 3).astype(np.float32))
+        lbls = jnp.asarray(rng.randint(0, 3, (n, 8, 8)).astype(np.int32))
+        return imgs, lbls
+
+    def test_brightness_additive_and_clipped(self):
+        imgs, lbls = self._pairs()
+        out, lo = augment_pairs(jax.random.PRNGKey(0), imgs, lbls,
+                                hflip=False, vflip=False, rot90=False,
+                                brightness=0.2)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(lbls))
+        o, im = np.asarray(out), np.asarray(imgs)
+        assert o.min() >= 0.0 and o.max() <= 1.0
+        # per example, the unclipped delta is one constant
+        for i in range(len(o)):
+            interior = (im[i] > 0.25) & (im[i] < 0.75) \
+                & (o[i] > 1e-6) & (o[i] < 1 - 1e-6)
+            d = (o[i] - im[i])[interior]
+            if d.size:
+                assert np.ptp(d) < 1e-5 and abs(d[0]) <= 0.2 + 1e-6
+        assert not np.allclose(o, im)  # some example actually moved
+
+    def test_contrast_preserves_mean_and_direction(self):
+        imgs, lbls = self._pairs()
+        out, lo = augment_pairs(jax.random.PRNGKey(1), imgs, lbls,
+                                hflip=False, vflip=False, rot90=False,
+                                contrast=0.5)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(lbls))
+        o, im = np.asarray(out), np.asarray(imgs)
+        # x -> mean + (x - mean) * f preserves the per-channel mean
+        np.testing.assert_allclose(o.mean(axis=(1, 2)),
+                                   im.mean(axis=(1, 2)), atol=1e-5)
+        # per example the factor is one constant within [0.5, 1.5]
+        mean = im.mean(axis=(1, 2), keepdims=True)
+        f = (o - mean) / np.where(np.abs(im - mean) < 1e-4, np.nan,
+                                  im - mean)
+        for i in range(len(o)):
+            fi = f[i][np.isfinite(f[i])]
+            assert fi.size and np.ptp(fi) < 1e-4
+            assert 0.5 - 1e-5 <= fi[0] <= 1.5 + 1e-5
+
+    def test_defaults_off(self):
+        imgs, lbls = self._pairs(4)
+        out, _ = augment_pairs(jax.random.PRNGKey(2), imgs, lbls,
+                               hflip=False, vflip=False, rot90=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+
+    def test_composes_with_geometric_label_alignment(self):
+        imgs = np.zeros((8, 8, 8, 1), np.float32)
+        imgs[:, 0, 0, 0] = 1.0
+        lbls = np.zeros((8, 8, 8), np.int32)
+        lbls[:, 0, 0] = 1
+        i, l = augment_pairs(jax.random.PRNGKey(3), jnp.asarray(imgs),
+                             jnp.asarray(lbls), invert_prob=0.5,
+                             brightness=0.1, contrast=0.3)
+        i, l = np.asarray(i), np.asarray(l)
+        for n in range(8):
+            ly, lx = np.unravel_index(np.argmax(l[n]), l[n].shape)
+            # the marked pixel remains the extremum (min if inverted)
+            vals = i[n, :, :, 0]
+            ext = np.unravel_index(
+                np.argmax(np.abs(vals - np.median(vals))), vals.shape)
+            assert ext == (ly, lx)
+
+
 class TestPackFeatureEdges:
     def test_max_edges_overflow_raises(self):
         from dl_image_segmentation_tpu.ops.rasterize import pack_features

@@ -257,6 +257,29 @@ class TestScannedTraining:
         assert out["loss"] < first["loss"] * 0.8
         assert int(trainer.state.step) == 45
 
+    def test_scan_photometric_augment(self):
+        """Scan-mode training with photometric-only augmentation (the
+        --augment-contrast/--augment-brightness CLI combination) runs
+        and still learns; cfg.augment_geometric=False keeps dihedral
+        ops out of the trace."""
+        from dl_image_segmentation_tpu.train.pool import DeviceDataPool
+        rng = np.random.RandomState(7)
+        imgs = rng.randint(0, 255, (64, 32, 32, 3), np.uint8)
+        lbls = (imgs[:, :, :, 0] > 128).astype(np.uint8)
+        pool = DeviceDataPool(imgs, lbls)
+        cfg = TrainConfig(num_classes=2, in_channels=3, base_features=8,
+                          levels=2, image_size=32, batch_size=8,
+                          augment_geometric=False,
+                          augment_brightness=0.1, augment_contrast=0.2,
+                          augment_invert=0.1)
+        trainer = Trainer(cfg)
+        first = trainer.train_scanned(pool, total_steps=5,
+                                      steps_per_dispatch=5, augment=True)
+        out = trainer.train_scanned(pool, total_steps=40,
+                                    steps_per_dispatch=20, augment=True)
+        assert np.isfinite(out["loss"])
+        assert out["loss"] < first["loss"]
+
     def test_pool_refresh(self):
         from dl_image_segmentation_tpu.train.pool import DeviceDataPool
         rng = np.random.RandomState(1)
