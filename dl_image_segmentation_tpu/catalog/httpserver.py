@@ -18,6 +18,7 @@ import json
 import os
 import re
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -62,11 +63,41 @@ class SceneServer:
                 return True
 
             def _resolve(self) -> Optional[str]:
-                rel = self.path.partition("?")[0].lstrip("/")
+                # unquote like a real web server: chip filenames
+                # contain '#' (the DLTile-key contract), which clients
+                # must send %23-quoted
+                rel = urllib.parse.unquote(
+                    self.path.partition("?")[0]).lstrip("/")
                 path = os.path.normpath(os.path.join(srv.root, rel))
                 if not path.startswith(srv.root):  # no traversal
                     return None
                 return path if os.path.isfile(path) else None
+
+            def _autoindex(self) -> bool:
+                """Directory listing (the <a href> autoindex format of
+                python -m http.server / Apache / nginx) so the
+                storage layer's https:// backend can walk chip
+                folders served from here."""
+                rel = urllib.parse.unquote(
+                    self.path.partition("?")[0]).lstrip("/")
+                d = os.path.normpath(os.path.join(srv.root, rel))
+                if not d.startswith(srv.root) or not os.path.isdir(d):
+                    return False
+                rows = []
+                for e in sorted(os.scandir(d), key=lambda e: e.name):
+                    name = e.name + ("/" if e.is_dir() else "")
+                    q = urllib.parse.quote(name)
+                    rows.append(f'<li><a href="{q}">{name}</a></li>')
+                body = ("<!DOCTYPE html><html><body><ul>"
+                        + "".join(rows)
+                        + "</ul></body></html>").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return True
 
             def do_HEAD(self):
                 if self._maybe_fail():
@@ -88,6 +119,8 @@ class SceneServer:
                     return
                 path = self._resolve()
                 if path is None:
+                    if self._autoindex():
+                        return
                     body = b'{"error": "not found"}'
                     self.send_response(404)
                     self.send_header("Content-Length", str(len(body)))

@@ -627,7 +627,16 @@ def write_geotiff(path: str, array: np.ndarray, **kwargs) -> None:
     object upload through the storage layer."""
     from .. import storage
     if storage.is_remote(path):
-        storage.write_bytes(path, encode_geotiff(array, **kwargs))
+        # spool locally, then STREAM the upload (GCS resumable / S3
+        # multipart): a stitched BigTIFF past S3's 5 GiB single-PUT
+        # cap still pushes, and upload memory stays bounded
+        w = storage.SpooledWriter(path)
+        try:
+            w.write(encode_geotiff(array, **kwargs))
+        except BaseException:
+            w.abort()
+            raise
+        w.close()
         return
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:

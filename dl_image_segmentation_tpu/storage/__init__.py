@@ -46,10 +46,10 @@ __all__ = [
     "is_remote", "read_bytes", "write_bytes", "exists", "listdir",
     "glob", "makedirs", "unlink", "open_read", "replace", "join",
     "basename", "dirname", "SpooledWriter", "download_dir", "upload_dir",
-    "split_url", "client_for",
+    "split_url", "client_for", "upload_file", "download_file",
 ]
 
-_SCHEMES = ("gs://", "s3://")
+_SCHEMES = ("gs://", "s3://", "https://", "http://")
 
 
 def is_remote(path) -> bool:
@@ -57,8 +57,10 @@ def is_remote(path) -> bool:
 
 
 def split_url(path: str):
-    """'gs://b/k' or 's3://b/k' -> (scheme, bucket, key); scheme keeps
-    its '://' so rebuilt URLs are f'{scheme}{bucket}/{key}'."""
+    """'gs://b/k' or 's3://b/k' (or 'https://host/k') -> (scheme,
+    bucket, key); scheme keeps its '://' so rebuilt URLs are
+    f'{scheme}{bucket}/{key}'. For http(s), 'bucket' is the
+    authority (host[:port])."""
     for scheme in _SCHEMES:
         if path.startswith(scheme):
             rest = path[len(scheme):]
@@ -72,11 +74,16 @@ def split_url(path: str):
 def client_for(path: str):
     """(client, bucket, key) for a remote path — the client exposes
     the shared method surface (download/upload/stat/delete/list/
-    rewrite) regardless of backend (storage.gcs / storage.s3)."""
+    rewrite) regardless of backend (storage.gcs / storage.s3 /
+    storage.httpread, the last read-only: its writes raise
+    PermissionError)."""
     scheme, bucket, name = split_url(path)
     if scheme == "s3://":
         from .s3 import get_s3_client
         return get_s3_client(), bucket, name
+    if scheme in ("https://", "http://"):
+        from .httpread import get_http_client
+        return get_http_client(scheme), bucket, name
     return get_client(), bucket, name
 
 
@@ -146,6 +153,54 @@ def write_bytes(path: str, data: bytes) -> None:
     cli.upload(bucket, name, data)
 
 
+def upload_file(local_path: str, dst: str) -> None:
+    """Stream a file to ``dst`` with bounded memory. Remote targets use
+    the backend's streaming protocol (GCS resumable upload / S3
+    multipart past one part), so objects beyond S3's 5 GiB single-PUT
+    cap — e.g. stitched BigTIFF mosaics — upload fine; local targets
+    copy atomically (tmp + rename). The streaming peer of
+    ``write_bytes``; object visibility stays atomic in every backend.
+    """
+    if not is_remote(dst):
+        import shutil
+        d = os.path.dirname(dst)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = dst + ".tmp"
+        shutil.copyfile(local_path, tmp)
+        os.replace(tmp, dst)
+        return
+    cli, bucket, name = client_for(dst)
+    size = os.path.getsize(local_path)
+    with open(local_path, "rb") as f:
+        cli.upload_stream(bucket, name, f, size=size)
+
+
+def download_file(src: str, local_path: str) -> None:
+    """Stream ``src`` into a local file with bounded memory (ranged
+    GETs for remote sources), atomically (tmp + rename)."""
+    d = os.path.dirname(local_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = local_path + ".tmp"
+    if not is_remote(src):
+        import shutil
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, local_path)
+        return
+    cli, bucket, name = client_for(src)
+    try:
+        with open(tmp, "wb") as f:
+            cli.download_stream(bucket, name, f)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    os.replace(tmp, local_path)
+
+
 def exists(path: str) -> bool:
     if not is_remote(path):
         return os.path.exists(path)
@@ -176,6 +231,11 @@ def glob(pattern: str) -> List[str]:
     if not is_remote(pattern):
         import glob as _glob
         return sorted(_glob.glob(pattern))
+    if not any(ch in pattern for ch in "*?["):
+        # no wildcards: a single existence probe instead of a prefix
+        # list -- and the only option on https:// servers without
+        # directory indexes
+        return [pattern] if exists(pattern) else []
     scheme, bucket, name_pat = split_url(pattern)
     cli = client_for(pattern)[0]
     cut = len(name_pat)
@@ -255,11 +315,10 @@ def replace(src: str, dst: str) -> None:
         cli.delete(sb, sn)
         return
     if is_remote(dst):
-        with open(src, "rb") as f:
-            write_bytes(dst, f.read())
+        upload_file(src, dst)
         os.unlink(src)
         return
-    write_bytes(dst, read_bytes(src))
+    download_file(src, dst)
     unlink(src)
 
 
@@ -298,8 +357,9 @@ class SpooledWriter:
         self._f.close()
         if self._remote:
             try:
-                with open(self._spool, "rb") as f:
-                    write_bytes(self.path, f.read())
+                # streaming upload (GCS resumable / S3 multipart):
+                # spool size never constrains memory
+                upload_file(self._spool, self.path)
             finally:
                 os.unlink(self._spool)
         else:
@@ -318,16 +378,16 @@ class SpooledWriter:
 
 
 def upload_dir(local_dir: str, remote_dir: str) -> int:
-    """Mirror a local directory tree to gs:// (used by gs://
-    checkpointing). Returns files uploaded."""
+    """Mirror a local directory tree to gs://or s3:// (used by remote
+    checkpointing), streaming each file with bounded memory. Returns
+    files uploaded."""
     n = 0
     for root, _dirs, files in os.walk(local_dir):
         rel = os.path.relpath(root, local_dir)
         for fn in files:
             dst = join(remote_dir, fn) if rel == "." \
                 else join(remote_dir, rel.replace(os.sep, "/"), fn)
-            with open(os.path.join(root, fn), "rb") as f:
-                write_bytes(dst, f.read())
+            upload_file(os.path.join(root, fn), dst)
             n += 1
     return n
 
@@ -354,9 +414,8 @@ def download_dir(remote_dir: str, local_dir: str,
         keep.add(rel)
         dst = os.path.join(local_dir, *rel.split("/"))
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        data = cli.download(bucket, it["name"])
         with open(dst, "wb") as f:
-            f.write(data)
+            cli.download_stream(bucket, it["name"], f)
         n += 1
     if delete_extras and os.path.isdir(local_dir):
         for root, dirs, files in os.walk(local_dir, topdown=False):

@@ -40,9 +40,12 @@ class FakeGCS:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self.objects: Dict[Tuple[str, str], bytes] = {}
         self.generations: Dict[Tuple[str, str], int] = {}
+        # resumable upload sessions: sid -> {bucket, name, buf}
+        self.sessions: Dict[str, dict] = {}
         self.requests = 0
         self._fail_remaining = 0
         self._fail_status = 503
+        self._next_session = 0
         self._lock = threading.Lock()
         fake = self
 
@@ -165,6 +168,20 @@ class FakeGCS:
                     name = qs.get("name", [""])[0]
                     if not name:
                         return self._json(400, {"error": {"code": 400}})
+                    if qs.get("uploadType", [""])[0] == "resumable":
+                        # initiation: answer with a session URI in
+                        # Location (the resumable protocol)
+                        with fake._lock:
+                            fake._next_session += 1
+                            sid = f"sess{fake._next_session}"
+                            fake.sessions[sid] = {
+                                "bucket": bucket, "name": name,
+                                "buf": bytearray()}
+                        host = self.headers.get("Host", "")
+                        return self._reply(
+                            200, b"{}", extra={
+                                "Location":
+                                f"http://{host}/upload/session/{sid}"})
                     with fake._lock:
                         key = (bucket, name)
                         fake.objects[key] = body
@@ -190,6 +207,66 @@ class FakeGCS:
                                             "resource": fake._meta(
                                                 db, dn, data)})
                 self._json(404, {"error": {"code": 404}})
+
+            def do_PUT(self):
+                # resumable session chunks (offset-addressed via
+                # Content-Range, so retried chunks are idempotent):
+                # 308 + Range while incomplete, 200 + metadata once
+                # the declared total is reached
+                if self._maybe_fail():
+                    return
+                path = self.path.partition("?")[0]
+                m = re.fullmatch(r"/upload/session/([^/]+)", path)
+                if not m:
+                    return self._json(404, {"error": {"code": 404}})
+                with fake._lock:
+                    sess = fake.sessions.get(m.group(1))
+                if sess is None:
+                    return self._json(404, {"error": {"code": 404}})
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                cr = self.headers.get("Content-Range", "")
+                mm = re.fullmatch(r"bytes (?:(\d+)-(\d+)|\*)/(\d+|\*)",
+                                  cr.strip())
+                if not mm:
+                    return self._json(400, {"error": {
+                        "code": 400, "message": f"bad range {cr!r}"}})
+                total = None if mm.group(3) == "*" else int(mm.group(3))
+                with fake._lock:
+                    buf = sess["buf"]
+                    if mm.group(1) is not None:
+                        start = int(mm.group(1))
+                        end = int(mm.group(2))
+                        if end - start + 1 != len(body):
+                            return self._json(400, {"error": {
+                                "code": 400,
+                                "message": "range/body mismatch"}})
+                        if len(buf) < start:
+                            return self._json(400, {"error": {
+                                "code": 400,
+                                "message": "chunk gap"}})
+                        buf[start:start + len(body)] = body
+                    done = total is not None and len(buf) >= total
+                    if done:
+                        key = (sess["bucket"], sess["name"])
+                        # store the bytearray itself -- a bytes() copy
+                        # of a multi-GiB object takes minutes on a
+                        # memory-starved VM and times out the waiting
+                        # client; bytearray slices/compares like bytes
+                        # for every read path
+                        del buf[total:]
+                        data = buf
+                        fake.objects[key] = data
+                        fake.generations[key] = \
+                            fake.generations.get(key, 0) + 1
+                        fake.sessions.pop(m.group(1), None)
+                if done:
+                    return self._json(200, fake._meta(
+                        sess["bucket"], sess["name"], data))
+                extra = {}
+                if len(buf):
+                    extra["Range"] = f"bytes=0-{len(buf) - 1}"
+                self._reply(308, b"", extra=extra)
 
             def do_DELETE(self):
                 if self._maybe_fail():

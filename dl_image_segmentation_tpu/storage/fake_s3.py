@@ -42,9 +42,13 @@ class FakeS3:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self.objects: Dict[Tuple[str, str], bytes] = {}
+        # multipart uploads: upload_id -> {bucket, key,
+        # parts: {num: (etag, bytes)}}
+        self.uploads: Dict[str, dict] = {}
         self.requests = 0
         self._fail_remaining = 0
         self._fail_status = 503
+        self._next_upload = 0
         self._lock = threading.Lock()
         fake = self
 
@@ -163,12 +167,77 @@ class FakeS3:
                 parts.append("</ListBucketResult>")
                 self._reply(200, "".join(parts).encode())
 
+            def do_POST(self):
+                # multipart protocol: ?uploads initiates, ?uploadId
+                # completes (assembling parts in number order after
+                # verifying the client's ETag manifest)
+                if self._maybe_fail():
+                    return
+                bucket, key, qs = self._split()
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if "uploads" in qs:
+                    with fake._lock:
+                        fake._next_upload += 1
+                        uid = f"mpu{fake._next_upload}"
+                        fake.uploads[uid] = {"bucket": bucket,
+                                             "key": key, "parts": {}}
+                    return self._reply(
+                        200,
+                        (f"<InitiateMultipartUploadResult>"
+                         f"<Bucket>{escape(bucket)}</Bucket>"
+                         f"<Key>{escape(key)}</Key>"
+                         f"<UploadId>{uid}</UploadId>"
+                         f"</InitiateMultipartUploadResult>").encode())
+                uid = qs.get("uploadId")
+                if uid:
+                    with fake._lock:
+                        up = fake.uploads.get(uid)
+                    if up is None or up["bucket"] != bucket \
+                            or up["key"] != key:
+                        return self._error(404, "NoSuchUpload")
+                    manifest = re.findall(
+                        r"<PartNumber>(\d+)</PartNumber>\s*"
+                        r"<ETag>([^<]*)</ETag>", body.decode())
+                    with fake._lock:
+                        parts = up["parts"]
+                        nums = sorted(parts)
+                        want = [(str(i), parts[i][0])
+                                for i in nums]
+                        if [(a, b.strip('"')) for a, b in manifest] != \
+                                [(a, b.strip('"')) for a, b in want]:
+                            return self._error(400, "InvalidPart")
+                        data = b"".join(parts[i][1] for i in nums)
+                        fake.objects[(bucket, key)] = data
+                        fake.uploads.pop(uid, None)
+                    return self._reply(
+                        200,
+                        (f"<CompleteMultipartUploadResult>"
+                         f"<Key>{escape(key)}</Key>"
+                         f"</CompleteMultipartUploadResult>").encode())
+                self._error(400, "InvalidRequest")
+
             def do_PUT(self):
                 if self._maybe_fail():
                     return
-                bucket, key, _qs = self._split()
+                bucket, key, qs = self._split()
                 if not key:
                     return self._error(400, "InvalidRequest")
+                uid = qs.get("uploadId")
+                if uid and "partNumber" in qs:
+                    with fake._lock:
+                        up = fake.uploads.get(uid)
+                    if up is None or up["bucket"] != bucket \
+                            or up["key"] != key:
+                        return self._error(404, "NoSuchUpload")
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n)
+                    import hashlib as _hl
+                    etag = f'"{_hl.md5(body).hexdigest()}"'
+                    with fake._lock:
+                        up["parts"][int(qs["partNumber"])] = (
+                            etag.strip('"'), body)
+                    return self._reply(200, b"", extra={"ETag": etag})
                 src = self.headers.get("x-amz-copy-source")
                 if src:
                     s = urllib.parse.unquote(src.lstrip("/"))
@@ -205,7 +274,12 @@ class FakeS3:
             def do_DELETE(self):
                 if self._maybe_fail():
                     return
-                bucket, key, _qs = self._split()
+                bucket, key, qs = self._split()
+                uid = qs.get("uploadId")
+                if uid:  # abort multipart: drop accumulated parts
+                    with fake._lock:
+                        fake.uploads.pop(uid, None)
+                    return self._reply(204)
                 with fake._lock:
                     fake.objects.pop((bucket, key), None)
                 self._reply(204)  # S3: 204 whether or not it existed

@@ -121,13 +121,15 @@ class GCSClient:
     def _request(self, method: str, url: str, data: Optional[bytes] = None,
                  headers: Optional[Dict[str, str]] = None,
                  ok_statuses: Tuple[int, ...] = (200,),
+                 timeout: float = 60.0,
                  ) -> Tuple[int, bytes, Dict[str, str]]:
         hdrs = dict(headers or {})
         if self.token:
             hdrs["Authorization"] = f"Bearer {self.token}"
         return http_request(method, url, data=data, headers=hdrs,
                             ok_statuses=ok_statuses,
-                            max_attempts=self.max_attempts)
+                            max_attempts=self.max_attempts,
+                            timeout=timeout)
 
     def _obj_url(self, bucket: str, name: str, **params) -> str:
         q = urllib.parse.urlencode(params)
@@ -170,6 +172,97 @@ class GCSClient:
         if status == 404:
             raise FileNotFoundError(f"gs://{bucket} (bucket missing?)")
         return json.loads(body or b"{}")
+
+    def upload_stream(self, bucket: str, name: str, src,
+                      size: Optional[int] = None,
+                      chunk_size: int = 16 * 1024 * 1024) -> dict:
+        """Resumable upload streamed from a file-like ``src`` with
+        bounded memory (one chunk buffered at a time) — the JSON API's
+        resumable protocol: an initiation POST returns a session URI,
+        then sequential chunk PUTs with ``Content-Range`` headers (308
+        = chunk committed, continue; 200/201 = object finalized).
+        Chunks are offset-addressed, so a retried PUT after a
+        transient failure is idempotent. This is what tf.io.gfile's
+        GCS filesystem does for large objects
+        (/root/reference/dl_segmentation_utils/_img_to_tf_threaded.py:87-88
+        reaches it via gfile); the simple ``upload`` would hold the
+        whole object in memory.
+
+        ``size``: total bytes when known (sent as the range total so
+        the server can validate); None streams until EOF with a ``*``
+        total. Chunk size must be a multiple of 256 KiB per the
+        protocol (enforced here)."""
+        if chunk_size % (256 * 1024):
+            raise ValueError("GCS resumable chunks must be multiples "
+                             f"of 256 KiB, got {chunk_size}")
+        url = (f"{self.endpoint}/upload/storage/v1/b/{bucket}/o"
+               f"?uploadType=resumable&"
+               f"{urllib.parse.urlencode({'name': name})}")
+        status, _body, hdrs = self._request(
+            "POST", url, data=b"",
+            headers={"X-Upload-Content-Type": "application/octet-stream"})
+        if status == 404:
+            raise FileNotFoundError(f"gs://{bucket} (bucket missing?)")
+        session = hdrs.get("Location") or hdrs.get("location")
+        if not session:
+            raise GCSError("resumable initiation returned no session "
+                           "URI", status)
+        offset = 0
+        while True:
+            chunk = src.read(chunk_size)
+            last = len(chunk) < chunk_size or (
+                size is not None and offset + len(chunk) >= size)
+            if not chunk and offset > 0 and size is None:
+                # EOF exactly on a chunk boundary: finalize with a
+                # zero-length range-total PUT
+                total = offset
+                status, body, _ = self._request(
+                    "PUT", session, data=b"",
+                    headers={"Content-Range": f"bytes */{total}"},
+                    ok_statuses=(200, 201, 308), timeout=300.0)
+                return json.loads(body or b"{}")
+            total = (size if size is not None
+                     else (offset + len(chunk) if last else "*"))
+            end = offset + len(chunk) - 1
+            rng = (f"bytes {offset}-{end}/{total}" if chunk
+                   else f"bytes */{total}")
+            status, body, _ = self._request(
+                "PUT", session, data=bytes(chunk),
+                headers={"Content-Range": rng},
+                ok_statuses=(200, 201, 308), timeout=300.0)
+            if status in (200, 201):
+                return json.loads(body or b"{}")
+            if status == 404:
+                raise GCSError("resumable session expired", 404)
+            offset += len(chunk)
+            if last and status == 308:
+                # server has everything but did not finalize (size was
+                # None and the last chunk was full-sized): finalize
+                status, body, _ = self._request(
+                    "PUT", session, data=b"",
+                    headers={"Content-Range": f"bytes */{offset}"},
+                    ok_statuses=(200, 201), timeout=300.0)
+                return json.loads(body or b"{}")
+
+    def download_stream(self, bucket: str, name: str, dst,
+                        chunk_size: int = 16 * 1024 * 1024) -> int:
+        """Stream object media into file-like ``dst`` via sequential
+        ranged GETs (one chunk in memory at a time; each chunk retries
+        independently). Returns bytes written."""
+        meta = self.stat(bucket, name)
+        if meta is None:
+            raise FileNotFoundError(f"gs://{bucket}/{name}")
+        total = int(meta.get("size", "0"))
+        off = 0
+        while off < total:
+            end = min(off + chunk_size, total) - 1
+            part = self.download(bucket, name, start=off, end=end)
+            if not part:
+                raise GCSError(f"short ranged read at {off} of "
+                               f"gs://{bucket}/{name}", 0)
+            dst.write(part)
+            off += len(part)
+        return off
 
     def stat(self, bucket: str, name: str) -> Optional[dict]:
         """Object metadata dict, or None when it doesn't exist."""

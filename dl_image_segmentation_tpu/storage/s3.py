@@ -173,6 +173,7 @@ class S3Client:
                  data: Optional[bytes] = None,
                  headers: Optional[Dict[str, str]] = None,
                  ok_statuses: Tuple[int, ...] = (200,),
+                 timeout: float = 60.0,
                  ) -> Tuple[int, bytes, Dict[str, str]]:
         hdrs = dict(headers or {})
         if self.access_key and self.secret_key:
@@ -190,7 +191,8 @@ class S3Client:
                 session_token=self.session_token, extra_signed=extra))
         return http_request(method, url, data=data, headers=hdrs,
                             ok_statuses=ok_statuses,
-                            max_attempts=self.max_attempts)
+                            max_attempts=self.max_attempts,
+                            timeout=timeout)
 
     # -- operations (GCSClient-shaped) ---------------------------------------
     def download(self, bucket: str, name: str,
@@ -222,6 +224,104 @@ class S3Client:
             raise FileNotFoundError(f"s3://{bucket} (bucket missing?)")
         return {"name": name, "size": str(len(data)),
                 "etag": hdrs.get("ETag", "")}
+
+    def upload_stream(self, bucket: str, name: str, src,
+                      size: Optional[int] = None,
+                      part_size: int = 16 * 1024 * 1024) -> dict:
+        """Multipart upload streamed from file-like ``src`` with
+        bounded memory (one part buffered at a time). Objects that fit
+        one part use a single PUT. This is how anything past S3's
+        5 GiB single-PUT cap gets uploaded at all (the framework's own
+        stitched BigTIFF mosaics exceed it), and what tf.io.gfile's S3
+        filesystem did for the reference
+        (_img_to_tf_threaded.py:87-88 via the gfile registry).
+
+        Protocol: POST ?uploads -> UploadId; PUT ?partNumber=N
+        (1-based) per part collecting ETags (parts except the last
+        must be >= 5 MiB; the default far exceeds that); POST
+        ?uploadId with the CompleteMultipartUpload document. Any
+        failure aborts the upload server-side (DELETE ?uploadId) so
+        no orphaned parts accrue storage."""
+        if part_size < 5 * 1024 * 1024:
+            raise ValueError("S3 parts must be >= 5 MiB (except the "
+                             f"last), got part_size={part_size}")
+        first = src.read(part_size)
+        if len(first) < part_size:
+            return self.upload(bucket, name, first)
+
+        status, body, _ = self._request(
+            "POST", self._url(bucket, name, uploads=""),
+            data=b"",
+            headers={"Content-Type": "application/octet-stream"})
+        if status == 404:
+            raise FileNotFoundError(f"s3://{bucket} (bucket missing?)")
+        root = ET.fromstring(body)
+        ns = root.tag[:root.tag.index("}") + 1] \
+            if root.tag.startswith("{") else ""
+        upload_id = root.findtext(f"{ns}UploadId")
+        if not upload_id:
+            raise GCSError(f"multipart initiation returned no "
+                           f"UploadId: {body[:200]!r}")
+        etags = []
+        try:
+            part = first
+            num = 1
+            while part:
+                status, _b, hdrs = self._request(
+                    "PUT", self._url(bucket, name, partNumber=str(num),
+                                     uploadId=upload_id),
+                    data=bytes(part), timeout=300.0)
+                if status == 404:
+                    raise FileNotFoundError(f"s3://{bucket}/{name} "
+                                            "(upload vanished)")
+                etags.append(hdrs.get("ETag", "").strip())
+                num += 1
+                part = src.read(part_size)
+            doc = ["<CompleteMultipartUpload>"]
+            for i, tag in enumerate(etags, start=1):
+                doc.append(f"<Part><PartNumber>{i}</PartNumber>"
+                           f"<ETag>{tag}</ETag></Part>")
+            doc.append("</CompleteMultipartUpload>")
+            # server-side assembly of a multi-GiB object can take
+            # minutes; the complete call must outwait it
+            status, body, _ = self._request(
+                "POST", self._url(bucket, name, uploadId=upload_id),
+                data="".join(doc).encode(),
+                headers={"Content-Type": "application/xml"},
+                timeout=600.0)
+            if status == 404 or b"<Error>" in body[:200]:
+                raise GCSError(f"multipart complete failed: "
+                               f"{body[:200]!r}", status)
+            return {"name": name, "parts": len(etags)}
+        except BaseException:
+            try:  # abort server-side; orphaned parts bill forever
+                self._request(
+                    "DELETE", self._url(bucket, name,
+                                        uploadId=upload_id),
+                    ok_statuses=(200, 204))
+            except Exception:
+                pass
+            raise
+
+    def download_stream(self, bucket: str, name: str, dst,
+                        chunk_size: int = 16 * 1024 * 1024) -> int:
+        """Stream an object into file-like ``dst`` via sequential
+        ranged GETs (one chunk in memory at a time). Returns bytes
+        written."""
+        meta = self.stat(bucket, name)
+        if meta is None:
+            raise FileNotFoundError(f"s3://{bucket}/{name}")
+        total = int(meta.get("size", "0"))
+        off = 0
+        while off < total:
+            end = min(off + chunk_size, total) - 1
+            part = self.download(bucket, name, start=off, end=end)
+            if not part:
+                raise GCSError(f"short ranged read at {off} of "
+                               f"s3://{bucket}/{name}", 0)
+            dst.write(part)
+            off += len(part)
+        return off
 
     def stat(self, bucket: str, name: str) -> Optional[dict]:
         status, _body, hdrs = self._request(

@@ -69,7 +69,8 @@ class TestSigV4:
         captured = {}
 
         def fake_http(method, url, data=None, headers=None,
-                      ok_statuses=(200,), max_attempts=5):
+                      ok_statuses=(200,), max_attempts=5,
+                      timeout=60.0):
             captured["headers"] = dict(headers or {})
             return 200, b"<CopyObjectResult/>", {}
 
