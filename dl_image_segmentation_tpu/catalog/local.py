@@ -136,6 +136,95 @@ class LocalCatalog(Catalog):
             self._save_index()
         return n
 
+    # canonical Sentinel-2 band order (the L1C/L2A granule set; B8A
+    # sits between B08 and B09 per ESA's band numbering)
+    _S2_BAND_ORDER = ("B01", "B02", "B03", "B04", "B05", "B06", "B07",
+                     "B08", "B8A", "B09", "B10", "B11", "B12")
+
+    def ingest_safe(self, safe_dir: str,
+                    product: str = "sentinel-2:L1C",
+                    cloud_fraction: Optional[float] = None) -> int:
+        """Walk a Sentinel-2 ``.SAFE`` directory (the ESA distribution
+        convention: ``GRANULE/<id>/IMG_DATA/*_Bxx.jp2``) and register
+        each granule as one scene with per-band JP2 assets. The JP2s
+        decode in-repo (raster/jp2.py); mixed 10/20/60 m band
+        resolutions need no global resample because load() warps each
+        band file onto the tile grid independently. This is the
+        container walk the reference reached through GDAL's SAFE
+        driver (any-GDAL-readable ingestion, _img_to_tf_mp.py:45-53).
+        Returns granules registered."""
+        import re as _re
+
+        from ..raster.jp2 import sniff_jp2_info
+
+        st = self._st
+        gran_root = st.join(safe_dir, "GRANULE")
+        try:
+            granules = st.listdir(gran_root)
+        except (FileNotFoundError, NotADirectoryError, OSError):
+            raise FileNotFoundError(
+                f"{safe_dir!r} has no GRANULE/ directory -- not a "
+                ".SAFE product tree")
+        n = 0
+        for gran in granules:
+            img_dir = st.join(gran_root, gran, "IMG_DATA")
+            try:
+                files = st.listdir(img_dir)
+            except (FileNotFoundError, NotADirectoryError, OSError):
+                continue
+            band_paths: Dict[str, str] = {}
+            date = None
+            for fn in files:
+                m = _re.search(r"_(B(?:\d\d|8A))\.jp2$", fn)
+                if not m:
+                    continue  # TCI previews, QI masks, metadata
+                band_paths[m.group(1)] = st.join(img_dir, fn)
+                if date is None:
+                    dm = _re.search(r"(\d{8})T\d{6}", fn)
+                    if dm:
+                        date = _dt.datetime.strptime(
+                            dm.group(1), "%Y%m%d").date()
+            if not band_paths:
+                continue
+            if date is None:
+                dm = _re.search(r"(\d{8})T\d{6}",
+                                st.basename(safe_dir.rstrip("/")))
+                date = (_dt.datetime.strptime(dm.group(1), "%Y%m%d")
+                        .date() if dm else _dt.date(1970, 1, 1))
+            bands = [b for b in self._S2_BAND_ORDER if b in band_paths]
+            # bounds from the finest-resolution band present
+            # (header-only sniff; union would widen by coarse-band
+            # pixel snap only)
+            ref = band_paths[bands[min(range(len(bands)), key=lambda i:
+                             0 if bands[i] in ("B02", "B03", "B04",
+                                               "B08") else 1)]]
+            info = sniff_jp2_info(st.read_bytes(ref))
+            if info.geotransform is None or info.epsg is None:
+                raise ValueError(
+                    f"SAFE band {ref!r} carries no GeoJP2/GMLJP2 "
+                    "georeferencing")
+            gt = equator_referenced_gt(info.geotransform, info.epsg)
+            bounds = [gt[0], gt[3] + info.height * gt[5],
+                      gt[0] + info.width * gt[1], gt[3]]
+            prods = self._index.setdefault("products", {})
+            p = prods.setdefault(product,
+                                 {"bands": bands, "scenes": []})
+            missing = [b for b in bands if b not in p["bands"]]
+            if missing:
+                raise ValueError(
+                    f"granule {gran!r} carries bands {missing} not in "
+                    f"product {product!r}'s band list {p['bands']}")
+            entry = {"id": gran, "date": date.isoformat(),
+                     "band_paths": band_paths, "bounds": bounds,
+                     "epsg": int(info.epsg)}
+            if cloud_fraction is not None:
+                entry["cloud_fraction"] = cloud_fraction
+            p["scenes"].append(entry)
+            n += 1
+        if n:
+            self._save_index()
+        return n
+
     # -- Catalog interface ----------------------------------------------
     def products(self) -> List[str]:
         return list(self._index.get("products", {}))
@@ -176,8 +265,11 @@ class LocalCatalog(Catalog):
             b = bounds_in_tile_zone(b, epsg, tile)
             if b[2] < tx0 or b[0] > tx1 or b[3] < ty0 or b[1] > ty1:
                 continue
-            out.append(SceneMeta(s["id"], product, date, cf, s["path"],
-                                 extra={"nodata": s.get("nodata")}))
+            extra = {"nodata": s.get("nodata")}
+            if "band_paths" in s:  # SAFE-style per-band assets
+                extra["band_paths"] = s["band_paths"]
+            out.append(SceneMeta(s["id"], product, date, cf,
+                                 s.get("path"), extra=extra))
         out.sort(key=lambda m: m.date)
         return out
 
@@ -188,6 +280,30 @@ class LocalCatalog(Catalog):
         stacks = []
         valids = []
         for m in scenes:
+            bp = m.extra.get("band_paths")
+            if bp:
+                # SAFE-style scene: one file per band, each warped
+                # onto the tile grid independently (so 10/20/60 m
+                # bands mix freely); valid where EVERY band has data
+                outs, vals = [], []
+                for b in bands:
+                    rel = bp.get(b)
+                    if rel is None:
+                        raise KeyError(
+                            f"scene {m.scene_id!r} has no band {b!r} "
+                            f"(has {sorted(bp)})")
+                    g = self._load_band_raster(rel)
+                    o, v = resample_to_tile(
+                        g.array, g.info.geotransform, tile,
+                        nodata=(m.extra.get("nodata")
+                                if m.extra.get("nodata") is not None
+                                else g.info.nodata),
+                        src_epsg=g.info.epsg, method=resampler)
+                    outs.append(o[:, :, 0])
+                    vals.append(v)
+                stacks.append(np.stack(outs, axis=-1))
+                valids.append(np.logical_and.reduce(vals))
+                continue
             # band indices resolved PER SCENE: a mixed-product scene
             # list must not inherit the first product's band order
             # (SyntheticCatalog.load resolves per scene too)
@@ -286,6 +402,24 @@ class LocalCatalog(Catalog):
         with self._lock:
             self._readers.setdefault(rel_path, pair)
             return self._readers[rel_path]
+
+    def _load_band_raster(self, path: str):
+        """One SAFE band file (JP2 or any supported raster) through
+        the scene LRU. ``path`` is stored as written by ingest_safe --
+        a full path or URL, independent of the catalog root."""
+        with self._lock:
+            if path in self._cache:
+                return self._cache[path]
+        from ..raster.image import decode_image_bytes
+        g = decode_image_bytes(self._st.read_bytes(path))
+        with self._lock:
+            if path not in self._cache:
+                self._cache[path] = g
+                self._cache_order.append(path)
+                if len(self._cache_order) > self._cache_max:
+                    old = self._cache_order.pop(0)
+                    self._cache.pop(old, None)
+        return g
 
     # -- scene cache ------------------------------------------------------
     def _load_scene(self, rel_path: str):

@@ -479,6 +479,24 @@ def cmd_stitch(args) -> int:
     return 0
 
 
+def cmd_ingest_safe(args) -> int:
+    """Walk Sentinel-2 .SAFE product trees into a LocalCatalog (the
+    container-layout leg of the reference's any-GDAL-readable
+    ingestion, _img_to_tf_mp.py:45-53 -- the JP2 members already
+    decode in-repo)."""
+    from .catalog.local import LocalCatalog
+    cat = LocalCatalog.create(args.catalog)
+    total = 0
+    for safe in args.safe:
+        n = cat.ingest_safe(safe, product=args.product,
+                            cloud_fraction=args.cloud_fraction)
+        print(f"{safe}: {n} granule(s) registered")
+        total += n
+    print(f"registered {total} scene(s) in {args.catalog} "
+          f"(product {args.product})")
+    return 0 if total else 1
+
+
 def cmd_push(args) -> int:
     """Push finished shards to a records sink (the reference's WIP
     DL-Storage upload flow, parse nb cells 39-46)."""
@@ -1161,6 +1179,20 @@ def main(argv=None) -> int:
     stp.add_argument("--out", required=True)
     stp.add_argument("--fill", type=float, default=0)
     stp.set_defaults(fn=cmd_stitch)
+
+    ing = sub.add_parser(
+        "ingest-safe",
+        help="Sentinel-2 .SAFE tree -> catalog scenes")
+    ing.add_argument("--catalog", required=True,
+                     help="LocalCatalog root (created if missing)")
+    ing.add_argument("--safe", required=True, nargs="+",
+                     help="one or more .SAFE product directories")
+    ing.add_argument("--product", default="sentinel-2:L1C")
+    ing.add_argument("--cloud-fraction", type=float, default=None,
+                     help="recorded per-scene cloud fraction (ESA "
+                          "metadata is not parsed; pass the value "
+                          "when known)")
+    ing.set_defaults(fn=cmd_ingest_safe)
 
     pu = sub.add_parser("push", help="shards -> records sink (dir or "
                                      "signed-URL manifest)")
