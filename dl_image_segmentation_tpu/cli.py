@@ -328,6 +328,7 @@ def cmd_predict(args) -> int:
                       s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
+    _maybe_calibrate(trainer, args)
     if args.geotiff:
         # whole-raster sliding-window inference: --out is ONE GeoTIFF
         from .pipeline.window import predict_windowed
@@ -426,6 +427,30 @@ def cmd_predict(args) -> int:
     return 0
 
 
+
+def _maybe_calibrate(trainer, args) -> None:
+    """Explicit int8-static calibration from --calibrate-records (a
+    shard glob read with the command's --mode/--scale conventions).
+    Without it, int8-static auto-calibrates on the first inference
+    batch (Trainer._quant_arg)."""
+    recs = getattr(args, "calibrate_records", None)
+    if trainer.config.quantize != "int8-static" or not recs:
+        return
+    from .pipeline.input import TFRecordFeed
+    # scale="raw": calibration normalizes ON DEVICE through the same
+    # normalize_images the inference paths use, so integer feeds see
+    # [0,1] and float (raw-DN) feeds pass through -- the scales match
+    # what inference will actually quantize
+    feed = TFRecordFeed(recs, getattr(args, "mode", "tifarr"),
+                        batch_size=trainer.config.batch_size,
+                        image_size=trainer.config.image_size,
+                        num_workers=2, repeat=False, scale="raw")
+    n = trainer.calibrate(feed.batches(),
+                          max_batches=args.calibrate_batches)
+    print(f"int8-static: calibrated activation scales over {n} "
+          f"batch(es) from {recs}")
+
+
 def cmd_eval(args) -> int:
     """mIoU / accuracy / loss over TFRecord shards with a checkpoint."""
     from .pipeline.input import TFRecordFeed
@@ -441,6 +466,7 @@ def cmd_eval(args) -> int:
                       s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
+    _maybe_calibrate(trainer, args)
     # source-dtype batches; eval_step normalizes on device (identical
     # numerics to host-side scaling, 4x less copy/transfer for uint8)
     feed = TFRecordFeed(args.records, args.mode,
@@ -678,6 +704,7 @@ def cmd_serve(args) -> int:
                       s2d=args.s2d)
     trainer = Trainer(cfg)
     trainer.restore_checkpoint(args.checkpoint)
+    _maybe_calibrate(trainer, args)
     ps = PredictServer(trainer, max_wait_ms=args.max_wait_ms,
                        max_queue=args.max_queue)
     httpd = make_http_server(args.host, args.port, ps, scale=args.scale,
@@ -1051,14 +1078,25 @@ def main(argv=None) -> int:
                          "restore); set explicitly only to pin a "
                          "non-default tree")
     pr.add_argument("--quantize", default="none",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int8-static"],
                     help="int8 = s8 MXU convolutions with dynamic "
-                         "activation scales; float checkpoints load "
-                         "unchanged (unet only). Pays off on "
+                         "activation scales; int8-static = calibrated "
+                         "CONSTANT activation scales (no per-layer "
+                         "reduction passes -- the narrow-width "
+                         "variant; auto-calibrates on the first "
+                         "batch, or pass --calibrate-records). Float "
+                         "checkpoints load unchanged (unet only). "
+                         "Dynamic pays off on "
                          "compute-bound (wide) models: 1.31x at "
                          "bf=128 on v5e, but a net LOSS at narrow "
                          "HBM-bound widths (0.59x at bf=32) -- see "
                          "models/quant.py")
+    pr.add_argument("--calibrate-records", default=None,
+                    help="int8-static: shard glob to calibrate "
+                         "activation scales from; default = "
+                         "auto-calibrate on the first inference batch")
+    pr.add_argument("--calibrate-batches", type=int, default=8,
+                    help="batches consumed from --calibrate-records")
     pr.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"],
                     help="compute precision; match the checkpoint's "
@@ -1113,14 +1151,25 @@ def main(argv=None) -> int:
                          "restore); set explicitly only to pin a "
                          "non-default tree")
     sv.add_argument("--quantize", default="none",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int8-static"],
                     help="int8 = s8 MXU convolutions with dynamic "
-                         "activation scales; float checkpoints load "
-                         "unchanged (unet only). Pays off on "
+                         "activation scales; int8-static = calibrated "
+                         "CONSTANT activation scales (no per-layer "
+                         "reduction passes -- the narrow-width "
+                         "variant; auto-calibrates on the first "
+                         "batch, or pass --calibrate-records). Float "
+                         "checkpoints load unchanged (unet only). "
+                         "Dynamic pays off on "
                          "compute-bound (wide) models: 1.31x at "
                          "bf=128 on v5e, but a net LOSS at narrow "
                          "HBM-bound widths (0.59x at bf=32) -- see "
                          "models/quant.py")
+    sv.add_argument("--calibrate-records", default=None,
+                    help="int8-static: shard glob to calibrate "
+                         "activation scales from; default = "
+                         "auto-calibrate on the first inference batch")
+    sv.add_argument("--calibrate-batches", type=int, default=8,
+                    help="batches consumed from --calibrate-records")
     sv.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"])
     sv.add_argument("--scale", default="auto",
@@ -1159,14 +1208,25 @@ def main(argv=None) -> int:
                          "restore); set explicitly only to pin a "
                          "non-default tree")
     ev.add_argument("--quantize", default="none",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int8-static"],
                     help="int8 = s8 MXU convolutions with dynamic "
-                         "activation scales; float checkpoints load "
-                         "unchanged (unet only). Pays off on "
+                         "activation scales; int8-static = calibrated "
+                         "CONSTANT activation scales (no per-layer "
+                         "reduction passes -- the narrow-width "
+                         "variant; auto-calibrates on the first "
+                         "batch, or pass --calibrate-records). Float "
+                         "checkpoints load unchanged (unet only). "
+                         "Dynamic pays off on "
                          "compute-bound (wide) models: 1.31x at "
                          "bf=128 on v5e, but a net LOSS at narrow "
                          "HBM-bound widths (0.59x at bf=32) -- see "
                          "models/quant.py")
+    ev.add_argument("--calibrate-records", default=None,
+                    help="int8-static: shard glob to calibrate "
+                         "activation scales from; default = "
+                         "auto-calibrate on the first inference batch")
+    ev.add_argument("--calibrate-batches", type=int, default=8,
+                    help="batches consumed from --calibrate-records")
     ev.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"],
                     help="compute precision; match the checkpoint's "

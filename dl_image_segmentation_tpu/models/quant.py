@@ -76,6 +76,15 @@ class Int8Conv(nn.Module):
     strides: Union[None, int, Sequence[int]] = None
     padding: str = "SAME"
     dtype: Any = jnp.bfloat16
+    # static=True: activations quantize with a CALIBRATED constant
+    # scale (stored in the "quant" variable collection as a running
+    # max-abs updated by calibration passes) instead of the dynamic
+    # per-example max-abs reduction. Kills the dynamic path's HBM tax
+    # -- no per-layer reduction pass, no int8 re-materialisation read
+    # -- which is exactly what loses at narrow HBM-bound widths. A
+    # constant scale also keeps micro-batched requests independent by
+    # construction (nothing data-dependent is shared).
+    static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,19 +98,34 @@ class Int8Conv(nn.Module):
         if isinstance(strides, int):
             strides = (strides, strides)
         qw, w_scale = quantize_tensor(kernel, axes=(0, 1, 2))  # per cout
-        # PER-EXAMPLE activation scale (N,1,1,1), not per-batch: the
-        # serving micro-batcher packs unrelated requests (and zero
-        # padding) into one batch, and a shared scalar scale would make
-        # one request's int8 output depend on co-batched traffic. With
-        # per-example scales each request quantizes exactly as it would
-        # alone, so offline --quantize eval transfers to serving.
-        qx, x_scale = quantize_tensor(x, axes=(1, 2, 3), keepdims=True)
+        if self.static:
+            amax = self.variable("quant", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant"):
+                # calibration pass: fold this batch into the running
+                # max-abs (Trainer.calibrate drives N of these)
+                amax.value = jnp.maximum(
+                    amax.value,
+                    jnp.max(jnp.abs(x)).astype(jnp.float32))
+            x_scale = jnp.maximum(amax.value / 127.0, 1e-12)
+            qx = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                          -127, 127).astype(jnp.int8)
+        else:
+            # PER-EXAMPLE activation scale (N,1,1,1), not per-batch:
+            # the serving micro-batcher packs unrelated requests (and
+            # zero padding) into one batch, and a shared DATA-DEPENDENT
+            # scale would make one request's int8 output depend on
+            # co-batched traffic. With per-example scales each request
+            # quantizes exactly as it would alone, so offline
+            # --quantize eval transfers to serving.
+            qx, x_scale = quantize_tensor(x, axes=(1, 2, 3),
+                                          keepdims=True)
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))
         y = lax.conv_general_dilated(
             qx, qw, tuple(strides), self.padding,
             dimension_numbers=dn,
             preferred_element_type=jnp.int32)
-        # (N,1,1,1) * (cout,) -> (N,1,1,cout) combined rescale
+        # scalar (static) or (N,1,1,1) * (cout,) combined rescale
         y = y.astype(jnp.float32) * (x_scale * w_scale) + bias
         return y.astype(self.dtype)

@@ -26,10 +26,12 @@ from flax import linen as nn
 class ConvBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
-    # quant=True swaps each conv for an int8 one (s8 x s8 -> s32 MXU,
-    # dynamic activation scales) with IDENTICAL param names/shapes --
-    # serving-time compute mode for float checkpoints (models/quant.py)
-    quant: bool = False
+    # quant truthy swaps each conv for an int8 one (s8 x s8 -> s32
+    # MXU) with IDENTICAL param names/shapes -- serving-time compute
+    # mode for float checkpoints (models/quant.py). True = dynamic
+    # per-example activation scales; "static" = calibrated constant
+    # scales (the "quant" variable collection).
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x):
@@ -37,7 +39,8 @@ class ConvBlock(nn.Module):
             if self.quant:
                 from .quant import Int8Conv
                 x = Int8Conv(self.features, (3, 3), padding="SAME",
-                             dtype=self.dtype, name=f"Conv_{i}")(x)
+                             dtype=self.dtype, name=f"Conv_{i}",
+                             static=self.quant == "static")(x)
             else:
                 x = nn.Conv(self.features, (3, 3), padding="SAME",
                             dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -82,11 +85,12 @@ class UNet(nn.Module):
     base_features: int = 32
     levels: int = 4
     dtype: Any = jnp.bfloat16
-    # quant=True: int8 convolutions (serving-time PTQ; param tree is
-    # IDENTICAL to the float model, so a float checkpoint loads as-is).
-    # The ConvTranspose upsamplers and the logits head stay float --
-    # small FLOP share, large error sensitivity.
-    quant: bool = False
+    # quant truthy: int8 convolutions (serving-time PTQ; param tree
+    # is IDENTICAL to the float model, so a float checkpoint loads
+    # as-is). True = dynamic activation scales; "static" = calibrated
+    # constant scales. The ConvTranspose upsamplers and the logits
+    # head stay float -- small FLOP share, large error sensitivity.
+    quant: Any = False
     # s2d>1: space-to-depth stem + depth-to-space (sub-pixel) logits
     # head. Motivation (measured on the v5e): XLA pads a conv's channel
     # dim to the MXU's 128 lanes, so a 256^2 C=32 conv moves 604 MB vs
@@ -113,7 +117,8 @@ class UNet(nn.Module):
             skips.append(x)
             if self.quant:
                 x = Int8Conv(f * (2 ** lvl), (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name=f"Conv_{lvl}")(x)
+                             dtype=self.dtype, name=f"Conv_{lvl}",
+                             static=self.quant == "static")(x)
             else:
                 x = nn.Conv(f * (2 ** lvl), (2, 2), strides=(2, 2),
                             dtype=self.dtype, param_dtype=jnp.float32)(x)

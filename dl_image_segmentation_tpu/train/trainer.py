@@ -272,23 +272,32 @@ class Trainer:
                 raise ValueError(
                     f"image_size {config.image_size} must divide by "
                     f"s2d {self.s2d}")
-        if config.quantize == "int8":
+        if config.quantize in ("int8", "int8-static"):
             if config.model != "unet":
                 raise ValueError(
-                    "quantize='int8' currently supports model='unet' "
-                    f"only (got {config.model!r})")
+                    f"quantize={config.quantize!r} currently supports "
+                    f"model='unet' only (got {config.model!r})")
             # same param tree, int8 conv compute: float checkpoints
-            # serve quantized with no conversion step
-            self.infer_model = UNet(num_classes=config.num_classes,
-                                    base_features=self.model_features,
-                                    levels=config.levels,
-                                    dtype=compute_dtype, quant=True,
-                                    s2d=self.s2d)
+            # serve quantized with no conversion step. int8-static
+            # additionally carries a "quant" collection of calibrated
+            # per-layer activation scales (see Trainer.calibrate).
+            self.infer_model = UNet(
+                num_classes=config.num_classes,
+                base_features=self.model_features,
+                levels=config.levels, dtype=compute_dtype,
+                quant=("static" if config.quantize == "int8-static"
+                       else True),
+                s2d=self.s2d)
         elif config.quantize == "none":
             self.infer_model = self.model
         else:
             raise ValueError(f"unknown quantize {config.quantize!r} "
-                             "(expected 'none' or 'int8')")
+                             "(expected 'none', 'int8' or "
+                             "'int8-static')")
+        # calibrated activation scales for int8-static ({} otherwise:
+        # a constant empty pytree the jitted inference fns thread
+        # through untouched)
+        self.quant_vars: dict = {}
         if config.schedule == "cosine":
             lr = optax.warmup_cosine_decay_schedule(
                 init_value=0.0, peak_value=config.learning_rate,
@@ -513,13 +522,76 @@ class Trainer:
         return metrics
 
     # -- evaluation / inference ----------------------------------------------
+    def _quant_arg(self, auto_batch=None) -> dict:
+        """The "quant" collection the jitted inference fns thread
+        through: calibrated scales for int8-static, {} otherwise.
+        Uncalibrated int8-static AUTO-calibrates on ``auto_batch``
+        (the batch about to be inferred) when given -- zero-config
+        serving; for reproducible scales calibrate explicitly over N
+        batches first (CLI --calibrate-records/--calibrate-batches).
+        Without an auto batch it fails loudly instead of letting zero
+        scales saturate every activation."""
+        if self.config.quantize == "int8-static" and not self.quant_vars:
+            if auto_batch is not None:
+                self.calibrate([auto_batch], max_batches=1)
+            else:
+                raise RuntimeError(
+                    "quantize='int8-static' requires calibration "
+                    "before inference: run Trainer.calibrate(batches) "
+                    "first (CLI: --calibrate-batches N)")
+        return self.quant_vars
+
+    def calibrate(self, batches, max_batches: int = 8) -> int:
+        """Calibrate int8-static activation scales over up to
+        ``max_batches`` batches: each layer's running max-abs
+        accumulates into the "quant" collection (a handful of scalars)
+        that inference then uses as constant quantization scales --
+        the whole point being that serving pays ZERO data-dependent
+        reduction passes. ``batches`` yields (images, labels) or bare
+        image arrays. Returns batches consumed; no-op for other
+        quantize modes."""
+        if self.config.quantize != "int8-static":
+            return 0
+        cfg = self.config
+        model = self.infer_model
+        if not self.quant_vars:
+            dummy = jnp.zeros((1, cfg.image_size, cfg.image_size,
+                               cfg.in_channels), jnp.float32)
+            init = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+            self.quant_vars = jax.tree_util.tree_map(
+                np.asarray, init.get("quant", {}))
+        if not hasattr(self, "_calib_fn"):
+            @jax.jit
+            def calib(params, quant, images):
+                _, mut = model.apply(
+                    {"params": params, "quant": quant},
+                    normalize_images(images), mutable=["quant"])
+                return mut["quant"]
+            self._calib_fn = calib
+        n = 0
+        for batch in batches:
+            if n >= max_batches:
+                break
+            images = batch[0] if isinstance(batch, (tuple, list)) \
+                else batch
+            images = np.asarray(images)
+            images, _, _ = self._pad_to_data_axis(images)
+            images = shard_batch_local(self.mesh, images,
+                                       spatial=cfg.spatial)
+            self.quant_vars = self._calib_fn(
+                self.state.params, self.quant_vars, images)
+            n += 1
+        return n
+
     def _build_predict(self):
         model = self.infer_model
 
         @jax.jit
-        def predict(params, images):
-            logits = model.apply({"params": params},
-                                 normalize_images(images))
+        def predict(params, quant, images):
+            variables = {"params": params}
+            if quant:
+                variables["quant"] = quant
+            logits = model.apply(variables, normalize_images(images))
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         return predict
@@ -528,9 +600,11 @@ class Trainer:
         model = self.infer_model
 
         @jax.jit
-        def predict_probs(params, images):
-            logits = model.apply({"params": params},
-                                 normalize_images(images))
+        def predict_probs(params, quant, images):
+            variables = {"params": params}
+            if quant:
+                variables["quant"] = quant
+            logits = model.apply(variables, normalize_images(images))
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         return predict_probs
@@ -542,14 +616,17 @@ class Trainer:
         calibration workflows where the argmax map loses information."""
         if not hasattr(self, "_predict_probs_fn"):
             self._predict_probs_fn = self._build_predict_probs()
+        quant = self._quant_arg(
+            images if isinstance(images, np.ndarray) else None)
         if isinstance(images, np.ndarray):
             images, _, n = self._pad_to_data_axis(images)
             images = shard_batch_local(self.mesh, images,
                                        spatial=self.config.spatial)
-            out = self._predict_probs_fn(self.state.params, images)
+            out = self._predict_probs_fn(self.state.params, quant,
+                                         images)
             return np.asarray(out)[:n]
         return np.asarray(self._predict_probs_fn(self.state.params,
-                                                 images))
+                                                 quant, images))
 
     def _pad_to_data_axis(self, images: np.ndarray,
                           labels: Optional[np.ndarray] = None):
@@ -581,13 +658,16 @@ class Trainer:
         given."""
         if not hasattr(self, "_predict_fn"):
             self._predict_fn = self._build_predict()
+        quant = self._quant_arg(
+            images if isinstance(images, np.ndarray) else None)
         if isinstance(images, np.ndarray):
             images, _, n = self._pad_to_data_axis(images)
             images = shard_batch_local(self.mesh, images,
                                        spatial=self.config.spatial)
-            out = self._predict_fn(self.state.params, images)
+            out = self._predict_fn(self.state.params, quant, images)
             return np.asarray(out)[:n]
-        return np.asarray(self._predict_fn(self.state.params, images))
+        return np.asarray(self._predict_fn(self.state.params, quant,
+                                           images))
 
     def _build_eval_step(self):
         """Per-batch SUMS (not means): loss over valid pixels, correct
@@ -601,9 +681,11 @@ class Trainer:
         K = cfg.num_classes
 
         @jax.jit
-        def eval_step(params, images, labels):
-            logits = model.apply({"params": params},
-                                 normalize_images(images))
+        def eval_step(params, quant, images, labels):
+            variables = {"params": params}
+            if quant:
+                variables["quant"] = quant
+            logits = model.apply(variables, normalize_images(images))
             valid = labels != cfg.label_nodata
             safe = jnp.where(valid, labels, 0).astype(jnp.int32)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -638,6 +720,14 @@ class Trainer:
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = self._build_eval_step()
         eval_step = self._eval_fn
+        if self.config.quantize == "int8-static" and not self.quant_vars:
+            import itertools
+            batches = iter(batches)
+            first = next(batches, None)
+            if first is not None:
+                self.calibrate([first], max_batches=1)
+                batches = itertools.chain([first], batches)
+        quant = self._quant_arg()
         K = self.config.num_classes
         total_cm = np.zeros((K, K), np.int64)
         loss_sum = 0.0
@@ -652,7 +742,8 @@ class Trainer:
                 images, labels = shard_batch_local(
                     self.mesh, (images, labels),
                     spatial=self.config.spatial)
-            ls, cor, nv, cm = eval_step(self.state.params, images, labels)
+            ls, cor, nv, cm = eval_step(self.state.params, quant,
+                                        images, labels)
             loss_sum += float(ls)
             correct += int(cor)
             n_valid += int(nv)

@@ -454,6 +454,18 @@ def inference_throughput(k_small: int = 100, k_long: int = 3000,
     model = trainer.infer_model
     params = trainer.state.params
     out = {}
+    qv = {}
+    if quantize == "int8-static":
+        # calibrate the constant activation scales once (8 pool
+        # batches); they then become jit-closure CONSTANTS below --
+        # serving pays zero data-dependent quantization work
+        trainer.calibrate(
+            [np.asarray(base_pool[i * 8:(i + 1) * 8])
+             for i in range(8)], max_batches=8)
+        qv = trainer.quant_vars
+
+    def apply_vars(p):
+        return {"params": p, "quant": qv} if qv else {"params": p}
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def scan_predict(params, pool, k, key):
@@ -463,7 +475,7 @@ def inference_throughput(k_small: int = 100, k_long: int = 3000,
 
         def body(c, i):
             batch = jax.lax.dynamic_slice_in_dim(pool, (i * 8) % 56, 8)
-            logits = model.apply({"params": params},
+            logits = model.apply(apply_vars(params),
                                  normalize_images(batch))
             preds = jnp.argmax(logits, axis=-1)
             return c + jnp.sum(preds, dtype=jnp.int32), None
@@ -475,7 +487,7 @@ def inference_throughput(k_small: int = 100, k_long: int = 3000,
     flops = None
     try:
         ca = jax.jit(lambda p, b: model.apply(
-            {"params": p}, normalize_images(b))).lower(
+            apply_vars(p), normalize_images(b))).lower(
             params, base_pool[:8]).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -532,6 +544,17 @@ def inference_int8_w128():
     int8 MXU beats the dynamic-quant bandwidth tax."""
     return inference_throughput(30, 600, quantize="int8",
                                 tag="int8w128", base_features=128)
+
+
+def inference_int8_static():
+    """int8-static PTQ at the judge shape (VERDICT r4 item 6): the
+    dynamic path LOSES at bf=32 (0.94x) because its per-layer
+    activation max-abs reductions re-read every activation; static
+    calibrated scales are jit constants, so the s8 convs keep their
+    halved input reads with zero reduction passes. Expectation:
+    >= 1.0x bf16 here, else the committed number documents why."""
+    return inference_throughput(quantize="int8-static",
+                                tag="int8static")
 
 
 
@@ -861,6 +884,7 @@ SECTIONS = {
     "inference_int8": inference_int8,
     "inference_w128": inference_w128,
     "inference_int8_w128": inference_int8_w128,
+    "inference_int8_static": inference_int8_static,
 }
 
 
