@@ -14,6 +14,19 @@ with extra elementwise passes. Measured end-to-end on the v5e
   and the right choice at narrow widths. (Before the s2d-auto
   default the narrow loss was 0.59x: packing shrinks the HBM tax the
   dynamic-quant passes pay.)
+* bf=32 with STATIC calibrated scales (``int8-static``, round 5):
+  **0.95x** (1.94 vs 1.85 ms/batch) -- removing the dynamic
+  reduction passes recovers only ~1% over dynamic (1.96 ms),
+  proving the remaining tax is the int8 activation
+  materialisation itself: skip connections and GroupNorm keep bf16
+  copies of every activation alive regardless, so the s8 conv's
+  halved input read is bought with an extra quantized copy either
+  way, and at 52% bf16 MFU there is little MXU time for the 2x
+  int8 rate to win back. Weight-only int8 cannot win here either,
+  measured structurally: weights are ~3.6% of the forward pass's
+  accessed bytes at this shape (32.4 M params vs 3.6 GB/batch), an
+  upper bound far below the 5% gap. bf16 stays the narrow-width
+  default with all three int8 variants measured.
 
 Use ``quantize="int8"`` for wide/compute-bound serving. This module
 provides ``Int8Conv``, a drop-in for ``flax.linen.Conv`` that:
