@@ -223,6 +223,12 @@ def decode_image_bytes(data: bytes, base_dir: str = None,
         # MODIS's container: in-repo DD-chain/SDS parser
         from .hdf4 import decode_hdf4
         return _named("HDF4", decode_hdf4, data)
+    from .nitf import is_nitf
+    if is_nitf(data):
+        # the defense/VHR container (MIL-STD-2500C): NC blocks +
+        # single-block C8 (JPEG 2000) in-repo
+        from .nitf import decode_nitf
+        return _named("NITF", decode_nitf, data)
     raise _unsupported(data)
 
 
@@ -358,4 +364,8 @@ def sniff_image_info(data: bytes) -> RasterInfo:
     if is_hdf4(data):
         from .hdf4 import sniff_hdf4_info
         return _named("HDF4", sniff_hdf4_info, data)
+    from .nitf import is_nitf
+    if is_nitf(data):
+        from .nitf import sniff_nitf_info
+        return _named("NITF", sniff_nitf_info, data)
     raise _unsupported(data)

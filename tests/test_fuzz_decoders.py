@@ -61,6 +61,7 @@ def _fixtures(tmp_path):
     from dl_image_segmentation_tpu.raster.grib import (encode_grib1,
                                                        encode_grib2)
     from dl_image_segmentation_tpu.raster.hdf4 import encode_hdf4
+    from dl_image_segmentation_tpu.raster.nitf import encode_nitf
     from dl_image_segmentation_tpu.raster.image import (encode_jpeg,
                                                         encode_png)
     from dl_image_segmentation_tpu.raster.jp2 import encode_jp2
@@ -83,6 +84,9 @@ def _fixtures(tmp_path):
         "grib1": encode_grib1(field, la1=50.0, lo1=8.0, di=0.25,
                               dj=0.25, nbits=12),
         "hdf4": encode_hdf4({"v": u16[:, :, 0]}),
+        "nitf": encode_nitf(u16, block_size=8,
+                            geotransform=(0, 10, 0, 0, 0, -10),
+                            epsg=32643),
     }
     # ENVI: header bytes are the decode entry; the data file sits next
     # to it via base_dir
@@ -121,7 +125,7 @@ def fixtures(tmp_path_factory):
 
 
 FORMATS = ["geotiff", "png", "jpeg", "jp2", "grib2", "grib1", "hdf4",
-           "envi", "netcdf", "hdf5"]
+           "envi", "netcdf", "hdf5", "nitf"]
 
 
 @pytest.mark.parametrize("fmt", FORMATS)
