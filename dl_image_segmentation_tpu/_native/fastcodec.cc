@@ -1063,7 +1063,11 @@ uint64_t fc_lzw_decode(const uint8_t* src, uint64_t n,
             off += bits;
             FC_LZW_EMIT(c1);
             // second code from the same window; `bits` may have grown
-            // by one above, still off + bits <= 7 + 12 + 12 = 31 < 64
+            // by one above, still off + bits <= 7 + 12 + 12 = 31 < 64.
+            // (A 4-codes-per-load unroll fits the window too -- 7 +
+            // 4*12 = 55 < 64 -- but measured ~15% SLOWER here: four
+            // copies of the emit macro overflow the decoded-uop
+            // cache.)
             uint32_t c2 = (uint32_t)((w >> (64 - off - bits))
                                      & ((1u << bits) - 1));
             bitpos += bits;
