@@ -236,8 +236,17 @@ class GCSClient:
                 raise GCSError("resumable session expired", 404)
             offset += len(chunk)
             if last and status == 308:
-                # server has everything but did not finalize (size was
-                # None and the last chunk was full-sized): finalize
+                if size is not None:
+                    # the final declared chunk got 308 instead of a
+                    # finalize: the source delivered fewer bytes than
+                    # ``size`` promised -- failing loudly beats
+                    # finalizing a silently truncated object
+                    raise GCSError(
+                        f"source ended at {offset} bytes but "
+                        f"size={size} was declared for "
+                        f"gs://{bucket}/{name}", 0)
+                # unknown size and the last chunk was full-sized: the
+                # server has everything but could not finalize yet
                 status, body, _ = self._request(
                     "PUT", session, data=b"",
                     headers={"Content-Range": f"bytes */{offset}"},

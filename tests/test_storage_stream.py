@@ -104,6 +104,17 @@ class TestGCSResumable:
         with pytest.raises(FileNotFoundError):
             GCSClient().download_stream("b", "nope", io.BytesIO())
 
+    def test_short_source_with_declared_size_fails_loudly(self, gcs):
+        # a source that under-delivers vs its declared size must NOT
+        # finalize a silently truncated object
+        data = _payload(self.CHUNK)
+        with pytest.raises(Exception, match="declared"):
+            GCSClient().upload_stream("b", "short.bin",
+                                      io.BytesIO(data),
+                                      size=len(data) + 999,
+                                      chunk_size=self.CHUNK)
+        assert ("b", "short.bin") not in gcs.objects
+
 
 class TestS3Multipart:
     PART = 5 * 1024 * 1024  # S3 minimum
