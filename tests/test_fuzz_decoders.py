@@ -12,6 +12,7 @@ _native/fastcodec.cc tiff_parse exist precisely for hostile headers).
 """
 
 import signal
+import zlib
 
 import numpy as np
 import pytest
@@ -33,7 +34,16 @@ CLEAN = (CorruptRasterError, UnsupportedFormatError, ValueError,
 
 PER_FORMAT_TRUNCATIONS = 40
 PER_FORMAT_BITFLIPS = 80
-DEADLINE_S = 30  # whole-format budget; any single hang trips it
+# per-MUTATION watchdog: generous enough for a loaded shared box (the
+# r5 full-suite run tripped a whole-loop budget purely from CPU
+# contention), still finite so a real hang fails loudly
+DEADLINE_S = 20
+
+
+def _seed(fmt: str, salt: int = 0) -> int:
+    # NOT hash(): that is randomized per process, which would make a
+    # failing mutation unreproducible from the printed index
+    return (zlib.crc32(fmt.encode()) + salt) % (2 ** 31)
 
 
 class _Watchdog:
@@ -139,12 +149,12 @@ def test_baseline_decodes(fixtures, fmt):
 def test_truncations_fail_cleanly(fixtures, fmt):
     tp, fx = fixtures
     data = fx[fmt]
-    rng = np.random.RandomState(hash(fmt) % (2**31))
+    rng = np.random.RandomState(_seed(fmt))
     cuts = sorted(set(
         int(c) for c in rng.randint(0, len(data),
                                     PER_FORMAT_TRUNCATIONS)))
-    with _Watchdog(DEADLINE_S):
-        for i, cut in enumerate(cuts):
+    for i, cut in enumerate(cuts):
+        with _Watchdog(DEADLINE_S):
             try:
                 g = _decode(fmt, data[:cut], tp)
                 # a successful decode of a truncation must still be a
@@ -162,23 +172,23 @@ def test_truncations_fail_cleanly(fixtures, fmt):
 def test_bitflips_fail_cleanly(fixtures, fmt):
     tp, fx = fixtures
     data = bytearray(fx[fmt])
-    rng = np.random.RandomState((hash(fmt) + 7) % (2**31))
-    with _Watchdog(DEADLINE_S):
-        for i in range(PER_FORMAT_BITFLIPS):
-            pos = int(rng.randint(0, len(data)))
-            bit = 1 << int(rng.randint(0, 8))
-            data[pos] ^= bit
-            try:
+    rng = np.random.RandomState(_seed(fmt, 7))
+    for i in range(PER_FORMAT_BITFLIPS):
+        pos = int(rng.randint(0, len(data)))
+        bit = 1 << int(rng.randint(0, 8))
+        data[pos] ^= bit
+        try:
+            with _Watchdog(DEADLINE_S):
                 g = _decode(fmt, bytes(data), tp)
                 assert g.array.size >= 0
-            except CLEAN:
-                pass
-            except Exception as e:  # noqa: BLE001
-                raise AssertionError(
-                    f"{fmt} bitflip #{i} (byte {pos} bit {bit:#x}) "
-                    f"raised unclean {type(e).__name__}: {e}") from e
-            finally:
-                data[pos] ^= bit  # restore: mutations independent
+        except CLEAN:
+            pass
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"{fmt} bitflip #{i} (byte {pos} bit {bit:#x}) "
+                f"raised unclean {type(e).__name__}: {e}") from e
+        finally:
+            data[pos] ^= bit  # restore: mutations independent
 
 
 def test_native_lzw_decode_hostile(fixtures):
