@@ -229,6 +229,12 @@ def decode_image_bytes(data: bytes, base_dir: str = None,
         # single-block C8 (JPEG 2000) in-repo
         from .nitf import decode_nitf
         return _named("NITF", decode_nitf, data)
+    from .gpkg_raster import is_gpkg
+    if is_gpkg(data):
+        # OGC GeoPackage tile pyramids: stdlib sqlite3 + in-repo
+        # PNG/JPEG tile decode
+        from .gpkg_raster import decode_gpkg
+        return _named("GeoPackage", decode_gpkg, data)
     raise _unsupported(data)
 
 
@@ -368,4 +374,8 @@ def sniff_image_info(data: bytes) -> RasterInfo:
     if is_nitf(data):
         from .nitf import sniff_nitf_info
         return _named("NITF", sniff_nitf_info, data)
+    from .gpkg_raster import is_gpkg
+    if is_gpkg(data):
+        from .gpkg_raster import sniff_gpkg_info
+        return _named("GeoPackage", sniff_gpkg_info, data)
     raise _unsupported(data)

@@ -97,6 +97,11 @@ def _fixtures(tmp_path):
         "nitf": encode_nitf(u16, block_size=8,
                             geotransform=(0, 10, 0, 0, 0, -10),
                             epsg=32643),
+        "gpkg": __import__(
+            "dl_image_segmentation_tpu.raster.gpkg_raster",
+            fromlist=["encode_gpkg"]).encode_gpkg(
+            u8, tile_size=16, geotransform=(0, 10, 0, 0, 0, -10),
+            epsg=32643),
     }
     # ENVI: header bytes are the decode entry; the data file sits next
     # to it via base_dir
@@ -135,7 +140,7 @@ def fixtures(tmp_path_factory):
 
 
 FORMATS = ["geotiff", "png", "jpeg", "jp2", "grib2", "grib1", "hdf4",
-           "envi", "netcdf", "hdf5", "nitf"]
+           "envi", "netcdf", "hdf5", "nitf", "gpkg"]
 
 
 @pytest.mark.parametrize("fmt", FORMATS)
