@@ -368,6 +368,15 @@ def mfu_b32():
     return _mfu_one("bf16", batch_size=32, k_small=30, k_long=600)
 
 
+def mfu_w128_b16():
+    """Production width at batch 16: doubles the GEMM M dim over the
+    w128/b8 row, amortising the per-step non-MXU work (GroupNorm,
+    ConvTranspose, scheduling gaps) that holds b8 at 77.5% MFU — the
+    'how to actually run this chip at peak' guidance row."""
+    return _mfu_one("bf16", base_features=128, batch_size=16,
+                    k_small=20, k_long=400)
+
+
 def mfu_auto():
     """The OUT-OF-THE-BOX judge shape (bf=32, 256^2, batch 8) under
     the round-4 default s2d=0 (auto): the trainer must pick the
@@ -873,6 +882,7 @@ SECTIONS = {
     "mfu_w64": mfu_w64,
     "mfu_w128": mfu_w128,
     "mfu_b32": mfu_b32,
+    "mfu_w128_b16": mfu_w128_b16,
     "feed": feed_duty,
     "trace": trace_overlap,
     "duty": duty_cycle,
